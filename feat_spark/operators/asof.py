@@ -1,0 +1,207 @@
+"""Point-in-time (as-of) join — the engine's flagship operator.
+
+For each left row ``(key, ts)`` pick the latest right row with
+``ts' <= ts`` (or ``<`` with ``allow_exact_matches=False``) — zero
+temporal leakage by construction. The reference library has no joins at
+all (SURVEY.md §2.7); this operator is mandated by the north rule
+("sort-merge as-of join keyed on (conv_id, ts) with broadcast fallback
+for skewed conversations", BASELINE.json:6).
+
+Three physical strategies, chosen DataFrame-side (no Catalyst
+extension needed — SURVEY.md §4.2):
+
+``union_window`` (default, the 100 TB path)
+    Tag both sides, ``unionByName``, one shuffle on the key, a single
+    sort per partition, then ``last(..., ignorenulls=True)`` over a
+    ``rowsBetween(unboundedPreceding, 0)`` frame. Cost = one shuffle of
+    |L|+|R| rows + per-partition sort: exactly a sort-merge join with
+    no row explosion (a naive range join is O(|L|x|R|) per key).
+    Right-side values ride in a packed struct so NULL attribute values
+    forward-fill correctly (a NULL attr must still win over an older
+    non-NULL row, matching ``pd.merge_asof``).
+
+``broadcast``
+    When the right side fits in memory: broadcast hash join on the key
+    with the range predicate, then keep the max-``ts'`` candidate per
+    left row. No shuffle of the (huge) left side at all.
+
+``skew_aware``
+    Heavy-hitter keys (detected with a cheap aggregate or supplied by
+    the caller) take the broadcast path; the long tail takes
+    union_window. This is the "salted repartitioning for hot
+    conversations" answer that keeps window semantics exact — salting
+    an *ordered* window would split history and corrupt the as-of
+    result, so hot keys are isolated instead of salted
+    (SURVEY.md §7 hard-part (c)).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SRC = "__asof_src"
+_TS = "__asof_ts"
+_SEQ = "__asof_seq"
+_PACK = "__asof_pack"
+_LUID = "__asof_luid"
+
+
+def _as_list(x) -> list[str]:
+    return [x] if isinstance(x, str) else list(x)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str] = "conv_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: Sequence[str] | None = None,
+    suffix: str = "",
+    strategy: str = "union_window",
+    allow_exact_matches: bool = True,
+    tolerance: str | None = None,
+    include_matched_ts: bool = False,
+    hot_keys: DataFrame | None = None,
+    hot_threshold: int = 100_000,
+) -> DataFrame:
+    """As-of join ``left`` with ``right`` on ``on`` + time.
+
+    Returns ``left``'s columns plus each right ``value_col`` (suffixed),
+    NULL where no right row precedes the left row (the
+    asymmetric-undefined case of /root/reference/src/feat.erl:283-284:
+    a not-yet-known attribute is *missing*, not a conflict).
+
+    ``tolerance`` (e.g. ``"7 days"``) nulls matches older than
+    ``left_ts - tolerance``, mirroring ``pd.merge_asof(tolerance=...)``.
+    """
+    keys = _as_list(on)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (*keys, right_ts)]
+    value_cols = list(value_cols)
+
+    if strategy == "union_window":
+        out = _asof_union_window(
+            left, right, keys, left_ts, right_ts, value_cols, allow_exact_matches
+        )
+    elif strategy == "broadcast":
+        out = _asof_broadcast(
+            left, right, keys, left_ts, right_ts, value_cols, allow_exact_matches
+        )
+    elif strategy == "skew_aware":
+        return _asof_skew_aware(
+            left, right, keys, left_ts, right_ts, value_cols, suffix,
+            allow_exact_matches, tolerance, include_matched_ts, hot_keys, hot_threshold,
+        )
+    else:
+        raise ValueError(f"unknown asof strategy: {strategy!r}")
+
+    return _unpack(out, left.columns, value_cols, suffix, left_ts, tolerance, include_matched_ts)
+
+
+def _pack_right(right: DataFrame, keys, right_ts, value_cols) -> DataFrame:
+    """Project the right side to (keys, ts, seq, packed-values)."""
+    # _SEQ breaks ties between right rows sharing (key, ts): the later
+    # input row wins, like pd.merge_asof's last-occurrence rule. Stable
+    # within one execution, which is the only scope a join needs.
+    return right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias(_TS),
+        F.monotonically_increasing_id().alias(_SEQ),
+        F.struct(
+            *[F.col(c) for c in value_cols], F.col(right_ts).alias("__matched_ts")
+        ).alias(_PACK),
+    )
+
+
+def _asof_union_window(
+    left, right, keys, left_ts, right_ts, value_cols, exact
+) -> DataFrame:
+    rgt = _pack_right(right, keys, right_ts, value_cols).withColumn(_SRC, F.lit(0))
+    lft = left.select(
+        "*",
+        F.col(left_ts).alias(_TS),
+        F.lit(None).cast("long").alias(_SEQ),
+        F.lit(1).alias(_SRC),
+    )
+    both = lft.unionByName(rgt, allowMissingColumns=True)
+
+    # Ordering decides <= vs <: with exact matches a right row at ts
+    # sorts BEFORE a left row at the same ts (so it is visible); without,
+    # it sorts after. _SEQ keeps duplicate right timestamps deterministic.
+    src_order = F.col(_SRC).asc() if not exact else F.col(_SRC).desc()
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_TS).asc(), src_order, F.col(_SEQ).asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = both.withColumn(_PACK, F.last(_PACK, ignorenulls=True).over(w))
+    return filled.filter(F.col(_SRC) == 1)
+
+
+def _asof_broadcast(left, right, keys, left_ts, right_ts, value_cols, exact) -> DataFrame:
+    rgt = _pack_right(right, keys, right_ts, value_cols)
+    lft = left.withColumn(_LUID, F.monotonically_increasing_id())
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (lft[k] == rgt[k])
+    cond = cond & (rgt[_TS] <= lft[left_ts] if exact else rgt[_TS] < lft[left_ts])
+    joined = lft.join(F.broadcast(rgt), cond, "left").drop(*[rgt[k] for k in keys])
+    w = Window.partitionBy(_LUID).orderBy(
+        F.col(_TS).desc_nulls_last(), F.col(_SEQ).desc_nulls_last()
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", _LUID)
+    )
+
+
+def detect_hot_keys(df: DataFrame, keys: Sequence[str], threshold: int) -> DataFrame:
+    """Keys whose row count exceeds ``threshold`` — one cheap partial-agg
+    pass (map-side combine makes this ~free relative to the join)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > threshold)
+        .drop("__n")
+    )
+
+
+def _asof_skew_aware(
+    left, right, keys, left_ts, right_ts, value_cols, suffix,
+    exact, tolerance, include_matched_ts, hot_keys, hot_threshold,
+) -> DataFrame:
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(left, keys, hot_threshold)
+    hot_keys = hot_keys.select(*keys)
+    # Hot conversations: broadcast their (small) attr slices, never
+    # shuffling the massive hot partitions into one task. Cold tail:
+    # the standard sort-merge path.
+    left_hot = left.join(F.broadcast(hot_keys), on=keys, how="left_semi")
+    left_cold = left.join(F.broadcast(hot_keys), on=keys, how="left_anti")
+    right_hot = right.join(F.broadcast(hot_keys), on=keys, how="left_semi")
+    right_cold = right.join(F.broadcast(hot_keys), on=keys, how="left_anti")
+
+    hot = _asof_broadcast(left_hot, right_hot, keys, left_ts, right_ts, value_cols, exact)
+    cold = _asof_union_window(left_cold, right_cold, keys, left_ts, right_ts, value_cols, exact)
+    hot = _unpack(hot, left.columns, value_cols, suffix, left_ts, tolerance, include_matched_ts)
+    cold = _unpack(cold, left.columns, value_cols, suffix, left_ts, tolerance, include_matched_ts)
+    return cold.unionByName(hot)
+
+
+def _unpack(
+    out: DataFrame, left_cols, value_cols, suffix, left_ts, tolerance, include_matched_ts
+) -> DataFrame:
+    pack = F.col(_PACK)
+    if tolerance is not None:
+        ok = pack["__matched_ts"] >= F.col(left_ts) - F.expr(f"INTERVAL {tolerance}")
+        pack = F.when(ok, pack)
+    cols = [F.col(c) for c in left_cols]
+    cols += [pack[c].alias(f"{c}{suffix}") for c in value_cols]
+    if include_matched_ts:
+        cols.append(pack["__matched_ts"].alias(f"matched_ts{suffix}"))
+    return out.select(*cols)

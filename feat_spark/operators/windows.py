@@ -1,0 +1,193 @@
+"""Windowed feature operators: stable ordering, lag/lead, leakage-safe
+cumulative frames, forward/backward fill, tumbling/sliding windows,
+top-k. All pure Window/groupBy expressions — single shuffle per
+partitioning key, whole-stage-codegen friendly, no Python in the hot
+path.
+
+Leakage policy (BASELINE.json north_star "zero temporal leakage"):
+every frame produced here ends at ``currentRow`` (or ``-1`` when the
+current row must be excluded); nothing ever looks at following rows
+except ``backward_fill``, which is restricted to static attributes and
+says so loudly in its docstring. ``feat_spark.plans.audit`` provides
+the runtime proof.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def _cols(x) -> list[str]:
+    return [x] if isinstance(x, str) else list(x)
+
+
+def turn_window(
+    partition: str | Sequence[str] = "conv_id",
+    order: str | Sequence[str] = ("turn_idx",),
+    tiebreak: str | Sequence[str] = ("ts",),
+) -> WindowSpec:
+    """The canonical per-conversation ordering: ``(turn_idx, ts)`` —
+    stable under duplicate timestamps (input_hint: "stable (conv_id,
+    turn_idx) ordering")."""
+    return Window.partitionBy(*_cols(partition)).orderBy(
+        *[F.col(c).asc() for c in (*_cols(order), *_cols(tiebreak))]
+    )
+
+
+def with_stable_order(
+    df: DataFrame,
+    partition: str | Sequence[str] = "conv_id",
+    order: str | Sequence[str] = ("turn_idx",),
+    tiebreak: str | Sequence[str] = ("ts",),
+    out_col: str = "turn_seq",
+) -> DataFrame:
+    """Assign a dense per-conversation sequence number regardless of file
+    order (the synth generator deliberately scrambles ~5% of rows)."""
+    return df.withColumn(
+        out_col, F.row_number().over(turn_window(partition, order, tiebreak))
+    )
+
+
+def lag_lead_features(
+    df: DataFrame,
+    cols: Sequence[str],
+    offsets: Sequence[int] = (1,),
+    partition: str | Sequence[str] = "conv_id",
+    order: str | Sequence[str] = ("turn_idx",),
+    tiebreak: str | Sequence[str] = (),
+    leads: bool = True,
+) -> DataFrame:
+    """``{col}_lag{k}`` / ``{col}_lead{k}`` over the turn ordering.
+
+    lag is always leakage-safe; lead features are *labels/targets*
+    (next-turn prediction), kept behind the ``leads`` flag so feature
+    pipelines can refuse them wholesale.
+    """
+    w = turn_window(partition, order, tiebreak)
+    out = df
+    for c in cols:
+        for k in offsets:
+            out = out.withColumn(f"{c}_lag{k}", F.lag(c, k).over(w))
+            if leads:
+                out = out.withColumn(f"{c}_lead{k}", F.lead(c, k).over(w))
+    return out
+
+
+def cumulative_features(
+    df: DataFrame,
+    aggs: Mapping[str, Sequence[str]],
+    partition: str | Sequence[str] = "conv_id",
+    order: str | Sequence[str] = ("turn_idx",),
+    tiebreak: str | Sequence[str] = (),
+    include_current: bool = True,
+) -> DataFrame:
+    """Running per-conversation aggregates over *preceding* rows only.
+
+    ``aggs`` maps column -> aggregate names (``sum count avg min max``).
+    ``include_current=False`` ends the frame at ``-1``: the strictest
+    leakage stance ("features at t may not even see t's own payload"),
+    used when the current turn is the prediction target.
+    """
+    end = Window.currentRow if include_current else -1
+    w = turn_window(partition, order, tiebreak).rowsBetween(
+        Window.unboundedPreceding, end
+    )
+    out = df
+    for c, fns in aggs.items():
+        for fn in fns:
+            out = out.withColumn(f"{c}_cum_{fn}", getattr(F, fn)(c).over(w))
+    return out
+
+
+def forward_fill(
+    df: DataFrame,
+    cols: Sequence[str],
+    partition: str | Sequence[str] = "conv_id",
+    order: str | Sequence[str] = ("ts",),
+    tiebreak: str | Sequence[str] = ("turn_idx",),
+    suffix: str = "_ffill",
+) -> DataFrame:
+    """Last-observation-carried-forward — leakage-safe (past → future).
+
+    ``last(c, ignorenulls=True)`` over an unbounded-preceding frame: one
+    shuffle, one sort, O(n) fill per partition.
+    """
+    w = turn_window(partition, order, tiebreak).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(f"{c}{suffix}", F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def backward_fill(
+    df: DataFrame,
+    cols: Sequence[str],
+    partition: str | Sequence[str] = "conv_id",
+    order: str | Sequence[str] = ("ts",),
+    tiebreak: str | Sequence[str] = ("turn_idx",),
+    suffix: str = "_bfill",
+) -> DataFrame:
+    """Next-observation-carried-backward.
+
+    WARNING: reads *future* rows by definition — only valid for static
+    attributes (e.g. a conv-level plan known out-of-band), never for
+    time-varying features. The leakage audit exempts columns with this
+    suffix and reports them separately.
+    """
+    w = turn_window(partition, order, tiebreak).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(f"{c}{suffix}", F.first(c, ignorenulls=True).over(w))
+    return out
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    aggs: Sequence[Column],
+    duration: str = "10 minutes",
+    slide: str | None = None,
+    keys: str | Sequence[str] = "conv_id",
+    ts: str = "ts",
+    emit_bounds: bool = True,
+) -> DataFrame:
+    """Tumbling (or sliding, with ``slide``) time-window aggregation.
+
+    Uses the native ``F.window`` bucketing expression → a plain
+    hash-aggregate with partial/final combine; identical API under
+    Structured Streaming (SURVEY.md §2.10).
+    """
+    win = F.window(F.col(ts), duration, slide) if slide else F.window(F.col(ts), duration)
+    grouped = df.groupBy(*_cols(keys), win.alias("win")).agg(*aggs)
+    if emit_bounds:
+        grouped = grouped.select(
+            *_cols(keys),
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            *[c for c in grouped.columns if c not in (*_cols(keys), "win")],
+        )
+    return grouped
+
+
+def top_k_per_group(
+    df: DataFrame,
+    k: int,
+    partition: str | Sequence[str],
+    order: Sequence[Column | str],
+    out_col: str = "rk",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Top-k rows per group via ``row_number`` — shuffles once on the
+    group key; with AQE the per-group sort never materializes a global
+    sort (vs ``orderBy().limit()`` which funnels to one task)."""
+    w = Window.partitionBy(*_cols(partition)).orderBy(
+        *[F.col(c) if isinstance(c, str) else c for c in order]
+    )
+    out = df.withColumn(out_col, F.row_number().over(w)).filter(F.col(out_col) <= k)
+    return out if keep_rank else out.drop(out_col)
