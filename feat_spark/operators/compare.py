@@ -148,6 +148,15 @@ def _no_paths() -> Column:
     return F.array().cast("array<string>")
 
 
+def _bind(col: Column, fn) -> Column:
+    """Let-binding for Column trees: evaluate ``col`` once and reference
+    it many times through a higher-order-function lambda variable (a
+    leaf node). Without this, every re-reference duplicates the whole
+    subtree and deep schemas explode the unresolved plan exponentially
+    (observed: JVM OOM while *constructing* the golden-schema compare)."""
+    return F.get(F.transform(F.array(col), lambda x: fn(x)), 0)
+
+
 def _guard(new: Column, old: Column, body: Column) -> Column:
     """The universal null rules, applied at every level
     (feat.erl:283-284 + :285-286 on whole subtrees)."""
@@ -162,26 +171,37 @@ def compile_compare(schema: FeatureSchema, new: Column, old: Column) -> Column:
     """Schema node → struct(st, paths) Column (plan-time recursion)."""
     if is_accessor(schema):
         path = ".".join(accessor_to_path(schema))
-        body = F.when(new == old, _node(F.lit(_EQ), _no_paths())).otherwise(
-            # a differing leaf is pathable: build_pathmap(?difference,
-            # Accessor) → its key path (feat.erl:387-388)
-            _node(F.lit(_TOTAL), F.array(F.lit(path)))
+        # a differing leaf is ALWAYS pathable — including the
+        # new-undefined-vs-old-value conflict — because
+        # build_pathmap(?difference, Accessor) yields its key path
+        # (feat.erl:387-388); the generic guard's empty-path TOTAL is
+        # only for non-leaf wrappers
+        return (
+            F.when(old.isNull(), _node(F.lit(_EQ), _no_paths()))
+            .when(new.isNull(), _node(F.lit(_TOTAL), F.array(F.lit(path))))
+            .when(new == old, _node(F.lit(_EQ), _no_paths()))
+            .otherwise(_node(F.lit(_TOTAL), F.array(F.lit(path))))
         )
-        return _guard(new, old, body)
 
     if is_nested(schema):
         acc = ".".join(accessor_to_path(schema[0]))
         child = compile_compare(schema[1], new, old)
-        st = child.getField("st")
-        cpaths = child.getField("paths")
+
         # TOTAL against a non-leaf wrapper is unpathable
         # (feat.erl:389-390); PARTIAL wraps: empty child paths → the
         # accessor itself (nested_map of an empty trie, feat.erl:451-452)
-        paths = F.when(st == _PARTIAL,
-                       F.when(F.size(cpaths) == 0, F.array(F.lit(acc)))
-                        .otherwise(F.transform(cpaths, lambda p: F.concat(F.lit(acc + "."), p)))
-                       ).otherwise(_no_paths())
-        return _node(st, paths)
+        def wrap(c):
+            st = c.getField("st")
+            cpaths = c.getField("paths")
+            paths = F.when(
+                st == _PARTIAL,
+                F.when(F.size(cpaths) == 0, F.array(F.lit(acc))).otherwise(
+                    F.transform(cpaths, lambda p: F.concat(F.lit(acc + "."), p))
+                ),
+            ).otherwise(_no_paths())
+            return _node(st, paths)
+
+        return _bind(child, wrap)
 
     if isinstance(schema, Mapping):
         children = [
@@ -200,41 +220,69 @@ def compile_compare(schema: FeatureSchema, new: Column, old: Column) -> Column:
     raise ValueError(f"uncompilable schema node: {schema!r}")
 
 
-def _combine_children(children: Sequence[Column]) -> Column:
-    """accumulate/acc_to_diff (feat.erl:326-353) + pathmap merge with
-    annihilation (feat.erl:427-449) over plan-time child list."""
-    if not children:
-        return _node(F.lit(_EQ), _no_paths())
-    eq = sum((F.when(c.getField("st") == _EQ, 1).otherwise(0) for c in children), F.lit(0))
-    tot = sum((F.when(c.getField("st") == _TOTAL, 1).otherwise(0) for c in children), F.lit(0))
-    par = sum((F.when(c.getField("st") == _PARTIAL, 1).otherwise(0) for c in children), F.lit(0))
+def _summarize(acc: Column, c: Column) -> Column:
+    """One fold step over child nodes: status counts (accumulate,
+    feat.erl:326-353) + sequential pathmap merge where a
+    differing-but-unpathable child WIPES the accumulated paths and
+    later children repopulate them (merge_pathmaps empty-right rule +
+    Erlang's sorted small-map fold order, feat.erl:427-449)."""
+    st = c.getField("st")
+    cpaths = c.getField("paths")
+    differing = st != _EQ
+    return F.struct(
+        (acc.getField("eq") + (st == _EQ).cast("int")).alias("eq"),
+        (acc.getField("tot") + (st == _TOTAL).cast("int")).alias("tot"),
+        (acc.getField("par") + (st == _PARTIAL).cast("int")).alias("par"),
+        F.when(differing & (F.size(cpaths) == 0), _no_paths())
+        .when(differing, F.concat(acc.getField("paths"), cpaths))
+        .otherwise(acc.getField("paths"))
+        .alias("paths"),
+    )
 
+
+_SUM_ZERO = lambda: F.struct(  # noqa: E731
+    F.lit(0).alias("eq"), F.lit(0).alias("tot"), F.lit(0).alias("par"),
+    _no_paths().alias("paths"),
+)
+
+
+def _node_of_summary(a: Column) -> Column:
+    """acc_to_diff (feat.erl:345-353): all-simple ⇒ collapse to TOTAL;
+    any equal or complex child keeps the per-key (PARTIAL) shape."""
+    eq, tot, par = a.getField("eq"), a.getField("tot"), a.getField("par")
     st = (
         F.when((tot == 0) & (par == 0), F.lit(_EQ))
         .when((eq == 0) & (par == 0), F.lit(_TOTAL))
         .otherwise(F.lit(_PARTIAL))
     )
-    # sequential pathmap merge in ascending feature-id order: a
-    # differing-but-unpathable child WIPES the accumulator, later
-    # children repopulate it (merge_pathmaps empty-right rule +
-    # Erlang's sorted small-map fold order, feat.erl:427-449) —
-    # `children` arrives sorted by feature id from the compilers
-    merged = _no_paths()
-    for c in children:
-        differing = c.getField("st") != _EQ
-        cpaths = c.getField("paths")
-        merged = (
-            F.when(differing & (F.size(cpaths) == 0), _no_paths())
-            .when(differing, F.concat(merged, cpaths))
-            .otherwise(merged)
-        )
-    paths = F.when(st == _PARTIAL, F.array_distinct(merged)).otherwise(_no_paths())
+    paths = F.when(st == _PARTIAL, F.array_distinct(a.getField("paths"))).otherwise(
+        _no_paths()
+    )
     return _node(st, paths)
+
+
+def _combine_children(children: Sequence[Column]) -> Column:
+    """Fold child nodes (already in ascending feature-id order) into one
+    node. Children are packed into an array and folded with ONE
+    ``F.aggregate`` so each child expression appears exactly once in
+    the plan — see ``_bind`` for why."""
+    if not children:
+        return _node(F.lit(_EQ), _no_paths())
+    summary = F.aggregate(F.array(*children), _SUM_ZERO(), _summarize)
+    return _bind(summary, _node_of_summary)
 
 
 def _compile_union_compare(schema: UnionSchema, new: Column, old: Column) -> Column:
     by_fid: dict[int, Mapping] = {}
-    for variant, (fid, inner) in schema.variants.items():
+    for variant, spec in schema.variants.items():
+        if not (
+            isinstance(spec, tuple)
+            and len(spec) == 2
+            and isinstance(spec[0], int)
+            and isinstance(spec[1], Mapping)
+        ):
+            continue  # invalid variant spec: no feature field exists
+        fid, inner = spec
         # variants sharing a feature id share a compiled field; their
         # inner schemas are identical by construction in the reference's
         # fixtures — merge keys defensively
@@ -259,61 +307,62 @@ def _compile_union_compare(schema: UnionSchema, new: Column, old: Column) -> Col
         )
         inner_cmp = F.when(nv == fid, child).otherwise(inner_cmp)
 
-    ist = inner_cmp.getField("st")
-    ipaths = inner_cmp.getField("paths")
-    same_variant = (
-        # inner TOTAL ⇒ minimized [variant, ?difference] — a *complex*
-        # diff upstream (stored, not counted simple), unpathable
-        # (feat.erl:306-313, :414-415)
-        F.when(ist == _EQ, _node(F.lit(_EQ), _no_paths()))
-        .when(ist == _TOTAL, _node(F.lit(_PARTIAL), _no_paths()))
-        .otherwise(_node(F.lit(_PARTIAL), ipaths))
-    )
-    body = F.when(nv != ov, _node(F.lit(_TOTAL), _no_paths())).otherwise(same_variant)
-    return _guard(new, old, body)
+    def shape(ic):
+        ist = ic.getField("st")
+        ipaths = ic.getField("paths")
+        same_variant = (
+            # inner TOTAL ⇒ minimized [variant, ?difference] — a *complex*
+            # diff upstream (stored, not counted simple), unpathable
+            # (feat.erl:306-313, :414-415)
+            F.when(ist == _EQ, _node(F.lit(_EQ), _no_paths()))
+            .when(ist == _TOTAL, _node(F.lit(_PARTIAL), _no_paths()))
+            .otherwise(_node(F.lit(_PARTIAL), ipaths))
+        )
+        return F.when(nv != ov, _node(F.lit(_TOTAL), _no_paths())).otherwise(same_variant)
+
+    return _guard(new, old, _bind(inner_cmp, shape))
 
 
 def _compile_set_compare(inner: FeatureSchema, new: Column, old: Column) -> Column:
+    # positional compare over the canonically-ordered arrays, diff keyed
+    # by the NEW side's stored original index (feat.erl:315-324); the
+    # element node is rewritten so its paths are already index-prefixed
+    # (build_pathmap_set keys by index and never annihilates,
+    # feat.erl:400-407)
     zipped = F.zip_with(
         new,
         old,
-        lambda x, y: F.struct(
-            x.getField("idx").alias("idx"),
-            compile_compare(inner, x.getField("f"), y.getField("f")).alias("c"),
+        lambda x, y: _bind(
+            compile_compare(inner, x.getField("f"), y.getField("f")),
+            lambda c: _node(
+                c.getField("st"),
+                F.when(c.getField("st") == _EQ, _no_paths())
+                .when(
+                    F.size(c.getField("paths")) == 0,
+                    F.array(x.getField("idx").cast("string")),
+                )
+                .otherwise(
+                    F.transform(
+                        c.getField("paths"),
+                        lambda p: F.concat(
+                            x.getField("idx").cast("string"), F.lit("."), p
+                        ),
+                    )
+                ),
+            ),
         ),
     )
-    eq = F.size(F.filter(zipped, lambda z: z.getField("c").getField("st") == _EQ))
-    tot = F.size(F.filter(zipped, lambda z: z.getField("c").getField("st") == _TOTAL))
-    par = F.size(F.filter(zipped, lambda z: z.getField("c").getField("st") == _PARTIAL))
-    n = F.size(zipped)
 
-    st = (
-        F.when(n == 0, F.lit(_EQ))
-        .when((tot == 0) & (par == 0), F.lit(_EQ))
-        .when((eq == 0) & (par == 0), F.lit(_TOTAL))
-        .otherwise(F.lit(_PARTIAL))
-    )
-    # set paths are always keyed by stored original index
-    # (build_pathmap_set, feat.erl:400-407): element path alone when the
-    # element's own trie is empty, else prefixed — no annihilation here
-    elem_paths = F.flatten(
-        F.transform(
-            F.filter(zipped, lambda z: z.getField("c").getField("st") != _EQ),
-            lambda z: F.when(
-                F.size(z.getField("c").getField("paths")) == 0,
-                F.array(z.getField("idx").cast("string")),
-            ).otherwise(
-                F.transform(
-                    z.getField("c").getField("paths"),
-                    lambda p: F.concat(z.getField("idx").cast("string"), F.lit("."), p),
-                )
-            ),
-        )
-    )
-    paths = F.when(st == _PARTIAL, elem_paths).otherwise(_no_paths())
+    def fold(z):
+        # element nodes always carry non-empty paths when differing, so
+        # the generic fold's wipe rule can never trigger here — the
+        # semantics stay exactly build_pathmap_set's
+        summary = F.aggregate(z, _SUM_ZERO(), _summarize)
+        return _bind(summary, _node_of_summary)
+
     body = F.when(
         F.size(new) != F.size(old), _node(F.lit(_TOTAL), _no_paths())
-    ).otherwise(_node(st, paths))
+    ).otherwise(_bind(zipped, fold))
     return _guard(new, old, body)
 
 

@@ -89,15 +89,17 @@ def _term_order_key(v: Any):
 
 def _features_canon_key(feats: Any):
     """Canonical ordering key over *extracted features*, mirroring how
-    Spark compares the engine's feature structs (nulls first, struct
-    fields in sorted-feature-id order, arrays element-wise)."""
+    Spark compares the engine's feature structs: NULLS FIRST, struct
+    fields in sorted-feature-id order, arrays element-wise. Hash leaves
+    stay exact int64 (no float coercion — 2^53 collisions would break
+    tie-break parity with Spark's long comparison)."""
     if feats is None:
         return (0,)
     if isinstance(feats, Mapping):
         return (1, tuple(_features_canon_key(feats[k]) for k in sorted(feats)))
     if isinstance(feats, list):
         return (1, tuple(_features_canon_key(x) for x in feats))
-    return (1, ((1, feats),)) if not isinstance(feats, (int, float)) else (1, ((0, float(feats)),))
+    return (1, feats)
 
 
 def _walk(path: list[str], value: Any, events: EventSink | None, then):
@@ -345,14 +347,32 @@ def _compile_union(schema: UnionSchema, payload: Column, ptype: T.DataType) -> C
     # one struct field per distinct variant feature id; variants sharing
     # a feature id (feat_tests.erl:28-33 "a"/"a_other") share the field
     by_fid: dict[int, list] = {}
+    invalid_variants: list = []
     for variant, spec in schema.variants.items():
-        if not (isinstance(spec, tuple) and len(spec) == 2 and isinstance(spec[0], int)):
-            raise InvalidUnionVariantSchema(variant, spec)
+        if not (
+            isinstance(spec, tuple)
+            and len(spec) == 2
+            and isinstance(spec[0], int)
+            and isinstance(spec[1], Mapping)
+        ):
+            # the reference errors only when a request *selects* the
+            # invalid variant (feat.erl:172-173, feat_tests.erl:276-282)
+            # — compile it to a runtime raise on that branch
+            invalid_variants.append((variant, spec))
+            continue
         by_fid.setdefault(spec[0], []).append((variant, spec[1]))
 
     variant_col = F.lit(None).cast("int")
     for variant, spec in schema.variants.items():
-        variant_col = F.when(disc == F.lit(variant), F.lit(spec[0])).otherwise(variant_col)
+        if any(v == variant for v, _ in invalid_variants):
+            variant_col = F.when(
+                disc == F.lit(variant),
+                F.raise_error(
+                    F.lit(f"invalid_union_variant_schema: {variant!r}")
+                ).cast("int"),
+            ).otherwise(variant_col)
+        else:
+            variant_col = F.when(disc == F.lit(variant), F.lit(spec[0])).otherwise(variant_col)
 
     fields = [variant_col.alias("variant")]
     for fid, group in sorted(by_fid.items()):
@@ -381,9 +401,12 @@ def extract(
 ) -> DataFrame:
     """Engine extraction: adds ``out_col`` with the compiled feature
     structure. One narrow projection — no shuffle, no Python at run
-    time; Catalyst prunes unreferenced payload subfields."""
-    from feat_spark.schema import validate_schema
+    time; Catalyst prunes unreferenced payload subfields.
 
-    validate_schema(schema)
+    Schema errors surface like the reference's: structurally
+    uncompilable fragments raise here at plan time, while an invalid
+    *union variant spec* raises only when a row actually selects that
+    variant (runtime raise_error branch — feat.erl:172-173).
+    """
     ptype = df.schema[payload_col].dataType
     return df.withColumn(out_col, compile_schema(schema, F.col(payload_col), ptype))
