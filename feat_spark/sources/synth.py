@@ -106,11 +106,14 @@ def synth_transcripts_pdf(
     conv_id = np.char.add("conv-", np.char.zfill(conv_ord.astype("U8"), 8))
     blob = _VOCAB[rng.integers(0, len(_VOCAB), (n, 6))]
     text = (
-        np.char.add(np.char.add(conv_id, ":"), turn_idx.astype("U10"))
+        pd.Series(conv_id)
         + ":"
-        + blob[:, 0] + " " + blob[:, 1] + " " + blob[:, 2]
-        + " " + blob[:, 3] + " " + blob[:, 4] + " " + blob[:, 5]
-    )
+        + pd.Series(turn_idx).astype(str)
+        + ":"
+        + pd.Series(blob[:, 0]) + " " + pd.Series(blob[:, 1]) + " "
+        + pd.Series(blob[:, 2]) + " " + pd.Series(blob[:, 3]) + " "
+        + pd.Series(blob[:, 4]) + " " + pd.Series(blob[:, 5])
+    ).to_numpy()
 
     pdf = pd.DataFrame(
         {

@@ -1,0 +1,144 @@
+"""As-of join correctness vs the pandas ``pd.merge_asof`` oracle on the
+deterministic synthetic transcripts (FIXTURES.md §A), across all three
+physical strategies, plus tolerance, strict inequality, NULL-valued
+attributes and the temporal-leakage perturbation property."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from feat_spark.operators.asof import asof_join, detect_hot_keys
+from feat_spark.plans.audit import assert_no_future_reads, truncation_invariance
+from feat_spark.sources.synth import (
+    synth_conv_attrs,
+    synth_conv_attrs_pdf,
+    synth_transcripts,
+    synth_transcripts_pdf,
+)
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    left = synth_transcripts(spark, n_convs=40, mean_turns=12, seed=42)
+    right = synth_conv_attrs(spark, n_convs=40, seed=42)
+    lpdf = synth_transcripts_pdf(n_convs=40, mean_turns=12, seed=42)
+    rpdf = synth_conv_attrs_pdf(n_convs=40, seed=42)
+    return left, right, lpdf, rpdf
+
+
+def _oracle(lpdf, rpdf, exact=True, tolerance=None):
+    lo = lpdf.sort_values("ts", kind="stable").reset_index(drop=True)
+    ro = rpdf.sort_values("ts", kind="stable").reset_index(drop=True)
+    out = pd.merge_asof(
+        lo,
+        ro,
+        on="ts",
+        by="conv_id",
+        allow_exact_matches=exact,
+        tolerance=pd.Timedelta(tolerance) if tolerance else None,
+        suffixes=("", "_attr"),
+    )
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def _got(df):
+    return (
+        df.toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+
+def _check(got, want):
+    assert len(got) == len(want)
+    assert got["conv_id"].tolist() == want["conv_id"].tolist()
+    # attr_hash: nullable int64 — compare as float with NaN-aware allclose
+    g = got["attr_hash"].astype("float64").to_numpy()
+    w = want["attr_hash"].astype("float64").to_numpy()
+    assert ((np.isnan(g) & np.isnan(w)) | (g == w)).all()
+    gp = got["plan"].where(got["plan"].notna(), None).tolist()
+    wp = want["plan"].where(want["plan"].notna(), None).tolist()
+    assert gp == wp
+
+
+@pytest.mark.parametrize("strategy", ["union_window", "broadcast", "skew_aware"])
+def test_asof_matches_pandas(spark, data, strategy):
+    left, right, lpdf, rpdf = data
+    kwargs = {"hot_threshold": 30} if strategy == "skew_aware" else {}
+    out = asof_join(left, right, on="conv_id", strategy=strategy, **kwargs)
+    _check(_got(out), _oracle(lpdf, rpdf))
+
+
+def test_asof_strict_inequality(spark, data):
+    left, right, lpdf, rpdf = data
+    out = asof_join(left, right, on="conv_id", allow_exact_matches=False)
+    _check(_got(out), _oracle(lpdf, rpdf, exact=False))
+
+
+def test_asof_tolerance(spark, data):
+    left, right, lpdf, rpdf = data
+    out = asof_join(left, right, on="conv_id", tolerance="3 days")
+    _check(_got(out), _oracle(lpdf, rpdf, tolerance="3 days"))
+
+
+def test_asof_null_attribute_values_still_win(spark, data):
+    """A NULL attribute on the latest preceding row must override an
+    older non-NULL row (struct packing, not raw ffill) — matches
+    pd.merge_asof row semantics."""
+    left, right, lpdf, rpdf = data
+    from pyspark.sql import functions as F
+
+    right2 = right.withColumn(
+        "plan", F.when(F.col("attr_hash") % 3 == 0, None).otherwise(F.col("plan"))
+    )
+    rpdf2 = rpdf.copy()
+    rpdf2.loc[rpdf2["attr_hash"] % 3 == 0, "plan"] = None
+    out = asof_join(left, right2, on="conv_id")
+    _check(_got(out), _oracle(lpdf, rpdf2))
+
+
+def test_asof_no_future_reads(spark, data):
+    left, right, _, _ = data
+    out = asof_join(left, right, on="conv_id", include_matched_ts=True)
+    checked = assert_no_future_reads(out, "ts", "matched_ts")
+    assert checked > 0
+
+
+def test_asof_leakage_perturbation(spark, data):
+    """Mutating any right row with ts' > cutoff must not change features
+    at rows with ts <= cutoff (FIXTURES.md §A oracle requirement)."""
+    left, right, lpdf, _ = data
+    from pyspark.sql import functions as F
+
+    cutoff = lpdf["ts"].quantile(0.5)
+    base = asof_join(
+        left.filter(F.col("ts") <= F.lit(cutoff)), right, on="conv_id"
+    )
+    perturbed_right = right.withColumn(
+        "plan",
+        F.when(F.col("ts") > F.lit(cutoff), F.lit("MUTATED")).otherwise(F.col("plan")),
+    ).withColumn(
+        "attr_hash",
+        F.when(F.col("ts") > F.lit(cutoff), F.lit(0)).otherwise(F.col("attr_hash")),
+    )
+    after = asof_join(
+        left.filter(F.col("ts") <= F.lit(cutoff)), perturbed_right, on="conv_id"
+    )
+    assert base.exceptAll(after).count() == 0
+    assert after.exceptAll(base).count() == 0
+
+
+def test_truncation_invariance_of_asof(spark, data):
+    left, right, lpdf, _ = data
+    cutoff = lpdf["ts"].quantile(0.6)
+    truncation_invariance(
+        lambda src: asof_join(src, right, on="conv_id"), left, cutoff
+    )
+
+
+def test_detect_hot_keys(spark, data):
+    left, _, lpdf, _ = data
+    hot = {r["conv_id"] for r in detect_hot_keys(left, ["conv_id"], 50).collect()}
+    want = set(lpdf.groupby("conv_id").size().loc[lambda s: s > 50].index)
+    assert hot == want
+    assert "conv-00000000" in hot  # the designated heavy hitter
