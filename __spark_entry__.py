@@ -1,38 +1,634 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every implemented operator from SURVEY.md §2 (plus the training-data
+pipeline operators: dedup, similarity search, text analysis) gets a
+``queries()`` entry backed by the engine code in ``feat_spark/`` and —
+where ANSI-SQL-expressible — a bit-matching DuckDB ``oracle_sql()``
+twin. Cross-engine float discipline:
+
+* money/value sums go through ``decimal`` (exact) and cast to double
+  only at the very end;
+* cosine similarities / ratios are computed in double with identical
+  left-to-right folds on both sides and rounded to 6dp;
+* every computed column is aliased identically in Spark and SQL.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from feat_spark.operators import dedup as D
+from feat_spark.operators import similarity as S
+from feat_spark.operators.asof import asof_join
+from feat_spark.operators.sessionize import session_agg, sessionize
+from feat_spark.operators.windows import (
+    cumulative_features,
+    forward_fill,
+    lag_lead_features,
+    top_k_per_group,
+    tumbling_window_agg,
+    with_stable_order,
+)
+from feat_spark.functions import text as TXT
+from feat_spark.session import configure_existing
+
+_MOD = 2147483647
+_HX = "('0x' || substr(md5({x}), 1, 8))::BIGINT"  # portable 32-bit hash
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure_existing(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark, sf_dir) -> DataFrame:
+    return _t(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------- as-of join
+
+def _orders_rhs(spark, sf_dir) -> DataFrame:
+    """Right side for the as-of join: orders deduped to one row per
+    (custkey, orderdate) — keep max orderkey — so the match is unique
+    and both engines agree on ties."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    return (
+        o.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ts"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+
+
+_ORDERS_RHS_SQL = """
+  select o_custkey as user_id, o_orderdate as ts, o_orderkey, o_totalprice
+  from orders
+  qualify row_number() over (partition by o_custkey, o_orderdate
+                             order by o_orderkey desc) = 1
+"""
+
+
+def _q_asof(strategy: str):
+    def run(spark, sf_dir):
+        left = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+        rhs = _orders_rhs(spark, sf_dir)
+        out = asof_join(
+            left, rhs, on="user_id", left_ts="ts", right_ts="ts",
+            value_cols=["o_orderkey", "o_totalprice"], strategy=strategy,
+            hot_threshold=50,
+        )
+        return out.select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+
+    return run
+
+
+_ASOF_SQL = f"""
+with rhs as ({_ORDERS_RHS_SQL})
+select e.event_id, e.user_id, e.ts, rhs.o_orderkey, rhs.o_totalprice
+from events e
+asof left join rhs on e.user_id = rhs.user_id and e.ts >= rhs.ts
+"""
+
+
+def _q_asof_tolerance(spark, sf_dir):
+    left = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    rhs = _orders_rhs(spark, sf_dir)
+    out = asof_join(
+        left, rhs, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["o_orderkey"], tolerance="90 days",
+    )
+    return out.select("event_id", "o_orderkey")
+
+
+_ASOF_TOL_SQL = f"""
+with rhs as ({_ORDERS_RHS_SQL})
+select e.event_id,
+       case when rhs.ts >= e.ts - interval '90 days'
+            then rhs.o_orderkey end as o_orderkey
+from events e
+asof left join rhs on e.user_id = rhs.user_id and e.ts >= rhs.ts
+"""
+
+
+# ------------------------------------------------------------------- windows
+
+def _q_stable_order(spark, sf_dir):
+    df = with_stable_order(
+        _events(spark, sf_dir), partition="user_id", order=("ts",),
+        tiebreak=("event_id",), out_col="seq",
+    )
+    return df.select("event_id", F.col("seq").cast("long").alias("seq"))
+
+
+def _q_lag_lead(spark, sf_dir):
+    df = lag_lead_features(
+        _events(spark, sf_dir), cols=["value"], offsets=[1, 2],
+        partition="user_id", order=("ts",), tiebreak=("event_id",),
+    )
+    return df.select("event_id", "value_lag1", "value_lead1", "value_lag2", "value_lead2")
+
+
+def _q_cumulative(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    out = cumulative_features(
+        df, {"value_dec": ["sum", "count"]},
+        partition="user_id", order=("ts",), tiebreak=("event_id",),
+    )
+    return out.select(
+        "event_id",
+        F.col("value_dec_cum_sum").cast("double").alias("cum_value"),
+        F.col("value_dec_cum_count").cast("long").alias("cum_n"),
+    )
+
+
+def _q_ffill(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn(
+        "purchase_value",
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+    )
+    out = forward_fill(
+        df, ["purchase_value"], partition="user_id", order=("ts",),
+        tiebreak=("event_id",),
+    )
+    return out.select("event_id", F.col("purchase_value_ffill").alias("last_purchase_value"))
+
+
+def _q_sessionize(spark, sf_dir):
+    out = sessionize(
+        _events(spark, sf_dir), gap="30 minutes", partition="user_id",
+        ts="ts", tiebreak=("event_id",),
+    )
+    return out.select("event_id", F.col("session_id").cast("long").alias("session_id"))
+
+
+def _q_session_agg(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    out = session_agg(
+        df,
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_dec").cast("double").alias("sum_value"),
+        ],
+        gap="30 minutes", partition="user_id", ts="ts", tiebreak=("event_id",),
+    )
+    return out.select(
+        "user_id", F.col("session_id").cast("long").alias("session_id"),
+        "session_start", "session_end", "n_events", "sum_value",
+    )
+
+
+def _q_tumbling(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    out = tumbling_window_agg(
+        df,
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_dec").cast("double").alias("sum_value"),
+        ],
+        duration="1 hour", keys="user_id", ts="ts",
+    )
+    return out.select("user_id", "win_start", "win_end", "n", "sum_value")
+
+
+def _q_topk(spark, sf_dir):
+    out = top_k_per_group(
+        _events(spark, sf_dir), k=3, partition="user_id",
+        order=[F.col("value").desc(), F.col("event_id").asc()],
+    )
+    return out.select("user_id", "event_id", "value")
+
+
+# ------------------------------------------------- extraction-style hashing
+
+def _q_feature_hash(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    return df.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_val"),
+        F.md5(F.concat_ws("|", "event_type", "props")).alias("payload_hash"),
+    )
+
+
+# ------------------------------------------------------- relational coverage
+
+def _q_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    disc = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_segment_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def _q_region_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+# ----------------------------------------------------------- text analysis
+
+def _q_text_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TXT.word_count("text").alias("n_words"),
+        TXT.token_count("text").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.array_distinct(TXT.words("text"))).cast("long").alias("n_distinct_words"),
+    )
+
+
+def _q_lang_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(TXT.stopword_ratio("text"), 6).alias("stop_ratio"),
+        TXT.langid_en("text").alias("pred_lang"),
+        TXT.quality_score("text").alias("quality"),
+    )
+
+
+def _q_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TXT.doc_fingerprint("text").alias("fingerprint"))
+
+
+# ------------------------------------------------------------------- dedup
+
+def _augmented_docs(spark, sf_dir) -> DataFrame:
+    """documents ∪ near-duplicate copies (id+100000, last 3 words
+    dropped) — a deterministic corpus where near-dup detection has
+    actual positives. The same augmentation is inlined in the oracles."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = TXT.words("text")
+    trunc = F.concat_ws(" ", F.slice(ws, 1, F.greatest(F.size(ws) - 3, F.lit(1))))
+    dups = d.select((F.col("doc_id") + 100000).alias("doc_id"), trunc.alias("text"))
+    return d.unionByName(dups)
+
+
+_AUG_DOCS_SQL = """
+  select doc_id, text from documents
+  union all
+  select doc_id + 100000 as doc_id,
+         array_to_string(
+           (regexp_split_to_array(trim(text), '\\s+'))[1:greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 3, 1)],
+           ' ') as text
+  from documents
+"""
+
+
+def _q_dedup_exact(spark, sf_dir):
+    # exact dups exist in the augmented corpus only as hash groups of 1;
+    # add true duplicates: the originals appended once more (id+200000).
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    )
+    return D.exact_dedup(corpus, id_col="doc_id", cols=("text",))
+
+
+def _q_jaccard_pairs(spark, sf_dir):
+    return D.shingle_jaccard_pairs(
+        _augmented_docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        n=3, threshold=0.6,
+    )
+
+
+def _q_minhash_sigs(spark, sf_dir):
+    return D.minhash_signatures(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text",
+        k=8, n=3,
+    )
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    return D.minhash_dedup_pairs(
+        _augmented_docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        k=16, bands=16, n=3, threshold=0.6,
+    )
+
+
+def _q_simhash(spark, sf_dir):
+    return D.simhash32(_t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text")
+
+
+# -------------------------------------------------------------- similarity
+
+def _q_knn(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.cosine_topk(e, queries, k=5, id_col="vec_id", vec_col="embedding")
+
+
+def _q_knn_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.lsh_bucketed_topk(
+        e, queries, k=5, id_col="vec_id", vec_col="embedding", planes=3, dim=64
+    )
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(
+        e, threshold=0.35, id_col="vec_id", vec_col="embedding", exact=True
+    )
+
+
+# ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: point-in-time feature frame over sf0.001 — as-of join
+    (latest order state per event) + leakage-safe windowed features."""
+    sf_dir = "/root/testdata/sf0.001"
+    ev = _events(spark, sf_dir)
+    rhs = _orders_rhs(spark, sf_dir)
+    feats = asof_join(
+        ev, rhs, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["o_orderkey", "o_totalprice"],
+    )
+    feats = lag_lead_features(
+        feats, cols=["value"], offsets=[1], partition="user_id",
+        order=("ts",), tiebreak=("event_id",), leads=False,
+    )
+    feats = sessionize(feats, gap="30 minutes", partition="user_id",
+                       ts="ts", tiebreak=("event_id",))
+    feats = cumulative_features(
+        feats, {"value": ["count"]}, partition="user_id", order=("ts",),
+        tiebreak=("event_id",),
+    )
+    return feats.select(
+        "event_id", "user_id", "ts", "o_orderkey", "o_totalprice",
+        "value_lag1", F.col("session_id").cast("long").alias("session_id"),
+        F.col("value_cum_count").cast("long").alias("turns_so_far"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "asof_join": _q_asof("union_window"),
+        "asof_join_broadcast": _q_asof("broadcast"),
+        "asof_join_skew": _q_asof("skew_aware"),
+        "asof_join_tolerance": _q_asof_tolerance,
+        "stable_order": _q_stable_order,
+        "lag_lead": _q_lag_lead,
+        "cumulative": _q_cumulative,
+        "forward_fill": _q_ffill,
+        "sessionize": _q_sessionize,
+        "session_agg": _q_session_agg,
+        "tumbling_window": _q_tumbling,
+        "topk_per_group": _q_topk,
+        "feature_hash_extract": _q_feature_hash,
+        "q1_pricing_summary": _q_q1,
+        "segment_revenue_broadcast": _q_segment_revenue,
+        "orders_rollup": _q_region_rollup,
+        "text_stats": _q_text_stats,
+        "lang_quality": _q_lang_quality,
+        "doc_fingerprint": _q_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "minhash_signatures": _q_minhash_sigs,
+        "minhash_lsh_dedup": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "knn_cosine": _q_knn,
+        "knn_cosine_lsh": _q_knn_lsh,  # approximate: rows-only check
+        "embedding_near_dup": _q_embedding_near_dup,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_WIN = "partition by user_id order by ts, event_id"
+_ROWS = "rows between unbounded preceding and current row"
+
+_SESSION_IDS_SQL = f"""
+  select *, cast(sum(new_s) over ({_WIN} {_ROWS}) - 1 as bigint) as session_id
+  from (
+    select *, case when lag(ts) over ({_WIN}) is null
+                     or ts - lag(ts) over ({_WIN}) > interval '30 minutes'
+              then 1 else 0 end as new_s
+    from events)
+"""
+
+_HXW = _HX.format(x="w")
+_SHINGLES_SQL = """
+  list_distinct(list_transform(
+    generate_series(1, greatest(len({ws}) - 2, 0)),
+    i -> array_to_string({ws}[i:i+2], ' ')))
+""".strip()
+_WS = "regexp_split_to_array(trim(text), '\\s+')"
+
+_STOPW = ", ".join(f"'{w}'" for w in TXT.EN_STOPWORDS)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sh = _SHINGLES_SQL.format(ws=_WS)
+    jaccard_sql = f"""
+      with corpus as ({_AUG_DOCS_SQL}),
+      sh as (select doc_id, unnest({sh}) as s from corpus),
+      sz as (select doc_id, count(*) as n from sh group by 1),
+      inter as (
+        select a.doc_id id_a, b.doc_id id_b, count(*) i
+        from sh a join sh b on a.s = b.s and a.doc_id < b.doc_id
+        group by 1, 2)
+      select id_a, id_b,
+             round(i * 1.0 / (sa.n + sb.n - i), 6) as jaccard
+      from inter
+      join sz sa on inter.id_a = sa.doc_id
+      join sz sb on inter.id_b = sb.doc_id
+      where round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.6
     """
-    return {}
+    sig_exprs = ", ".join(
+        f"list_min(list_transform({sh}, s -> ('0x' || substr(md5('{i}:' || s), 1, 8))::BIGINT)) as sig_{i}"
+        for i in range(8)
+    )
+    cos = (
+        "list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return {
+        "asof_join": _ASOF_SQL,
+        "asof_join_broadcast": _ASOF_SQL,
+        "asof_join_skew": _ASOF_SQL,
+        "asof_join_tolerance": _ASOF_TOL_SQL,
+        "stable_order": f"select event_id, cast(row_number() over ({_WIN}) as bigint) as seq from events",
+        "lag_lead": f"""
+          select event_id,
+                 lag(value, 1) over ({_WIN}) as value_lag1,
+                 lead(value, 1) over ({_WIN}) as value_lead1,
+                 lag(value, 2) over ({_WIN}) as value_lag2,
+                 lead(value, 2) over ({_WIN}) as value_lead2
+          from events""",
+        "cumulative": f"""
+          select event_id,
+                 cast(sum(cast(value as decimal(18,2))) over ({_WIN} {_ROWS}) as double) as cum_value,
+                 cast(count(value) over ({_WIN} {_ROWS}) as bigint) as cum_n
+          from events""",
+        "forward_fill": f"""
+          select event_id,
+                 last_value(case when event_type = 'purchase' then value end ignore nulls)
+                   over ({_WIN} {_ROWS}) as last_purchase_value
+          from events""",
+        "sessionize": f"select event_id, session_id from ({_SESSION_IDS_SQL})",
+        "session_agg": f"""
+          select user_id, session_id,
+                 min(ts) as session_start, max(ts) as session_end,
+                 count(*) as n_events,
+                 cast(sum(cast(value as decimal(18,2))) as double) as sum_value
+          from ({_SESSION_IDS_SQL})
+          group by user_id, session_id""",
+        "tumbling_window": """
+          select user_id,
+                 time_bucket(interval '1 hour', ts) as win_start,
+                 time_bucket(interval '1 hour', ts) + interval '1 hour' as win_end,
+                 count(*) as n,
+                 cast(sum(cast(value as decimal(18,2))) as double) as sum_value
+          from events group by 1, 2, 3""",
+        "topk_per_group": """
+          select user_id, event_id, value from events
+          qualify row_number() over (partition by user_id
+                                     order by value desc, event_id) <= 3""",
+        "feature_hash_extract": """
+          select event_id,
+                 json_extract_string(props, '$.k') as k_val,
+                 md5(event_type || '|' || props) as payload_hash
+          from events""",
+        "q1_pricing_summary": """
+          select l_returnflag, l_linestatus,
+                 cast(sum(cast(l_quantity as decimal(18,4))) as double) as sum_qty,
+                 cast(sum(cast(l_extendedprice as decimal(18,4))) as double) as sum_base_price,
+                 cast(sum(cast(l_extendedprice as decimal(18,4)) *
+                          (cast(1 as decimal(18,4)) - cast(l_discount as decimal(18,4)))) as double) as sum_disc_price,
+                 count(*) as count_order
+          from lineitem
+          where l_shipdate <= timestamp '1998-09-01 00:00:00'
+          group by l_returnflag, l_linestatus""",
+        "segment_revenue_broadcast": """
+          select c_mktsegment, count(*) as n_orders,
+                 cast(sum(cast(o_totalprice as decimal(18,4))) as double) as revenue
+          from orders join customer on o_custkey = c_custkey
+          group by c_mktsegment""",
+        "orders_rollup": """
+          select o_orderpriority, o_orderstatus, count(*) as n,
+                 cast(sum(cast(o_totalprice as decimal(18,4))) as double) as total
+          from orders group by rollup(o_orderpriority, o_orderstatus)""",
+        "text_stats": f"""
+          select doc_id,
+                 cast(len({_WS}) as bigint) as n_words,
+                 cast(len(regexp_extract_all(text, '{TXT.TOKEN_RE}')) as bigint) as n_tokens,
+                 cast(length(text) as bigint) as n_chars,
+                 cast(len(list_distinct({_WS})) as bigint) as n_distinct_words
+          from documents""",
+        "lang_quality": f"""
+          with t as (
+            select doc_id,
+                   {_WS} as ws,
+                   len(list_intersect(list_distinct({_WS}), [{_STOPW}])) * 1.0
+                     / greatest(len(list_distinct({_WS})), 1) as sr,
+                   length(text) as nc,
+                   length(text) - length(regexp_replace(text, '[^A-Za-z0-9_\\s]', '', 'g')) as np
+            from documents)
+          select doc_id,
+                 round(sr, 6) as stop_ratio,
+                 case when sr >= 0.10 then 'en' else 'other' end as pred_lang,
+                 round(least(len(ws) / 50.0, 1.0)
+                       * (len(list_distinct(ws)) * 1.0 / greatest(len(ws), 1))
+                       * (1.0 - np * 1.0 / greatest(nc, 1)), 6) as quality
+          from t""",
+        "doc_fingerprint": f"""
+          select doc_id,
+                 cast(list_sum(list_transform({_WS},
+                        (w, i) -> (i * ({_HXW})) % {_MOD})) % {_MOD} as bigint) as fingerprint
+          from documents""",
+        "dedup_exact": """
+          with corpus as (
+            select doc_id, text from documents
+            union all
+            select doc_id + 200000, text from documents)
+          select md5(text) as content_hash,
+                 cast(min(doc_id) as bigint) as rep_id,
+                 count(*) as n_dups
+          from corpus group by 1""",
+        "jaccard_pairs": jaccard_sql,
+        "minhash_signatures": f"select doc_id, {sig_exprs} from documents",
+        # LSH with k=16, bands=16 (r=1): P(miss) at j>=0.6 is 0.4^16≈4e-7,
+        # so verified candidates == exact pairs on this deterministic corpus
+        # (empirically confirmed at sf0.01 by tools/selfcheck.py).
+        "minhash_lsh_dedup": jaccard_sql,
+        "simhash": f"""
+          with h as (select doc_id,
+                            list_transform({_WS}, w -> {_HXW}) as hs
+                     from documents)
+          select doc_id,
+                 cast(list_sum(list_transform(generate_series(0, 31), j ->
+                   case when list_sum(list_transform(hs, h ->
+                          case when ((h >> j) & 1) = 1 then 1 else -1 end)) >= 0
+                        then (1::BIGINT << j) else 0 end)) as bigint) as simhash
+          from h""",
+        "knn_cosine": f"""
+          with v as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+          q as (select vec_id as query_id, v from v where vec_id < 10),
+          scored as (
+            select a.query_id, b.vec_id as neighbor_id, {cos.replace('a.v', 'a.v').replace('b.v', 'b.v')} as cs
+            from q a join v b on a.query_id != b.vec_id)
+          select query_id, neighbor_id, round(cs, 6) as cos_sim,
+                 cast(row_number() over (partition by query_id
+                                         order by cs desc, neighbor_id) as bigint) as rank
+          from scored
+          qualify rank <= 5""",
+        "embedding_near_dup": f"""
+          with v as (select vec_id, embedding::DOUBLE[] as v from embeddings)
+          select a.vec_id as id_a, b.vec_id as id_b, round({cos}, 6) as cos_sim
+          from v a join v b on a.vec_id < b.vec_id
+          where round({cos}, 6) >= 0.35""",
+    }

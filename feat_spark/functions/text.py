@@ -1,0 +1,127 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All pure ``pyspark.sql.functions`` expressions — JVM-side, codegen'd,
+zero Python in the hot path. Each has an exact ANSI-SQL twin used by
+the DuckDB oracle in ``__spark_entry__.py`` so every function is
+correctness-gated, not just smoke-tested.
+
+The reference library hashes opaque leaves (/root/reference/src/
+feat.erl:459-461) and never looks inside text; these operators are the
+training-data-pipeline extension mandated by the task brief (language
+ID, quality scoring, token counting, fingerprinting), built on the
+same stable-hash discipline as the feature engine.
+
+Scale notes (100 TB):
+* everything here is a narrow map — no shuffle, fully pipelined into
+  the parquet scan;
+* ``md5_long32`` is the cross-engine portable hash (Spark ``md5`` ==
+  DuckDB ``md5`` bit-for-bit on UTF-8); the engine-internal fast path
+  stays ``xxhash64`` (feat_spark.functions.hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish tokenizer regex: word pieces OR single non-word-non-space
+#: marks. Same pattern string works in Spark's and DuckDB's RE2-style
+#: engines (no lookarounds on purpose).
+TOKEN_RE = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
+
+#: Tiny English stopword list for the n-gram language heuristic.
+#: Deterministic + oracle-portable (inlined into SQL as an ARRAY).
+EN_STOPWORDS = (
+    "the", "a", "of", "to", "and", "in", "for", "on", "with", "is",
+    "that", "it", "as", "at", "by", "be", "this", "are", "or", "an",
+)
+
+_MOD = 2147483647  # 2^31 - 1, keeps positional fingerprints in int64
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace tokenization (post-trim) — ``split(trim(c), '\\s+')``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), "\\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """BPE-ish token count: regex pieces, not just whitespace words."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_RE), F.lit(0))).cast("long")
+
+
+def word_count(col: Column | str) -> Column:
+    return F.size(words(col)).cast("long")
+
+
+def md5_long32(col: Column) -> Column:
+    """Portable 32-bit-ish stable hash: first 8 hex chars of md5 as a
+    long. Exact twin: DuckDB ``('0x' || substr(md5(x),1,8))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def stopword_ratio(col: Column | str, stopwords=EN_STOPWORDS) -> Column:
+    """Fraction of *distinct* words that are stopwords — the language-ID
+    signal. Distinctness makes it a set ratio (portable: DuckDB
+    ``list_intersect`` is also set-semantics)."""
+    ws = F.array_distinct(words(col))
+    hits = F.size(F.array_intersect(ws, F.array(*[F.lit(s) for s in stopwords])))
+    return hits / F.greatest(F.size(ws), F.lit(1))
+
+
+def langid_en(col: Column | str, threshold: float = 0.10) -> Column:
+    """N-gram-heuristic language ID: 'en' when the stopword hit ratio
+    clears ``threshold``, else 'other'. A real pipeline plugs a model
+    here; the *plumbing* (pure column expr, no shuffle) is the point."""
+    return F.when(stopword_ratio(col) >= threshold, F.lit("en")).otherwise(
+        F.lit("other")
+    )
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, "[^A-Za-z0-9_\\s]", ""))
+    return n_punct / F.greatest(F.length(c), F.lit(1))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length sweet-spot x lexical
+    diversity x (1 - punctuation density). Deterministic, shuffle-free,
+    oracle-portable."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_words = word_count(c)
+    len_score = F.least(n_words / F.lit(50.0), F.lit(1.0))
+    diversity = F.size(F.array_distinct(words(c))) / F.greatest(n_words, F.lit(1))
+    return F.round(len_score * diversity * (F.lit(1.0) - punct_ratio(c)), 6)
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Order-sensitive positional fingerprint:
+    ``sum_i ((i+1) * h32(word_i) % M) % M`` — a rolling-hash-style
+    document signature that changes when words reorder (unlike a bag
+    hash). Per-term mod keeps both engines inside int64 (DuckDB bigint
+    overflow is an error, Java wraps — so never let either overflow)."""
+    ws = words(col)
+    terms = F.transform(
+        ws, lambda w, i: ((i + F.lit(1)) * md5_long32(w)) % F.lit(_MOD)
+    )
+    return (
+        F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: (acc + t) % F.lit(_MOD))
+    ).alias("fingerprint")
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles (the near-dup unit). Implemented as a
+    transform over ``sequence(0, size-n)`` + ``slice`` + ``concat_ws``
+    — pure JVM array ops, no explode until the caller wants one."""
+    ws = words(col)
+    k = F.size(ws) - F.lit(n - 1)
+    # sequence(1, 0) would DESCEND in Spark — guard short docs to empty
+    sh = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(ws, i, n))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(sh)

@@ -50,9 +50,10 @@ def session_agg(
     gap: str = "30 minutes",
     partition: str | Sequence[str] = "conv_id",
     ts: str = "ts",
+    tiebreak: str | Sequence[str] = ("turn_idx",),
 ) -> DataFrame:
     """Per-session rollup via gap-based ids (batch path)."""
-    with_ids = sessionize(df, gap, partition, ts)
+    with_ids = sessionize(df, gap, partition, ts, tiebreak)
     return with_ids.groupBy(*_cols(partition), "session_id").agg(
         F.min(ts).alias("session_start"), F.max(ts).alias("session_end"), *aggs
     )

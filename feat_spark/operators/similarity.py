@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+* ``cosine_topk`` — brute-force exact top-k: broadcast the (small)
+  query set against the corpus, dot products via ``zip_with`` +
+  ``aggregate`` (pure JVM array math in double precision — matches the
+  DuckDB oracle's ``list_cosine_similarity(a::DOUBLE[], b::DOUBLE[])``
+  bit-for-bit because both fold left-to-right in double), rank with a
+  per-query window. Cost: |Q| x |corpus| rows but ZERO shuffle of the
+  corpus (queries are broadcast) — the right baseline, and actually
+  the fastest answer whenever |Q| is small.
+* ``lsh_bucketed_topk`` — the scale path: random-hyperplane signs
+  bucket the corpus once (narrow map, deterministic hash-derived
+  hyperplanes — no stored model), queries probe only their bucket.
+  Recall < 1 by construction; raise ``planes``' complement (fewer
+  planes = bigger buckets = higher recall) or add multi-probe later.
+
+Embedding-cosine near-dup (pairs over one corpus) reuses the same
+bucketing idea with a self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from feat_spark.functions.text import md5_long32
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries`` = ``(query_id, embedding)`` (small; broadcast).
+    Output: ``(query_id, neighbor_id, cos_sim, rank)`` — self-matches
+    (same id) excluded. Ties break by neighbor_id ascending so results
+    are deterministic across engines.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
+    """Sign of <vec, r_plane> where r_plane's components are
+    deterministic md5-derived pseudo-randoms in [-0.5, 0.5) — no model
+    to store or broadcast, every executor recomputes the same planes."""
+    comps = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            md5_long32(F.concat_ws(":", F.lit(str(plane)), i.cast("string")))
+            / F.lit(4294967296.0)
+            - F.lit(0.5)
+        ),
+    )
+    dot = F.aggregate(
+        F.zip_with(vec, comps, lambda x, r: x.cast("double") * r),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def with_lsh_bucket(
+    df: DataFrame, vec_col: str, planes: int, dim: int, out_col: str = "bucket"
+) -> DataFrame:
+    """Attach the random-hyperplane sign bucket (int in [0, 2^planes))."""
+    bucket = F.lit(0)
+    for p in range(planes):
+        bucket = bucket * 2 + _hyperplane_sign(F.col(vec_col), p, dim)
+    return df.withColumn(out_col, bucket)
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's
+    hyperplane bucket. At 100 TB the corpus is bucketed ONCE (written
+    bucket-partitioned), so each query touches ~1/2^planes of the data.
+    """
+    c = with_lsh_bucket(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        "__cv", planes, dim,
+    )
+    q = with_lsh_bucket(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+        "__qv", planes, dim,
+    )
+    scored = (
+        c.join(F.broadcast(q), ["bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 4,
+    dim: int = 64,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (``id_a < id_b``).
+
+    ``exact=True`` scores every pair (O(n²) — oracle/small-scale only);
+    default buckets by hyperplane signs first so the self-join is
+    per-bucket. Near-identical vectors land in the same bucket with
+    prob ~ (1 - theta/pi)^planes, which is high at dedup thresholds.
+    """
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    if exact:
+        a, b = base.alias("a"), base.alias("b")
+        joined = a.join(b, F.col("a.__id") < F.col("b.__id"))
+    else:
+        bucketed = with_lsh_bucket(base, "__v", planes, dim)
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        joined = a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+    sim = cosine(F.col("a.__v"), F.col("b.__v"))
+    return (
+        joined.select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(sim, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
