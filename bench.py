@@ -1,0 +1,185 @@
+"""Benchmark entrypoint (driver contract + north-rule evidence).
+
+Prints ONE JSON line:
+    {"metric": "asof_join+windowed-feature turns/sec",
+     "value": <turns/sec>, "unit": "turns/sec",
+     "queries": {"<name>": <sec>, ...}, "sf": <sf>,
+     "turns": <n>, "flagship_sec": <sec>, "cpus": <n>}
+
+* The headline metric is the north-rule pipeline — sort-merge as-of
+  join (conv_attrs onto transcripts) + payload-hash features + lag /
+  lead + sessionization + leakage-safe cumulative frames — over a
+  deterministic synthetic transcript table (~1M turns by default,
+  Zipf-skewed conversations incl. one hot key), executed end-to-end to
+  a `noop` sink so nothing is collected to the driver.
+* ``queries`` times a representative subset of the driver-contract
+  queries at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Environment knobs:
+  SPARK_GRAFT_CPUS        local[] parallelism (default 32)
+  SPARK_GRAFT_SF_DIR      testdata dir for the query suite
+  SPARK_GRAFT_BENCH_CONVS synthetic conversation count (default 20000)
+  SPARK_GRAFT_SKIP_QUERIES=1  headline pipeline only (scaling runs)
+
+Scaling evidence (north rule: efficiency >= 0.8 from N to 4N executors)
+is produced by tools/bench_scaling.py, which runs THIS file at
+local[8] and local[32] on the same pre-materialized input and writes
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from feat_spark.operators.asof import asof_join  # noqa: E402
+from feat_spark.operators.sessionize import sessionize  # noqa: E402
+from feat_spark.operators.windows import (  # noqa: E402
+    cumulative_features,
+    lag_lead_features,
+    with_stable_order,
+)
+from feat_spark.functions.hashing import spark_leaf_hash  # noqa: E402
+from feat_spark.session import get_spark  # noqa: E402
+from feat_spark.sources.synth import write_synth_parquet  # noqa: E402
+
+BENCH_QUERIES = (
+    "asof_join",
+    "asof_join_skew",
+    "lag_lead",
+    "cumulative",
+    "sessionize",
+    "session_agg",
+    "tumbling_window",
+    "topk_per_group",
+    "feature_hash_extract",
+    "q1_pricing_summary",
+    "segment_revenue_broadcast",
+    "text_stats",
+    "doc_fingerprint",
+    "dedup_exact",
+    "minhash_lsh_dedup",
+    "simhash",
+    "knn_cosine",
+)
+
+
+def _noop(df: DataFrame) -> None:
+    """Force full execution without driver-side materialization."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_dir(n_convs: int, mean_turns: int) -> str:
+    """Materialize (once) the deterministic transcript tables used by
+    every parallelism level — generation must not count as engine time
+    and both cluster sizes must read byte-identical input."""
+    d = f"/tmp/feat_spark_bench/convs{n_convs}_mt{mean_turns}"
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        write_synth_parquet(d, n_convs=n_convs, mean_turns=mean_turns, seed=42)
+        open(marker, "w").close()
+    return d
+
+
+def flagship(spark, data_dir: str) -> DataFrame:
+    """The north-rule feature pipeline, end to end."""
+    turns = spark.read.parquet(os.path.join(data_dir, "transcripts.parquet"))
+    attrs = spark.read.parquet(os.path.join(data_dir, "conv_attrs.parquet"))
+
+    # Extract ALL text-derived features at scan time (the feature-hash
+    # vector of the nested payload: whole-payload + per-field hashes),
+    # then DROP the fat text column before anything shuffles: the
+    # exchange carries ~5x fewer bytes and the CPU-heavy hashing runs in
+    # the embarrassingly-parallel scan stage.
+    feats = turns.select(
+        "conv_id", "turn_idx", "ts", "role", "tool",
+        spark_leaf_hash(F.concat_ws("\x1f", "role", "tool", "text")).alias("payload_hash"),
+        spark_leaf_hash(F.col("text")).alias("text_hash"),
+        spark_leaf_hash(F.col("role")).alias("role_hash"),
+        spark_leaf_hash(F.col("tool")).alias("tool_hash"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    # as-of FIRST: its union-window shuffle hash-partitions by conv_id;
+    # every window below shares that single exchange AND (because all of
+    # them order by (turn_idx, ts) — sessionize included, via order_col)
+    # one single sort. Whole pipeline: 1 shuffle + 1 sort after the scan.
+    feats = asof_join(
+        feats, attrs, on="conv_id", left_ts="ts", right_ts="ts",
+        value_cols=["attr_hash", "plan"], strategy="union_window",
+    )
+    feats = with_stable_order(feats)  # stable (conv_id, turn_idx) order
+    feats = lag_lead_features(
+        feats, cols=["payload_hash"], offsets=[1], leads=False, tiebreak=("ts",)
+    )
+    feats = cumulative_features(
+        feats, {"payload_hash": ["count"], "n_chars": ["sum"]}, tiebreak=("ts",)
+    )
+    feats = sessionize(feats, gap="30 minutes", order_col="turn_idx", tiebreak=("ts",))
+    return feats
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    data_dir = bench_dir(n_convs, mean_turns=30)
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=max(2 * cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    # split the (compressed, single-file) bench input across tasks so the
+    # scan stage parallelizes; at real scale the table has many files and
+    # the default 128m is right, but a serial scan here would corrupt the
+    # N-vs-4N scaling measurement with a constant term.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(512 * 1024))
+
+    # --- headline: turns/sec through the full feature pipeline -------
+    n_turns = spark.read.parquet(
+        os.path.join(data_dir, "transcripts.parquet")
+    ).count()
+    _noop(flagship(spark, data_dir).limit(1000))  # warmup: JIT + codegen caches
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _noop(flagship(spark, data_dir))
+        times.append(time.perf_counter() - t0)
+    flagship_sec = min(times)  # steady-state: JIT/page-cache warm
+    turns_per_sec = n_turns / flagship_sec
+
+    # --- per-query timings over the driver testdata -------------------
+    queries: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_QUERIES") != "1":
+        import __spark_entry__ as E
+
+        qs = E.queries()
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            _noop(qs[name](spark, sf_dir))
+            queries[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "asof_join+windowed-feature turns/sec",
+                "value": round(turns_per_sec, 1),
+                "unit": "turns/sec",
+                "queries": queries,
+                "sf": sf,
+                "turns": n_turns,
+                "flagship_sec": round(flagship_sec, 3),
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -73,6 +73,7 @@ def shingle_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over distinct word shingles.
 
@@ -85,21 +86,38 @@ def shingle_jaccard_pairs(
     ``jaccard >= threshold``, jaccard rounded to 6dp for cross-engine
     comparability.
     """
-    sh = _shingle_rows(df, id_col, text_col, n)
+    sh = shingles if shingles is not None else _shingle_rows(df, id_col, text_col, n)
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
 
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.__sh") == F.col("b.__sh")) & (F.col("a.__id") < F.col("b.__id")))
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("__inter"))
-    )
     if candidates is not None:
-        inter = inter.join(
-            F.broadcast(candidates.select("id_a", "id_b").distinct()),
-            on=["id_a", "id_b"],
-            how="left_semi",
+        # Verify ONLY the candidate pairs: route each pair through the
+        # two shingle lists with equi-joins. Cost ~ |candidates| x avg
+        # shingles — never the all-pairs co-shingle join (which is the
+        # point of LSH blocking; filtering after that join would still
+        # pay the quadratic cost).
+        cand = candidates.select("id_a", "id_b").distinct()
+        shb = sh.select(
+            F.col("__id").alias("__idb"), F.col("__sh").alias("__sh_b")
+        )
+        # shingle equality INSIDE the join condition: (id_b, shingle)
+        # becomes the equi-join key. Joining on id_b alone and filtering
+        # afterwards materializes |sh_a| x |sh_b| rows per pair first.
+        inter = (
+            cand.join(sh.withColumnRenamed("__id", "id_a"), on="id_a")
+            .join(
+                shb,
+                (F.col("id_b") == F.col("__idb")) & (F.col("__sh") == F.col("__sh_b")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__inter"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.__sh") == F.col("b.__sh")) & (F.col("a.__id") < F.col("b.__id")))
+            .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("__inter"))
         )
     sa = sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na")
     sb = sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb")
@@ -118,25 +136,31 @@ def minhash_signatures(
     text_col: str = "text",
     k: int = 16,
     n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """k MinHash values per document over its distinct n-word shingles.
 
     ``sig_i = min over shingles of h32(i || ':' || shingle)`` — the
     portable md5-derived hash, so the DuckDB oracle reproduces every
-    signature bit-for-bit. Narrow map only (array_min over a transform)
-    — no explode, no shuffle.
+    signature bit-for-bit.
     """
-    sh = word_shingles(text_col, n)
-
-    def _hasher(i: int):
-        # NB: single-arg lambda on purpose — a two-arg lambda would be
-        # interpreted by transform() as (element, index).
-        return lambda s: md5_long32(F.concat_ws(":", F.lit(str(i)), s))
-
-    cols = [F.col(id_col)]
-    for i in range(k):
-        cols.append(F.array_min(F.transform(sh, _hasher(i))).alias(f"sig_{i}"))
-    return df.select(*cols)
+    # Explode shingles ONCE, hash k times per shingle row (flat, fully
+    # codegen'd), min-aggregate per doc. The tempting pure-array form —
+    # k x array_min(transform(shingles, ...)) — inlines the whole
+    # shingle-construction expression k times per row (Catalyst CSE does
+    # not cover it) and measured ~20x slower.
+    sh = shingles if shingles is not None else _shingle_rows(df, id_col, text_col, n)
+    hashes = sh.select(
+        "__id",
+        *[
+            md5_long32(F.concat_ws(":", F.lit(str(i)), F.col("__sh"))).alias(f"__h{i}")
+            for i in range(k)
+        ],
+    )
+    agg = hashes.groupBy("__id").agg(
+        *[F.min(f"__h{i}").alias(f"sig_{i}") for i in range(k)]
+    )
+    return agg.withColumnRenamed("__id", id_col)
 
 
 def lsh_candidate_pairs(
@@ -198,10 +222,26 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """The full scale pipeline: MinHash -> LSH candidates -> exact
-    Jaccard verification of candidates only."""
-    sigs = minhash_signatures(df, id_col, text_col, k, n)
-    cand = lsh_candidate_pairs(sigs, id_col, k, bands)
-    return shingle_jaccard_pairs(df, id_col, text_col, n, threshold, candidates=cand)
+    Jaccard verification of candidates only.
+
+    The shingle, signature and candidate frames are persisted: they are
+    small (one row per shingle occurrence / k longs per doc / one row
+    per candidate pair) but each sits under multiple plan branches —
+    without persistence Spark re-derives the whole upstream (text
+    split + shingling + k hash passes) once per branch, measured ~10x
+    slower end-to-end. At 10^12-turn scale the same pattern holds with
+    a checkpoint to the feature store instead of executor memory.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    sh = _shingle_rows(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures(df, id_col, text_col, k, n, shingles=sh)
+    cand = lsh_candidate_pairs(sigs, id_col, k, bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return shingle_jaccard_pairs(
+        df, id_col, text_col, n, threshold, candidates=cand, shingles=sh
+    )
 
 
 def simhash32(
@@ -213,24 +253,31 @@ def simhash32(
     word occurrence's hash bit j; fingerprint sets bit j when the vote
     is non-negative.
 
-    Explode-free: per row, transform words x bits inside array exprs,
-    then fold. Output ``(id, simhash:long)``.
+    Explode words once, then ONE hash-aggregate with 32 small sum
+    expressions. (A previous pure-array formulation built a 32x
+    transform+fold expression tree that fell out of whole-stage codegen
+    and ran ~20x slower — wide flat aggregates beat deep nested array
+    folds.) Output ``(id, simhash:long)``.
     """
-    ws = F.split(F.trim(F.col(text_col)), "\\s+")
-    hashed = F.transform(ws, lambda w: md5_long32(w))
+    h = F.col("__h")
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("__w"),
+    ).select(id_col, md5_long32(F.col("__w")).alias("__h"))
 
-    def bit_vote(j: int):
-        votes = F.transform(
-            hashed,
-            lambda h: F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"__v{j}")
+        for j in range(32)
+    ]
+    agg = exploded.groupBy(id_col).agg(*votes)
+    fp = F.lit(0).cast("long")
+    for j in range(32):
+        fp = fp + F.when(F.col(f"__v{j}") >= 0, F.lit(2 ** j).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        total = F.aggregate(votes, F.lit(0), lambda acc, v: acc + v)
-        return F.when(total >= 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
-
-    fp = bit_vote(0)
-    for j in range(1, 32):
-        fp = fp + bit_vote(j)
-    return df.select(F.col(id_col), fp.alias("simhash"))
+    return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -28,18 +28,27 @@ def sessionize(
     ts: str = "ts",
     tiebreak: str | Sequence[str] = ("turn_idx",),
     out_col: str = "session_id",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Assign 0-based ``session_id`` per conversation: a new session
     starts when ``ts - previous ts > gap`` (strict, matching
-    ``F.session_window`` whose window is [start, last+gap))."""
-    w = turn_window(partition, order=(ts,), tiebreak=tiebreak)
+    ``F.session_window`` whose window is [start, last+gap)).
+
+    ``order_col`` switches the row ordering from ``(ts, tiebreak)`` to
+    ``(order_col, tiebreak)`` — for transcripts, ordering by
+    ``turn_idx`` (the arrival sequence) is semantically identical when
+    ``ts`` is nondecreasing per conversation AND lets Catalyst share
+    ONE sort with every other turn-ordered window in the pipeline
+    instead of adding a second sort order."""
+    order = (order_col,) if order_col else (ts,)
+    w = turn_window(partition, order=order, tiebreak=tiebreak)
     gap_expr = F.expr(f"INTERVAL {gap}")
     prev_ts = F.lag(ts).over(w)
     new_session = F.when(
         prev_ts.isNull() | (F.col(ts) - prev_ts > gap_expr), F.lit(1)
     ).otherwise(F.lit(0))
     cum = Window.partitionBy(*_cols(partition)).orderBy(
-        *[F.col(c) for c in (ts, *_cols(tiebreak))]
+        *[F.col(c) for c in (*order, *_cols(tiebreak))]
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(out_col, (F.sum(new_session).over(cum) - 1).cast("int"))
 

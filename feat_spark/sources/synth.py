@@ -175,19 +175,34 @@ def synth_conv_attrs(
     )
 
 
-def write_synth_parquet(out_dir: str, n_convs: int, mean_turns: int, seed: int = 42) -> None:
+def write_synth_parquet(
+    out_dir: str,
+    n_convs: int,
+    mean_turns: int,
+    seed: int = 42,
+    row_group_rows: int | None = None,
+) -> None:
     """Materialize both tables as parquet (bench-scale path — pyarrow
-    write avoids a Spark job for generation)."""
+    write avoids a Spark job for generation).
+
+    Many small row groups (default: ~128 per table) so Spark can split
+    the single file across tasks — a one-row-group file would serialize
+    the scan stage and sink any multi-core scaling measurement.
+    """
     import pyarrow as pa
     import pyarrow.parquet as pq
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+    pdf = synth_transcripts_pdf(n_convs, mean_turns, seed)
+    rg = row_group_rows or max(10_000, len(pdf) // 128)
     pq.write_table(
-        pa.Table.from_pandas(synth_transcripts_pdf(n_convs, mean_turns, seed)),
+        pa.Table.from_pandas(pdf),
         os.path.join(out_dir, "transcripts.parquet"),
+        row_group_size=rg,
     )
     pq.write_table(
         pa.Table.from_pandas(synth_conv_attrs_pdf(n_convs, seed)),
         os.path.join(out_dir, "conv_attrs.parquet"),
+        row_group_size=rg,
     )
