@@ -1,0 +1,172 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched pandas UDFs
+over ``mapInPandas``.
+
+The Spark-side contract is fully real and tested — schema, batch
+iteration, partition sizing, null/corrupt handling, deterministic fake
+decoder — while the actual codec calls are stubs behind
+``feat_spark.operators.multimodal.DECODERS`` (the image/audio libraries
+are not in this container; a deployment registers real decoders with
+:func:`register_decoder` and nothing else changes).
+
+Design for 100 TB of media:
+* media rides in its own column family / table keyed by
+  ``(conv_id, turn_idx, media_idx)`` — NEVER inline with text rows you
+  scan for cheap features (column pruning keeps scans media-free, the
+  Spark analogue of feat's visit-only-schema-paths rule,
+  /root/reference/src/feat.erl:181-191);
+* decode/feature-extract runs in ``mapInPandas`` with
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` tuned DOWN (big
+  cells -> small batches, bounding executor memory);
+* outputs are compact numeric features (embeddings, durations,
+  dimensions) so everything downstream is columnar again.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("media_idx", T.IntegerType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+MEDIA_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("media_idx", T.IntegerType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("payload_hash", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),    # image/video
+        T.StructField("height", T.IntegerType(), True),   # image/video
+        T.StructField("duration_ms", T.LongType(), True), # audio/video
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+#: decoder registry: media_type -> callable(bytes) -> dict of feature
+#: fields (width/height/duration_ms). Deployments overwrite these.
+DECODERS: dict[str, Callable[[bytes], dict]] = {}
+
+
+def register_decoder(media_type: str, fn: Callable[[bytes], dict]) -> None:
+    DECODERS[media_type] = fn
+
+
+def _stub_decoder(media_type: str) -> Callable[[bytes], dict]:
+    def fn(payload: bytes) -> dict:
+        raise NotImplementedError(
+            f"no {media_type} codec in this environment - register one "
+            "with feat_spark.operators.multimodal.register_decoder"
+        )
+
+    return fn
+
+
+def deterministic_fake_decoder(media_type: str) -> Callable[[bytes], dict]:
+    """Seeded stand-in used by tests and sandbox runs: derives plausible
+    metadata purely from the payload bytes, so the whole distributed
+    path is exercised end-to-end and reproducibly."""
+
+    def fn(payload: bytes) -> dict:
+        h = int.from_bytes(payload[:8].ljust(8, b"\0"), "little")
+        if media_type == "image":
+            return {"width": 64 + h % 1024, "height": 64 + (h >> 10) % 1024}
+        if media_type == "audio":
+            return {"duration_ms": 200 + h % 600_000}
+        return {
+            "width": 64 + h % 1920, "height": 64 + (h >> 10) % 1080,
+            "duration_ms": 1000 + h % 3_600_000,
+        }
+
+    return fn
+
+
+def extract_media_features(
+    media: DataFrame,
+    decoders: dict[str, Callable[[bytes], dict]] | None = None,
+    batch_size: int = 64,
+) -> DataFrame:
+    """Decode + featurize media rows via ``mapInPandas``.
+
+    Corrupt/undecodable payloads produce ``decode_ok=false`` rows (the
+    asymmetric-missing philosophy of the reference: absence is data,
+    not an error — /root/reference/src/feat.erl:283-284). The cheap
+    features (size, stable hash) come from the bytes without any codec.
+    """
+    active = dict(decoders) if decoders is not None else dict(DECODERS)
+    out_cols = [f.name for f in MEDIA_FEATURE_SCHEMA]  # captured by value:
+    # the worker-side closure must not reference module globals, so it
+    # stays importable even when feat_spark isn't on the executor path
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as pd  # local import: closure is self-contained
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = row.payload
+                rec = {
+                    "conv_id": row.conv_id,
+                    "turn_idx": row.turn_idx,
+                    "media_idx": row.media_idx,
+                    "media_type": row.media_type,
+                    "n_bytes": len(payload) if payload is not None else None,
+                    "payload_hash": (
+                        int.from_bytes(
+                            hashlib.blake2b(payload, digest_size=8).digest(),
+                            "little",
+                            signed=True,
+                        )
+                        if payload is not None
+                        else None
+                    ),
+                    "width": None, "height": None, "duration_ms": None,
+                    "decode_ok": False,
+                }
+                dec = active.get(row.media_type) or _stub_decoder(row.media_type)
+                if payload is not None:
+                    try:
+                        rec.update(dec(payload))
+                        rec["decode_ok"] = True
+                    except NotImplementedError:
+                        raise
+                    except Exception:  # corrupt payload -> missing, not fatal
+                        pass
+                out.append(rec)
+            yield pd.DataFrame(out, columns=out_cols)
+
+    spark = media.sparkSession
+    # big binary cells -> small Arrow batches, bounding executor memory
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return media.mapInPandas(run, schema=MEDIA_FEATURE_SCHEMA)
+
+
+def synth_media(spark, n_convs: int = 10, per_conv: int = 3, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    kinds = ("image", "audio", "video")
+    for c in range(n_convs):
+        for m in range(per_conv):
+            kind = kinds[(c + m) % 3]
+            payload = rng.integers(0, 256, 128, dtype=np.uint8).tobytes()
+            rows.append((f"conv-{c:08d}", m, m, kind, f"{kind}/x-fake", bytearray(payload)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

