@@ -29,6 +29,7 @@ from feat_spark.operators import similarity as S
 from feat_spark.operators.asof import asof_join
 from feat_spark.operators.sessionize import session_agg, sessionize
 from feat_spark.operators.windows import (
+    backward_fill,
     cumulative_features,
     forward_fill,
     lag_lead_features,
@@ -214,6 +215,49 @@ def _q_topk(spark, sf_dir):
         order=[F.col("value").desc(), F.col("event_id").asc()],
     )
     return out.select("user_id", "event_id", "value")
+
+
+def _q_bfill(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn(
+        "purchase_value",
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+    )
+    out = backward_fill(
+        df, ["purchase_value"], partition="user_id", order=("ts",),
+        tiebreak=("event_id",),
+    )
+    return out.select("event_id", F.col("purchase_value_bfill").alias("next_purchase_value"))
+
+
+def _q_range_join(spark, sf_dir):
+    """Interval join: orders placed within 7 days before each event —
+    equi key (user) + range predicate; counts per event."""
+    e = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders")
+    cond = (
+        (e.user_id == o.o_custkey)
+        & (o.o_orderdate <= e.ts)
+        & (o.o_orderdate > e.ts - F.expr("INTERVAL 7 days"))
+    )
+    joined = e.join(o, cond, "left")
+    return joined.groupBy("event_id").agg(
+        F.count("o_orderkey").alias("n_recent_orders")
+    )
+
+
+def _q_cube(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def _q_distinct_agg(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return e.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
 
 
 # ------------------------------------------------- extraction-style hashing
@@ -422,10 +466,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_broadcast": _q_asof("broadcast"),
         "asof_join_skew": _q_asof("skew_aware"),
         "asof_join_tolerance": _q_asof_tolerance,
+        "asof_join_cogroup_pandas": _q_asof("cogroup_pandas"),
         "stable_order": _q_stable_order,
         "lag_lead": _q_lag_lead,
         "cumulative": _q_cumulative,
         "forward_fill": _q_ffill,
+        "backward_fill": _q_bfill,
+        "range_join": _q_range_join,
+        "cube_agg": _q_cube,
+        "distinct_agg": _q_distinct_agg,
         "sessionize": _q_sessionize,
         "session_agg": _q_session_agg,
         "tumbling_window": _q_tumbling,
@@ -533,6 +582,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_broadcast": _ASOF_SQL,
         "asof_join_skew": _ASOF_SQL,
         "asof_join_tolerance": _ASOF_TOL_SQL,
+        "asof_join_cogroup_pandas": _ASOF_SQL,
         "stable_order": f"select event_id, cast(row_number() over ({_WIN}) as bigint) as seq from events",
         "lag_lead": f"""
           select event_id,
@@ -551,6 +601,26 @@ def oracle_sql() -> dict[str, str]:
                  last_value(case when event_type = 'purchase' then value end ignore nulls)
                    over ({_WIN} {_ROWS}) as last_purchase_value
           from events""",
+        "backward_fill": f"""
+          select event_id,
+                 first_value(case when event_type = 'purchase' then value end ignore nulls)
+                   over ({_WIN} rows between current row and unbounded following) as next_purchase_value
+          from events""",
+        "range_join": """
+          select e.event_id, count(o.o_orderkey) as n_recent_orders
+          from events e
+          left join orders o
+            on e.user_id = o.o_custkey
+           and o.o_orderdate <= e.ts
+           and o.o_orderdate > e.ts - interval '7 days'
+          group by e.event_id""",
+        "cube_agg": """
+          select o_orderpriority, o_orderstatus, count(*) as n
+          from orders group by cube(o_orderpriority, o_orderstatus)""",
+        "distinct_agg": """
+          select user_id, count(distinct event_type) as n_types,
+                 count(*) as n_events
+          from events group by user_id""",
         "sessionize": f"select event_id, session_id from ({_SESSION_IDS_SQL})",
         "session_agg": f"""
           select user_id, session_id,

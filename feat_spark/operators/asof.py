@@ -91,6 +91,11 @@ def asof_join(
         out = _asof_broadcast(
             left, right, keys, left_ts, right_ts, value_cols, allow_exact_matches
         )
+    elif strategy == "cogroup_pandas":
+        return _asof_cogroup(
+            left, right, keys, left_ts, right_ts, value_cols, suffix,
+            allow_exact_matches, tolerance, include_matched_ts,
+        )
     elif strategy == "skew_aware":
         return _asof_skew_aware(
             left, right, keys, left_ts, right_ts, value_cols, suffix,
@@ -205,3 +210,96 @@ def _unpack(
     if include_matched_ts:
         cols.append(pack["__matched_ts"].alias(f"matched_ts{suffix}"))
     return out.select(*cols)
+
+
+def _asof_cogroup(
+    left, right, keys, left_ts, right_ts, value_cols, suffix,
+    exact, tolerance, include_matched_ts,
+):
+    """Cogrouped-pandas as-of: ``pd.merge_asof`` per key group via
+    ``cogroup().applyInPandas`` — the vectorized-pandas surface of the
+    engine (SURVEY.md §2.11; north_star "vectorized pandas/Arrow UDFs").
+
+    Same semantics as union_window (last-wins on right-ts ties matches
+    the _SEQ rule; missing right history -> NULLs). Physical profile:
+    one shuffle of each side on the key, then Arrow batches through
+    Python — slower than the pure-JVM paths per byte, but the template
+    for as-of logic Spark expressions can't say (nearest-by-distance,
+    interpolation, per-group models). Not for hot keys: one group is
+    one pandas frame in one worker's memory.
+    """
+    from pyspark.sql import types as T
+
+    rstruct = {f.name: f.dataType for f in right.schema.fields}
+    out_fields = list(left.schema.fields)
+    for c in value_cols:
+        out_fields.append(T.StructField(f"{c}{suffix}", rstruct[c], True))
+    if include_matched_ts:
+        out_fields.append(
+            T.StructField(f"matched_ts{suffix}", rstruct[right_ts], True)
+        )
+    schema = T.StructType(out_fields)
+
+    left_cols = [f.name for f in left.schema.fields]
+    out_names = [f.name for f in schema.fields]
+    # pandas nullable dtypes per output column, so NULL-bearing integer
+    # columns survive the Arrow conversion (float64 NaN -> bigint fails)
+    nullable = {}
+    for f in schema.fields:
+        if isinstance(f.dataType, (T.LongType,)):
+            nullable[f.name] = "Int64"
+        elif isinstance(f.dataType, (T.IntegerType,)):
+            nullable[f.name] = "Int32"
+
+    tol = tolerance
+    vcols = list(value_cols)
+
+    # NB: ties on right_ts within a key resolve by pandas frame order
+    # here (post-shuffle arrival order) — callers needing deterministic
+    # tie-breaks must dedupe the right side first. The JVM paths use
+    # monotonically_increasing_id for a stable last-wins instead.
+    def merge(l, r):
+        import pandas as pd
+
+        if len(l) == 0:
+            return pd.DataFrame(columns=out_names)
+        l = l.sort_values(left_ts, kind="mergesort")
+        out = l.copy()
+        if len(r) == 0:
+            for c in vcols:
+                out[f"{c}{suffix}"] = pd.Series([None] * len(l), dtype="object")
+            out[f"matched_ts{suffix}"] = pd.NaT
+        else:
+            r = r.sort_values(right_ts, kind="mergesort")
+            rr = r[[right_ts, *vcols]].rename(
+                columns={c: f"{c}{suffix}" for c in vcols}
+            )
+            rr[f"matched_ts{suffix}"] = rr[right_ts]
+            join_keys = (
+                {"on": left_ts}
+                if right_ts == left_ts
+                else {"left_on": left_ts, "right_on": right_ts}
+            )
+            merged = pd.merge_asof(
+                l, rr,
+                **join_keys,
+                allow_exact_matches=exact,
+                tolerance=pd.Timedelta(tol) if tol else None,
+                direction="backward",
+                suffixes=("", "__r"),
+            )
+            out = merged
+        out = out[[c for c in out_names if c in out.columns]]
+        for c, dt in nullable.items():
+            if c in out.columns:
+                out[c] = out[c].astype(dt)
+        return out[out_names] if all(c in out.columns for c in out_names) else out.reindex(columns=out_names)
+
+    result = (
+        left.groupBy(*keys)
+        .cogroup(right.groupBy(*keys))
+        .applyInPandas(merge, schema=schema)
+    )
+    if not include_matched_ts:
+        result = result.select(*left_cols, *[f"{c}{suffix}" for c in vcols])
+    return result

@@ -61,7 +61,7 @@ def _check(got, want):
     assert gp == wp
 
 
-@pytest.mark.parametrize("strategy", ["union_window", "broadcast", "skew_aware"])
+@pytest.mark.parametrize("strategy", ["union_window", "broadcast", "skew_aware", "cogroup_pandas"])
 def test_asof_matches_pandas(spark, data, strategy):
     left, right, lpdf, rpdf = data
     kwargs = {"hot_threshold": 30} if strategy == "skew_aware" else {}
