@@ -260,6 +260,112 @@ def _q_distinct_agg(spark, sf_dir):
     )
 
 
+def _q_sliding(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    out = tumbling_window_agg(
+        df, aggs=[F.count(F.lit(1)).alias("n")],
+        duration="2 hours", slide="1 hour", keys="user_id", ts="ts",
+    )
+    return out.select("user_id", "win_start", "n")
+
+
+# ------------------------------------ reference-core: extract/compare/paths
+
+def _payload_frames(spark, sf_dir):
+    """Deterministic new/old nested payloads from events: `old` perturbs
+    event_type (%7), drops k (%11: old-missing -> NOT a conflict), and
+    `new` drops vb (%13: new-missing vs old-present -> conflict)."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k")
+    vb = (F.col("value") * 10).cast("long").cast("string")
+    new = e.select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("event_type"),
+            F.struct(k.alias("k")).alias("props"),
+            F.when(F.col("event_id") % 13 != 0, vb).alias("vb"),
+        ).alias("payload"),
+    )
+    old = e.select(
+        "event_id",
+        F.struct(
+            F.when(F.col("event_id") % 7 == 0, F.concat(F.col("event_type"), F.lit("_x")))
+            .otherwise(F.col("event_type")).alias("event_type"),
+            F.struct(F.when(F.col("event_id") % 11 != 0, k).alias("k")).alias("props"),
+            vb.alias("vb"),
+        ).alias("payload"),
+    )
+    return new, old
+
+
+def _q_feature_compare(spark, sf_dir):
+    """feat's compare/2 + list_diff_fields/2 at table scale: extract
+    feature vectors from nested new/old payloads, asymmetric-missing
+    compare with diff minimization, report conflicting request paths.
+    The outputs (equal / total-collapse / paths) are hash-algebra-free,
+    so plain SQL can oracle them."""
+    from feat_spark.operators.compare import compare_frames
+    from feat_spark.operators.extract import compile_schema
+
+    spec = {1: "event_type", 2: ["props", "k"], 3: "vb"}
+    new, old = _payload_frames(spark, sf_dir)
+    ptype = new.schema["payload"].dataType
+
+    def feats(df):
+        return df.select(
+            "event_id", compile_schema(spec, F.col("payload"), ptype).alias("features")
+        )
+
+    out = compare_frames(feats(new), feats(old), spec, on="event_id")
+    return out.select(
+        "event_id", "equal", "diff_total",
+        # concat_ws maps a NULL array to '' — keep the 'all' sentinel NULL
+        F.when(
+            F.col("diff_paths").isNotNull(), F.concat_ws(",", "diff_paths")
+        ).alias("diff_paths_str"),
+    )
+
+
+_FEATURE_COMPARE_SQL = """
+with base as (
+  select event_id,
+         event_type as n_et,
+         json_extract_string(props, '$.k') as n_k,
+         case when event_id % 13 != 0
+              then cast(cast(value * 10 as bigint) as varchar) end as n_vb,
+         case when event_id % 7 = 0 then event_type || '_x'
+              else event_type end as o_et,
+         case when event_id % 11 != 0
+              then json_extract_string(props, '$.k') end as o_k,
+         cast(cast(value * 10 as bigint) as varchar) as o_vb
+  from events),
+cmp as (
+  select event_id,
+         -- asymmetric rule (feat.erl:283-284): new-missing vs old-present
+         -- conflicts; old-missing never does; else value equality
+         case when n_et is null and o_et is not null then true
+              when o_et is null then false
+              else n_et != o_et end as c1,
+         case when n_k is null and o_k is not null then true
+              when o_k is null then false
+              else n_k != o_k end as c2,
+         case when n_vb is null and o_vb is not null then true
+              when o_vb is null then false
+              else n_vb != o_vb end as c3
+  from base)
+select event_id,
+       not (c1 or c2 or c3) as equal,
+       (c1 and c2 and c3) as diff_total,   -- minimization collapse
+       case when (c1 or c2 or c3) and not (c1 and c2 and c3)
+            then array_to_string(list_sort(list_filter(
+                   [case when c1 then 'event_type' end,
+                    case when c2 then 'props.k' end,
+                    case when c3 then 'vb' end], x -> x is not null)), ',')
+       end as diff_paths_str
+from cmp
+"""
+
+
 # ------------------------------------------------- extraction-style hashing
 
 def _q_feature_hash(spark, sf_dir):
@@ -478,6 +584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "session_agg": _q_session_agg,
         "tumbling_window": _q_tumbling,
+        "sliding_window": _q_sliding,
+        "feature_compare": _q_feature_compare,
         "topk_per_group": _q_topk,
         "feature_hash_extract": _q_feature_hash,
         "q1_pricing_summary": _q_q1,
@@ -636,6 +744,14 @@ def oracle_sql() -> dict[str, str]:
                  count(*) as n,
                  cast(sum(cast(value as decimal(18,2))) as double) as sum_value
           from events group by 1, 2, 3""",
+        "sliding_window": """
+          select user_id, win_start, count(*) as n from (
+            select user_id,
+                   unnest([time_bucket(interval '1 hour', ts),
+                           time_bucket(interval '1 hour', ts) - interval '1 hour']) as win_start
+            from events)
+          group by user_id, win_start""",
+        "feature_compare": _FEATURE_COMPARE_SQL,
         "topk_per_group": """
           select user_id, event_id, value from events
           qualify row_number() over (partition by user_id

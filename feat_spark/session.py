@@ -96,6 +96,9 @@ def ship_package(spark: SparkSession) -> None:
     import tempfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(pkg_dir):
+        # imported from a zip: spark-submit --py-files already shipped us
+        return
     stamp = f"feat_spark_py_{os.path.getmtime(pkg_dir):.0f}"
     zip_path = os.path.join(tempfile.gettempdir(), stamp)
     if not os.path.exists(zip_path + ".zip"):
