@@ -260,6 +260,30 @@ def _q_distinct_agg(spark, sf_dir):
     )
 
 
+def _q_except_all(spark, sf_dir):
+    """Multiset difference (drift check): high-value pairs minus
+    very-high-value pairs leaves the 50-80 band, duplicates preserved."""
+    e = _events(spark, sf_dir)
+    a = e.filter(F.col("value") > 50).select("user_id", "event_type")
+    b = e.filter(F.col("value") > 80).select("user_id", "event_type")
+    return a.exceptAll(b)
+
+
+def _q_intersect_all(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    a = e.filter(F.col("event_type") == "purchase").select("user_id")
+    b = e.filter(F.col("event_type") == "error").select("user_id")
+    return a.intersectAll(b)
+
+
+def _q_percentiles(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+    )
+
+
 def _q_sliding(spark, sf_dir):
     df = _events(spark, sf_dir)
     out = tumbling_window_agg(
@@ -580,6 +604,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backward_fill": _q_bfill,
         "range_join": _q_range_join,
         "cube_agg": _q_cube,
+        "except_all": _q_except_all,
+        "intersect_all": _q_intersect_all,
+        "percentiles": _q_percentiles,
         "distinct_agg": _q_distinct_agg,
         "sessionize": _q_sessionize,
         "session_agg": _q_session_agg,
@@ -729,6 +756,19 @@ def oracle_sql() -> dict[str, str]:
           select user_id, count(distinct event_type) as n_types,
                  count(*) as n_events
           from events group by user_id""",
+        "except_all": """
+          select user_id, event_type from events where value > 50
+          except all
+          select user_id, event_type from events where value > 80""",
+        "intersect_all": """
+          select user_id from events where event_type = 'purchase'
+          intersect all
+          select user_id from events where event_type = 'error'""",
+        "percentiles": """
+          select event_type,
+                 round(quantile_cont(value, 0.5), 4) as p50,
+                 round(quantile_cont(value, 0.9), 4) as p90
+          from events group by event_type""",
         "sessionize": f"select event_id, session_id from ({_SESSION_IDS_SQL})",
         "session_agg": f"""
           select user_id, session_id,
