@@ -301,7 +301,8 @@ def _payload_frames(spark, sf_dir):
     `new` drops vb (%13: new-missing vs old-present -> conflict)."""
     e = _events(spark, sf_dir)
     k = F.get_json_object("props", "$.k")
-    vb = (F.col("value") * 10).cast("long").cast("string")
+    # floor, not cast: Spark double->long truncates, DuckDB rounds
+    vb = F.floor(F.col("value") * 10).cast("long").cast("string")
     new = e.select(
         "event_id",
         F.struct(
@@ -350,18 +351,49 @@ def _q_feature_compare(spark, sf_dir):
     )
 
 
+def _q_feature_extract(spark, sf_dir):
+    """feat:read/2 at table scale with the PORTABLE leaf hash: the raw
+    feature vector itself is oracle-checked, not just the compare
+    verdicts (the xxhash64 production hash is golden-tested instead —
+    DuckDB cannot reproduce it)."""
+    from feat_spark.operators.extract import compile_schema
+    from feat_spark.functions.text import md5_long32
+
+    spec = {1: "event_type", 2: ["props", "k"], 3: "vb"}
+    new, _ = _payload_frames(spark, sf_dir)
+    ptype = new.schema["payload"].dataType
+    feats = compile_schema(spec, F.col("payload"), ptype, leaf_hash=md5_long32)
+    return new.select("event_id", feats.alias("f")).select(
+        "event_id",
+        F.col("f.f1").alias("f1"),
+        F.col("f.f2").alias("f2"),
+        F.col("f.f3").alias("f3"),
+    )
+
+
+_FEATURE_EXTRACT_SQL = """
+select event_id,
+       ('0x' || substr(md5(event_type), 1, 8))::BIGINT as f1,
+       ('0x' || substr(md5(json_extract_string(props, '$.k')), 1, 8))::BIGINT as f2,
+       case when event_id % 13 != 0
+            then ('0x' || substr(md5(cast(cast(floor(value * 10) as bigint) as varchar)), 1, 8))::BIGINT
+       end as f3
+from events
+"""
+
+
 _FEATURE_COMPARE_SQL = """
 with base as (
   select event_id,
          event_type as n_et,
          json_extract_string(props, '$.k') as n_k,
          case when event_id % 13 != 0
-              then cast(cast(value * 10 as bigint) as varchar) end as n_vb,
+              then cast(cast(floor(value * 10) as bigint) as varchar) end as n_vb,
          case when event_id % 7 = 0 then event_type || '_x'
               else event_type end as o_et,
          case when event_id % 11 != 0
               then json_extract_string(props, '$.k') end as o_k,
-         cast(cast(value * 10 as bigint) as varchar) as o_vb
+         cast(cast(floor(value * 10) as bigint) as varchar) as o_vb
   from events),
 cmp as (
   select event_id,
@@ -613,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window": _q_tumbling,
         "sliding_window": _q_sliding,
         "feature_compare": _q_feature_compare,
+        "feature_extract": _q_feature_extract,
         "topk_per_group": _q_topk,
         "feature_hash_extract": _q_feature_hash,
         "q1_pricing_summary": _q_q1,
@@ -792,6 +825,7 @@ def oracle_sql() -> dict[str, str]:
             from events)
           group by user_id, win_start""",
         "feature_compare": _FEATURE_COMPARE_SQL,
+        "feature_extract": _FEATURE_EXTRACT_SQL,
         "topk_per_group": """
           select user_id, event_id, value from events
           qualify row_number() over (partition by user_id

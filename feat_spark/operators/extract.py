@@ -273,7 +273,10 @@ def _access(col: Column, dt: T.DataType, path: list[str]) -> tuple[Column, T.Dat
 
 
 def compile_schema(
-    schema: FeatureSchema, payload: Column, payload_type: T.DataType
+    schema: FeatureSchema,
+    payload: Column,
+    payload_type: T.DataType,
+    leaf_hash=spark_leaf_hash,
 ) -> Column:
     """Schema → single nested Column expression (driver-side dispatch —
     the plan-time analogue of feat.erl:113-126's per-request dispatch).
@@ -290,24 +293,26 @@ def compile_schema(
         c, ft = _access(payload, payload_type, accessor_to_path(schema))
         if ft is None:
             return F.lit(None).cast("long")
-        return spark_leaf_hash(c)
+        return leaf_hash(c)
     if is_nested(schema):
         c, ft = _access(payload, payload_type, accessor_to_path(schema[0]))
         if ft is None:
             return _null_of(schema[1])
-        return compile_schema(schema[1], c, ft)
+        return compile_schema(schema[1], c, ft, leaf_hash)
     if isinstance(schema, SetSchema):
-        return _compile_set(schema.inner, payload, payload_type)
+        return _compile_set(schema.inner, payload, payload_type, leaf_hash)
     if isinstance(schema, UnionSchema):
-        return _compile_union(schema, payload, payload_type)
+        return _compile_union(schema, payload, payload_type, leaf_hash)
     if isinstance(schema, Mapping):
-        return _compile_map(schema, payload, payload_type)
+        return _compile_map(schema, payload, payload_type, leaf_hash)
     raise InvalidSchema(schema)
 
 
-def _compile_map(schema: Mapping, payload: Column, ptype: T.DataType) -> Column:
+def _compile_map(
+    schema: Mapping, payload: Column, ptype: T.DataType, leaf_hash=spark_leaf_hash
+) -> Column:
     fields = [
-        compile_schema(entry, payload, ptype).alias(f"f{fid}")
+        compile_schema(entry, payload, ptype, leaf_hash).alias(f"f{fid}")
         for fid, entry in sorted(schema.items())
         if entry is not RESERVED
     ]
@@ -320,14 +325,16 @@ def _compile_map(schema: Mapping, payload: Column, ptype: T.DataType) -> Column:
     return F.when(payload.isNull(), F.lit(None)).otherwise(struct)
 
 
-def _compile_set(inner: FeatureSchema, payload: Column, ptype: T.DataType) -> Column:
+def _compile_set(
+    inner: FeatureSchema, payload: Column, ptype: T.DataType, leaf_hash=spark_leaf_hash
+) -> Column:
     if not isinstance(ptype, T.ArrayType):
         return F.lit(None)
     elem_t = ptype.elementType
     tagged = F.transform(
         payload,
         lambda x, i: F.struct(
-            compile_schema(inner, x, elem_t).alias("f"), i.cast("int").alias("idx")
+            compile_schema(inner, x, elem_t, leaf_hash).alias("f"), i.cast("int").alias("idx")
         ),
     )
     # array_sort on struct<f, idx>: canonical order by extracted
@@ -340,7 +347,9 @@ def _compile_set(inner: FeatureSchema, payload: Column, ptype: T.DataType) -> Co
     )
 
 
-def _compile_union(schema: UnionSchema, payload: Column, ptype: T.DataType) -> Column:
+def _compile_union(
+    schema: UnionSchema, payload: Column, ptype: T.DataType, leaf_hash=spark_leaf_hash
+) -> Column:
     if not isinstance(schema.variants, Mapping):
         raise InvalidUnionVariants(schema.variants)
     disc, _ = _access(payload, ptype, accessor_to_path(schema.accessor))
@@ -379,7 +388,7 @@ def _compile_union(schema: UnionSchema, payload: Column, ptype: T.DataType) -> C
         expr = F.lit(None)
         for variant, inner in group:
             expr = F.when(
-                disc == F.lit(variant), _compile_map(inner, payload, ptype)
+                disc == F.lit(variant), _compile_map(inner, payload, ptype, leaf_hash)
             ).otherwise(expr)
         fields.append(expr.alias(f"v{fid}"))
     struct = F.struct(*fields)
@@ -398,6 +407,7 @@ def extract(
     schema: FeatureSchema,
     payload_col: str = "payload",
     out_col: str = "features",
+    leaf_hash=spark_leaf_hash,
 ) -> DataFrame:
     """Engine extraction: adds ``out_col`` with the compiled feature
     structure. One narrow projection — no shuffle, no Python at run
@@ -409,4 +419,6 @@ def extract(
     variant (runtime raise_error branch — feat.erl:172-173).
     """
     ptype = df.schema[payload_col].dataType
-    return df.withColumn(out_col, compile_schema(schema, F.col(payload_col), ptype))
+    return df.withColumn(
+        out_col, compile_schema(schema, F.col(payload_col), ptype, leaf_hash)
+    )
