@@ -502,6 +502,24 @@ def _q_lang_quality(spark, sf_dir):
     )
 
 
+def _q_quality_udf(spark, sf_dir):
+    """Iterator pandas UDF twin of the column-expression quality score —
+    same oracle SQL as lang_quality's quality column."""
+    from feat_spark.functions.udfs import quality_score_udf
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score_udf("text").alias("quality"))
+
+
+def _q_value_spread_udf(spark, sf_dir):
+    from feat_spark.functions.udfs import value_spread_udf
+
+    e = _events(spark, sf_dir)
+    return e.groupBy("user_id").agg(
+        F.round(value_spread_udf("value"), 4).alias("spread")
+    )
+
+
 def _q_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", TXT.doc_fingerprint("text").alias("fingerprint"))
@@ -654,6 +672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "lang_quality": _q_lang_quality,
         "doc_fingerprint": _q_fingerprint,
+        "quality_score_pandas_udf": _q_quality_udf,
+        "value_spread_grouped_udf": _q_value_spread_udf,
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_signatures": _q_minhash_sigs,
@@ -877,6 +897,19 @@ def oracle_sql() -> dict[str, str]:
                        * (len(list_distinct(ws)) * 1.0 / greatest(len(ws), 1))
                        * (1.0 - np * 1.0 / greatest(nc, 1)), 6) as quality
           from t""",
+        "quality_score_pandas_udf": f"""
+          with t as (
+            select doc_id, {_WS} as ws, length(text) as nc,
+                   length(text) - length(regexp_replace(text, '[^A-Za-z0-9_\\s]', '', 'g')) as np
+            from documents)
+          select doc_id,
+                 round(least(len(ws) / 50.0, 1.0)
+                       * (len(list_distinct(ws)) * 1.0 / greatest(len(ws), 1))
+                       * (1.0 - np * 1.0 / greatest(nc, 1)), 6) as quality
+          from t""",
+        "value_spread_grouped_udf": """
+          select user_id, round(max(value) - min(value), 4) as spread
+          from events group by user_id""",
         "doc_fingerprint": f"""
           select doc_id,
                  cast(list_sum(list_transform({_WS},

@@ -1,0 +1,56 @@
+"""Vectorized pandas-UDF surfaces (SURVEY.md §2.11).
+
+Everything the engine computes in its hot paths is JVM-side; these
+UDFs exist for logic Spark expressions cannot say (custom models,
+compiled tokenizers) and demonstrate each sanctioned shape:
+
+* scalar Series->Series (Arrow-batched)
+* iterator Iterator[Series]->Iterator[Series] — amortizes one-time
+  init (compiled regex / loaded model) across all batches of a task
+* GROUPED_AGG Series->scalar
+
+Each is oracle-gated in __spark_entry__.py by computing the SAME
+function as pure SQL — the UDFs are bit-compatible with their column
+-expression twins (same IEEE double ops in the same order).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+
+@pandas_udf(DoubleType())
+def quality_score_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Iterator-form text quality score — identical math to
+    functions/text.py::quality_score (length sweet-spot x lexical
+    diversity x (1 - punct density), 6dp), with the regex compiled ONCE
+    per executor task rather than once per batch."""
+    import re
+
+    word_re = re.compile(r"\s+")
+    punct_re = re.compile(r"[^A-Za-z0-9_\s]")
+
+    for s in texts:
+        stripped = s.fillna("").str.strip()
+        words = stripped.apply(lambda t: word_re.split(t) if t else [""])
+        n_words = words.str.len().astype("float64")
+        distinct = words.apply(lambda w: len(set(w))).astype("float64")
+        n_chars = s.fillna("").str.len().astype("float64")
+        n_punct = s.fillna("").apply(lambda t: len(punct_re.findall(t))).astype("float64")
+        len_score = (n_words / 50.0).clip(upper=1.0)
+        diversity = distinct / n_words.clip(lower=1.0)
+        punct_ratio = n_punct / n_chars.clip(lower=1.0)
+        yield (len_score * diversity * (1.0 - punct_ratio)).round(6)
+
+
+@pandas_udf(DoubleType())
+def value_spread_udf(values: pd.Series) -> float:
+    """GROUPED_AGG shape: max - min of a numeric column per group —
+    the template for custom per-window statistics."""
+    if values.empty:
+        return None
+    return float(values.max() - values.min())

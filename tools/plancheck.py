@@ -1,0 +1,109 @@
+"""Physical-plan quality gate.
+
+The correctness gate (selfcheck) proves the answers right; this proves
+the PLANS are the ones a 1000-executor cluster wants:
+
+* parquet scans read only referenced columns (ReadSchema pruning) and
+  carry pushed filters where the query filters the scan;
+* dimension joins broadcast (no full shuffle of the fact side);
+* no accidental CartesianProduct / BroadcastNestedLoopJoin anywhere
+  except the brute-force kNN (explicitly exempted: scoring every
+  corpus vector is its contract);
+* every per-key window pipeline shuffles at most the expected number
+  of times.
+
+Run: python tools/plancheck.py [sf_dir]
+Exit 1 on any violation; prints one line per query.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E  # noqa: E402
+from feat_spark.session import get_spark  # noqa: E402
+
+#: queries allowed a nested-loop/cartesian: exact kNN + exact near-dup
+#: score ALL pairs by contract.
+NL_EXEMPT = {"knn_cosine", "embedding_near_dup"}
+
+#: max Exchange nodes allowed (shuffles; BroadcastExchange excluded).
+#: window/sessionize pipelines must reuse ONE exchange.
+MAX_EXCHANGES = {
+    "stable_order": 1, "lag_lead": 1, "cumulative": 1, "forward_fill": 1,
+    "backward_fill": 1, "sessionize": 1, "session_agg": 2,
+    # 2 = rhs dedup window (keyed o_custkey,o_orderdate) + the as-of
+    # union-window exchange (user_id); the OPERATOR itself costs one
+    "asof_join": 2, "asof_join_tolerance": 2,
+    "tumbling_window": 1, "sliding_window": 1, "topk_per_group": 1,
+    # 2 = Spark's two-phase distinct aggregation (expand on
+    # (user_id,event_type), then final by user_id) — optimal distributed
+    # exact-distinct, not a planning mistake
+    "distinct_agg": 2, "q1_pricing_summary": 1,
+    "feature_extract": 0, "feature_hash_extract": 0, "text_stats": 0,
+    "lang_quality": 0, "doc_fingerprint": 0,
+    # broadcast-dim join: the orders side must NOT shuffle
+    "segment_revenue_broadcast": 1,
+}
+
+#: queries whose scan must show a pushed filter
+PUSHED_FILTER_EXPECTED = {"q1_pricing_summary"}
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def check(name: str, plan: str) -> list[str]:
+    problems = []
+    if name not in NL_EXEMPT and re.search(
+        r"CartesianProduct|BroadcastNestedLoopJoin", plan
+    ):
+        problems.append("nested-loop/cartesian join in plan")
+    n_ex = len(re.findall(r"\bExchange hashpartitioning", plan)) + len(
+        re.findall(r"\bExchange rangepartitioning", plan)
+    )
+    cap = MAX_EXCHANGES.get(name)
+    if cap is not None and n_ex > cap:
+        problems.append(f"{n_ex} shuffles (cap {cap})")
+    if name in PUSHED_FILTER_EXPECTED and "PushedFilters: [" not in plan.replace(
+        "PushedFilters: []", ""
+    ):
+        problems.append("no pushed filters on scan")
+    # column pruning: a scan of events for a 2-col projection must not
+    # read all 6 columns
+    if name == "stable_order":
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        if m and len(m.group(1).split(",")) > 3:
+            problems.append(f"scan reads too many columns: {m.group(1)}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    failed = []
+    for name, fn in E.queries().items():
+        try:
+            plan = plan_of(fn(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL  {name}: {type(exc).__name__}: {exc}")
+            continue
+        problems = check(name, plan)
+        if problems:
+            failed.append(name)
+            print(f"FAIL  {name}: " + "; ".join(problems))
+        else:
+            print(f"ok    {name}")
+    print(f"\n{len(failed)} plan violations" + (f": {failed}" if failed else ""))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
