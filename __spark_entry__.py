@@ -725,12 +725,15 @@ def oracle_sql() -> dict[str, str]:
       join sz sb on inter.id_b = sb.doc_id
       where round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.6
     """
+    # universal-hash family (dedup._MH_A/_MH_B/_MH_P shared verbatim)
+    base_h = "(('0x' || substr(md5(s), 1, 8))::BIGINT)"
+    mh = lambda i: f"(({2*i+1} * {base_h} + {1000003*(i+1)}) % 2147483647)"
     sig_exprs = ", ".join(
-        f"list_min(list_transform({sh}, s -> ('0x' || substr(md5('{i}:' || s), 1, 8))::BIGINT)) as sig_{i}"
+        f"list_min(list_transform({sh}, s -> {mh(i)})) as sig_{i}"
         for i in range(8)
     )
     sig16 = ", ".join(
-        f"list_min(list_transform(shingles, s -> ('0x' || substr(md5('{i}:' || s), 1, 8))::BIGINT)) as sig_{i}"
+        f"list_min(list_transform(shingles, s -> {mh(i)})) as sig_{i}"
         for i in range(16)
     )
     band_rows = " union all ".join(
