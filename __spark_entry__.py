@@ -584,6 +584,16 @@ def _q_simhash(spark, sf_dir):
     return D.simhash32(_t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text")
 
 
+def _q_simhash_near(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 6) over documents + exact
+    copies: chunked Hamming blocking engine-side; the oracle's plain
+    cross join is equivalent because pigeonhole blocking is complete."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(d.select((F.col("doc_id") + 200000).alias("doc_id"), "text"))
+    sims = D.simhash32(corpus, id_col="doc_id", text_col="text")
+    return D.simhash_near_pairs(sims, id_col="doc_id", max_hamming=6)
+
+
 # -------------------------------------------------------------- similarity
 
 def _q_knn(spark, sf_dir):
@@ -679,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_sigs,
         "minhash_lsh_dedup": _q_minhash_lsh,
         "simhash": _q_simhash,
+        "simhash_near_dups": _q_simhash_near,
         "knn_cosine": _q_knn,
         "knn_cosine_lsh": _q_knn_lsh,  # approximate: rows-only check
         "embedding_near_dup": _q_embedding_near_dup,
@@ -944,6 +955,25 @@ def oracle_sql() -> dict[str, str]:
                           case when ((h >> j) & 1) = 1 then 1 else -1 end)) >= 0
                         then (1::BIGINT << j) else 0 end)) as bigint) as simhash
           from h""",
+        "simhash_near_dups": f"""
+          with corpus as (
+            select doc_id, text from documents
+            union all
+            select doc_id + 200000, text from documents),
+          h as (select doc_id,
+                       list_transform({_WS}, w -> {_HXW}) as hs
+                from corpus),
+          sims as (
+            select doc_id,
+                   cast(list_sum(list_transform(generate_series(0, 31), j ->
+                     case when list_sum(list_transform(hs, h ->
+                            case when ((h >> j) & 1) = 1 then 1 else -1 end)) >= 0
+                          then (1::BIGINT << j) else 0 end)) as bigint) as simhash
+            from h)
+          select a.doc_id as id_a, b.doc_id as id_b,
+                 cast(bit_count(xor(a.simhash, b.simhash)) as int) as hamming
+          from sims a join sims b on a.doc_id < b.doc_id
+          where bit_count(xor(a.simhash, b.simhash)) <= 6""",
         "knn_cosine": f"""
           with v as (select vec_id, embedding::DOUBLE[] as v from embeddings),
           q as (select vec_id as query_id, v from v where vec_id < 10),
