@@ -134,10 +134,11 @@ def _asof_union_window(
     )
     both = lft.unionByName(rgt, allowMissingColumns=True)
 
-    # Ordering decides <= vs <: with exact matches a right row at ts
-    # sorts BEFORE a left row at the same ts (so it is visible); without,
-    # it sorts after. _SEQ keeps duplicate right timestamps deterministic.
-    src_order = F.col(_SRC).asc() if not exact else F.col(_SRC).desc()
+    # Ordering decides <= vs <: with exact matches a right row (src=0) at
+    # ts sorts BEFORE a left row (src=1) at the same ts (so it is inside
+    # the left row's preceding frame); without, it sorts after. _SEQ
+    # keeps duplicate right timestamps deterministic.
+    src_order = F.col(_SRC).asc() if exact else F.col(_SRC).desc()
     w = (
         Window.partitionBy(*keys)
         .orderBy(F.col(_TS).asc(), src_order, F.col(_SEQ).asc_nulls_last())

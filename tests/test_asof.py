@@ -97,6 +97,34 @@ def test_asof_null_attribute_values_still_win(spark, data):
     _check(_got(out), _oracle(lpdf, rpdf2))
 
 
+@pytest.mark.parametrize("strategy", ["union_window", "broadcast", "skew_aware", "cogroup_pandas"])
+@pytest.mark.parametrize("exact", [True, False])
+def test_asof_equal_ts_ties(spark, strategy, exact):
+    """Left and right rows at EXACTLY the same timestamp: exact=True must
+    see the equal-ts right row, exact=False must not. The synthetic
+    fixtures never produce equal ts across sides, so this is pinned
+    explicitly (regression: union_window had the tie order inverted)."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    lpdf = pd.DataFrame(
+        {"conv_id": ["a", "a", "a"], "turn_idx": [0, 1, 2],
+         "ts": [t(5), t(7), t(9)]}
+    )
+    rpdf = pd.DataFrame(
+        {"conv_id": ["a", "a", "a"], "ts": [t(5), t(6), t(9)],
+         "attr_hash": [100, 200, 300], "plan": ["p1", "p2", "p3"]}
+    )
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+    kwargs = {"hot_threshold": 1} if strategy == "skew_aware" else {}
+    out = asof_join(
+        left, right, on="conv_id", strategy=strategy,
+        allow_exact_matches=exact, **kwargs,
+    )
+    _check(_got(out), _oracle(lpdf, rpdf, exact=exact))
+
+
 def test_asof_no_future_reads(spark, data):
     left, right, _, _ = data
     out = asof_join(left, right, on="conv_id", include_matched_ts=True)
