@@ -103,6 +103,47 @@ asof left join rhs on e.user_id = rhs.user_id and e.ts >= rhs.ts
 """
 
 
+def _q_asof_dir(direction: str):
+    def run(spark, sf_dir):
+        left = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+        rhs = _orders_rhs(spark, sf_dir)
+        out = asof_join(
+            left, rhs, on="user_id", left_ts="ts", right_ts="ts",
+            value_cols=["o_orderkey", "o_totalprice"], direction=direction,
+        )
+        return out.select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+
+    return run
+
+
+_ASOF_FWD_SQL = f"""
+with rhs as ({_ORDERS_RHS_SQL})
+select e.event_id, e.user_id, e.ts, rhs.o_orderkey, rhs.o_totalprice
+from events e
+asof left join rhs on e.user_id = rhs.user_id and e.ts <= rhs.ts
+"""
+
+_ASOF_NEAREST_SQL = f"""
+with rhs as ({_ORDERS_RHS_SQL}),
+b as (
+  select e.event_id, e.user_id, e.ts,
+         r.ts as bts, r.o_orderkey as bk, r.o_totalprice as bp
+  from events e
+  asof left join rhs r on e.user_id = r.user_id and e.ts >= r.ts),
+f as (
+  select e.event_id,
+         r.ts as fts, r.o_orderkey as fk, r.o_totalprice as fp
+  from events e
+  asof left join rhs r on e.user_id = r.user_id and e.ts <= r.ts)
+select b.event_id, b.user_id, b.ts,
+       case when fts is null or (bts is not null and (b.ts - bts) <= (fts - b.ts))
+            then bk else fk end as o_orderkey,
+       case when fts is null or (bts is not null and (b.ts - bts) <= (fts - b.ts))
+            then bp else fp end as o_totalprice
+from b join f using (event_id)
+"""
+
+
 def _q_asof_tolerance(spark, sf_dir):
     left = _events(spark, sf_dir).select("event_id", "user_id", "ts")
     rhs = _orders_rhs(spark, sf_dir)
@@ -657,6 +698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_skew": _q_asof("skew_aware"),
         "asof_join_tolerance": _q_asof_tolerance,
         "asof_join_cogroup_pandas": _q_asof("cogroup_pandas"),
+        "asof_join_forward": _q_asof_dir("forward"),
+        "asof_join_nearest": _q_asof_dir("nearest"),
         "stable_order": _q_stable_order,
         "lag_lead": _q_lag_lead,
         "cumulative": _q_cumulative,
@@ -785,6 +828,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_skew": _ASOF_SQL,
         "asof_join_tolerance": _ASOF_TOL_SQL,
         "asof_join_cogroup_pandas": _ASOF_SQL,
+        "asof_join_forward": _ASOF_FWD_SQL,
+        "asof_join_nearest": _ASOF_NEAREST_SQL,
         "stable_order": f"select event_id, cast(row_number() over ({_WIN}) as bigint) as seq from events",
         "lag_lead": f"""
           select event_id,

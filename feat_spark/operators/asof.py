@@ -67,6 +67,7 @@ def asof_join(
     include_matched_ts: bool = False,
     hot_keys: DataFrame | None = None,
     hot_threshold: int = 100_000,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join ``left`` with ``right`` on ``on`` + time.
 
@@ -75,36 +76,65 @@ def asof_join(
     asymmetric-undefined case of /root/reference/src/feat.erl:283-284:
     a not-yet-known attribute is *missing*, not a conflict).
 
-    ``tolerance`` (e.g. ``"7 days"``) nulls matches older than
-    ``left_ts - tolerance``, mirroring ``pd.merge_asof(tolerance=...)``.
+    ``tolerance`` (e.g. ``"7 days"``) nulls matches farther from
+    ``left_ts`` than the tolerance, mirroring
+    ``pd.merge_asof(tolerance=...)``.
+
+    ``direction`` mirrors ``pd.merge_asof``:
+
+    * ``"backward"`` (default, the leakage-safe one): latest right row
+      with ``ts' <= ts``. The only direction the feature pipeline
+      itself ever uses.
+    * ``"forward"``: earliest right row with ``ts' >= ts`` — label /
+      outcome attachment (e.g. next order after an event). Reads the
+      future by definition; the leakage audit treats its outputs as
+      targets, never features.
+    * ``"nearest"``: closer of the two; tie at equal distance goes to
+      the backward match (pandas' rule). Physical cost: two window
+      passes over the same key partitioning (union_window) or one
+      per-key candidate scan (broadcast).
     """
     keys = _as_list(on)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (*keys, right_ts)]
     value_cols = list(value_cols)
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
 
-    if strategy == "union_window":
-        out = _asof_union_window(
-            left, right, keys, left_ts, right_ts, value_cols, allow_exact_matches
-        )
-    elif strategy == "broadcast":
-        out = _asof_broadcast(
-            left, right, keys, left_ts, right_ts, value_cols, allow_exact_matches
-        )
-    elif strategy == "cogroup_pandas":
+    if strategy == "cogroup_pandas":
         return _asof_cogroup(
+            left, right, keys, left_ts, right_ts, value_cols, suffix,
+            allow_exact_matches, tolerance, include_matched_ts, direction,
+        )
+    if strategy == "skew_aware":
+        return _asof_skew_aware(
+            left, right, keys, left_ts, right_ts, value_cols, suffix,
+            allow_exact_matches, tolerance, include_matched_ts, hot_keys,
+            hot_threshold, direction,
+        )
+    if direction == "nearest" and strategy == "union_window":
+        return _asof_nearest_union(
             left, right, keys, left_ts, right_ts, value_cols, suffix,
             allow_exact_matches, tolerance, include_matched_ts,
         )
-    elif strategy == "skew_aware":
-        return _asof_skew_aware(
-            left, right, keys, left_ts, right_ts, value_cols, suffix,
-            allow_exact_matches, tolerance, include_matched_ts, hot_keys, hot_threshold,
+
+    if strategy == "union_window":
+        out = _asof_union_window(
+            left, right, keys, left_ts, right_ts, value_cols,
+            allow_exact_matches, direction,
+        )
+    elif strategy == "broadcast":
+        out = _asof_broadcast(
+            left, right, keys, left_ts, right_ts, value_cols,
+            allow_exact_matches, direction,
         )
     else:
         raise ValueError(f"unknown asof strategy: {strategy!r}")
 
-    return _unpack(out, left.columns, value_cols, suffix, left_ts, tolerance, include_matched_ts)
+    return _unpack(
+        out, left.columns, value_cols, suffix, left_ts, tolerance,
+        include_matched_ts, direction,
+    )
 
 
 def _pack_right(right: DataFrame, keys, right_ts, value_cols) -> DataFrame:
@@ -123,7 +153,7 @@ def _pack_right(right: DataFrame, keys, right_ts, value_cols) -> DataFrame:
 
 
 def _asof_union_window(
-    left, right, keys, left_ts, right_ts, value_cols, exact
+    left, right, keys, left_ts, right_ts, value_cols, exact, direction="backward"
 ) -> DataFrame:
     rgt = _pack_right(right, keys, right_ts, value_cols).withColumn(_SRC, F.lit(0))
     lft = left.select(
@@ -134,35 +164,104 @@ def _asof_union_window(
     )
     both = lft.unionByName(rgt, allowMissingColumns=True)
 
+    back = direction == "backward"
     # Ordering decides <= vs <: with exact matches a right row (src=0) at
     # ts sorts BEFORE a left row (src=1) at the same ts (so it is inside
     # the left row's preceding frame); without, it sorts after. _SEQ
-    # keeps duplicate right timestamps deterministic.
+    # keeps duplicate right timestamps deterministic. The forward
+    # direction is the exact mirror (ts desc): the same preceding frame
+    # then holds the rows at-or-after the left row, and flipping _SEQ
+    # makes the EARLIEST input row win among equal right timestamps
+    # (pd.merge_asof's forward rule; backward is last-wins).
     src_order = F.col(_SRC).asc() if exact else F.col(_SRC).desc()
+    ts_order = F.col(_TS).asc() if back else F.col(_TS).desc()
+    seq_order = F.col(_SEQ).asc_nulls_last() if back else F.col(_SEQ).desc_nulls_last()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(_TS).asc(), src_order, F.col(_SEQ).asc_nulls_last())
+        .orderBy(ts_order, src_order, seq_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = both.withColumn(_PACK, F.last(_PACK, ignorenulls=True).over(w))
     return filled.filter(F.col(_SRC) == 1)
 
 
-def _asof_broadcast(left, right, keys, left_ts, right_ts, value_cols, exact) -> DataFrame:
+def _asof_broadcast(
+    left, right, keys, left_ts, right_ts, value_cols, exact, direction="backward"
+) -> DataFrame:
     rgt = _pack_right(right, keys, right_ts, value_cols)
     lft = left.withColumn(_LUID, F.monotonically_increasing_id())
     cond = F.lit(True)
     for k in keys:
         cond = cond & (lft[k] == rgt[k])
-    cond = cond & (rgt[_TS] <= lft[left_ts] if exact else rgt[_TS] < lft[left_ts])
+    if direction == "backward":
+        cond = cond & (rgt[_TS] <= lft[left_ts] if exact else rgt[_TS] < lft[left_ts])
+        # latest-preceding wins; among equal right ts the last input row
+        order = [F.col(_TS).desc_nulls_last(), F.col(_SEQ).desc_nulls_last()]
+    elif direction == "forward":
+        cond = cond & (rgt[_TS] >= lft[left_ts] if exact else rgt[_TS] > lft[left_ts])
+        # earliest-following wins; among equal right ts the first input row
+        order = [F.col(_TS).asc_nulls_last(), F.col(_SEQ).asc_nulls_last()]
+    else:  # nearest: all same-key candidates, ranked by |distance|,
+        # equal-distance tie to the backward side (pandas' rule), then
+        # the per-side _SEQ rule (backward last-wins / forward first-wins)
+        if not exact:
+            cond = cond & (rgt[_TS] != lft[left_ts])
+        dist = F.abs(
+            F.unix_micros(F.col(_TS).cast("timestamp"))
+            - F.unix_micros(lft[left_ts].cast("timestamp"))
+        )
+        is_back = (F.col(_TS) <= lft[left_ts]).cast("int")
+        order = [
+            dist.asc_nulls_last(),
+            is_back.desc_nulls_last(),
+            F.when(F.col(_TS) <= lft[left_ts], -F.col(_SEQ))
+            .otherwise(F.col(_SEQ))
+            .asc_nulls_last(),
+        ]
     joined = lft.join(F.broadcast(rgt), cond, "left").drop(*[rgt[k] for k in keys])
-    w = Window.partitionBy(_LUID).orderBy(
-        F.col(_TS).desc_nulls_last(), F.col(_SEQ).desc_nulls_last()
-    )
+    w = Window.partitionBy(_LUID).orderBy(*order)
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn", _LUID)
+    )
+
+
+def _asof_nearest_union(
+    left, right, keys, left_ts, right_ts, value_cols, suffix,
+    exact, tolerance, include_matched_ts,
+) -> DataFrame:
+    """Nearest = backward pass + forward pass over the SAME key
+    partitioning (AQE reuses the exchange), then a row-local chooser:
+    the closer match wins, equal distance goes backward (pandas' rule).
+    Tolerance applies per side BEFORE choosing, exactly like
+    ``pd.merge_asof(direction="nearest", tolerance=...)``."""
+    b = _asof_union_window(
+        left, right, keys, left_ts, right_ts, value_cols, exact, "backward"
+    ).select(*left.columns, F.col(_PACK).alias("__pack_b"))
+    f = _asof_union_window(
+        b, right, keys, left_ts, right_ts, value_cols, exact, "forward"
+    ).select(*left.columns, "__pack_b", F.col(_PACK).alias("__pack_f"))
+
+    lts = F.col(left_ts)
+    pb, pf = F.col("__pack_b"), F.col("__pack_f")
+    if tolerance is not None:
+        tol = F.expr(f"INTERVAL {tolerance}")
+        pb = F.when(pb["__matched_ts"] >= lts - tol, pb)
+        pf = F.when(pf["__matched_ts"] <= lts + tol, pf)
+    micros = lambda c: F.unix_micros(c.cast("timestamp"))
+    d_b = micros(lts) - micros(pb["__matched_ts"])
+    d_f = micros(pf["__matched_ts"]) - micros(lts)
+    chosen = (
+        F.when(pb.isNull(), pf)
+        .when(pf.isNull(), pb)
+        .when(d_b <= d_f, pb)
+        .otherwise(pf)
+    )
+    out = f.withColumn(_PACK, chosen)
+    return _unpack(
+        out, left.columns, value_cols, suffix, left_ts, None,
+        include_matched_ts, "nearest",
     )
 
 
@@ -180,6 +279,7 @@ def detect_hot_keys(df: DataFrame, keys: Sequence[str], threshold: int) -> DataF
 def _asof_skew_aware(
     left, right, keys, left_ts, right_ts, value_cols, suffix,
     exact, tolerance, include_matched_ts, hot_keys, hot_threshold,
+    direction="backward",
 ) -> DataFrame:
     if hot_keys is None:
         hot_keys = detect_hot_keys(left, keys, hot_threshold)
@@ -192,19 +292,44 @@ def _asof_skew_aware(
     right_hot = right.join(F.broadcast(hot_keys), on=keys, how="left_semi")
     right_cold = right.join(F.broadcast(hot_keys), on=keys, how="left_anti")
 
-    hot = _asof_broadcast(left_hot, right_hot, keys, left_ts, right_ts, value_cols, exact)
-    cold = _asof_union_window(left_cold, right_cold, keys, left_ts, right_ts, value_cols, exact)
-    hot = _unpack(hot, left.columns, value_cols, suffix, left_ts, tolerance, include_matched_ts)
-    cold = _unpack(cold, left.columns, value_cols, suffix, left_ts, tolerance, include_matched_ts)
+    hot = _asof_broadcast(
+        left_hot, right_hot, keys, left_ts, right_ts, value_cols, exact, direction
+    )
+    hot = _unpack(
+        hot, left.columns, value_cols, suffix, left_ts, tolerance,
+        include_matched_ts, direction,
+    )
+    if direction == "nearest":
+        cold = _asof_nearest_union(
+            left_cold, right_cold, keys, left_ts, right_ts, value_cols,
+            suffix, exact, tolerance, include_matched_ts,
+        )
+    else:
+        cold = _asof_union_window(
+            left_cold, right_cold, keys, left_ts, right_ts, value_cols,
+            exact, direction,
+        )
+        cold = _unpack(
+            cold, left.columns, value_cols, suffix, left_ts, tolerance,
+            include_matched_ts, direction,
+        )
     return cold.unionByName(hot)
 
 
 def _unpack(
-    out: DataFrame, left_cols, value_cols, suffix, left_ts, tolerance, include_matched_ts
+    out: DataFrame, left_cols, value_cols, suffix, left_ts, tolerance,
+    include_matched_ts, direction="backward",
 ) -> DataFrame:
     pack = F.col(_PACK)
     if tolerance is not None:
-        ok = pack["__matched_ts"] >= F.col(left_ts) - F.expr(f"INTERVAL {tolerance}")
+        tol = F.expr(f"INTERVAL {tolerance}")
+        lts = F.col(left_ts)
+        if direction == "backward":
+            ok = pack["__matched_ts"] >= lts - tol
+        elif direction == "forward":
+            ok = pack["__matched_ts"] <= lts + tol
+        else:
+            ok = (pack["__matched_ts"] >= lts - tol) & (pack["__matched_ts"] <= lts + tol)
         pack = F.when(ok, pack)
     cols = [F.col(c) for c in left_cols]
     cols += [pack[c].alias(f"{c}{suffix}") for c in value_cols]
@@ -215,7 +340,7 @@ def _unpack(
 
 def _asof_cogroup(
     left, right, keys, left_ts, right_ts, value_cols, suffix,
-    exact, tolerance, include_matched_ts,
+    exact, tolerance, include_matched_ts, direction="backward",
 ):
     """Cogrouped-pandas as-of: ``pd.merge_asof`` per key group via
     ``cogroup().applyInPandas`` — the vectorized-pandas surface of the
@@ -286,7 +411,7 @@ def _asof_cogroup(
                 **join_keys,
                 allow_exact_matches=exact,
                 tolerance=pd.Timedelta(tol) if tol else None,
-                direction="backward",
+                direction=direction,
                 suffixes=("", "__r"),
             )
             out = merged

@@ -26,7 +26,7 @@ def data(spark):
     return left, right, lpdf, rpdf
 
 
-def _oracle(lpdf, rpdf, exact=True, tolerance=None):
+def _oracle(lpdf, rpdf, exact=True, tolerance=None, direction="backward"):
     lo = lpdf.sort_values("ts", kind="stable").reset_index(drop=True)
     ro = rpdf.sort_values("ts", kind="stable").reset_index(drop=True)
     out = pd.merge_asof(
@@ -36,6 +36,7 @@ def _oracle(lpdf, rpdf, exact=True, tolerance=None):
         by="conv_id",
         allow_exact_matches=exact,
         tolerance=pd.Timedelta(tolerance) if tolerance else None,
+        direction=direction,
         suffixes=("", "_attr"),
     )
     return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
@@ -123,6 +124,57 @@ def test_asof_equal_ts_ties(spark, strategy, exact):
         allow_exact_matches=exact, **kwargs,
     )
     _check(_got(out), _oracle(lpdf, rpdf, exact=exact))
+
+
+@pytest.mark.parametrize("strategy", ["union_window", "broadcast", "skew_aware", "cogroup_pandas"])
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+def test_asof_directions_match_pandas(spark, data, strategy, direction):
+    left, right, lpdf, rpdf = data
+    kwargs = {"hot_threshold": 30} if strategy == "skew_aware" else {}
+    out = asof_join(
+        left, right, on="conv_id", strategy=strategy, direction=direction, **kwargs
+    )
+    _check(_got(out), _oracle(lpdf, rpdf, direction=direction))
+
+
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+@pytest.mark.parametrize("exact", [True, False])
+def test_asof_direction_ties_and_duplicates(spark, direction, exact):
+    """Equal left/right timestamps, duplicate right timestamps, and the
+    nearest equal-distance tie — pinned vs pd.merge_asof for every
+    (direction, exact) combination."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    lpdf = pd.DataFrame(
+        {"conv_id": ["a"] * 4, "turn_idx": [0, 1, 2, 3],
+         "ts": [t(4), t(10), t(16), t(30)]}
+    )
+    # duplicates at t8 (forward first-wins) and t12; t10 is equidistant
+    # from t8 and t12; t16 has an exact-equal right row
+    rpdf = pd.DataFrame(
+        {"conv_id": ["a"] * 5,
+         "ts": [t(8), t(8), t(12), t(16), t(20)],
+         "attr_hash": [1, 2, 3, 4, 5],
+         "plan": ["p1", "p2", "p3", "p4", "p5"]}
+    )
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+    for strategy in ("union_window", "broadcast"):
+        out = asof_join(
+            left, right, on="conv_id", strategy=strategy,
+            direction=direction, allow_exact_matches=exact,
+        )
+        _check(_got(out), _oracle(lpdf, rpdf, exact=exact, direction=direction))
+
+
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+def test_asof_direction_tolerance(spark, data, direction):
+    left, right, lpdf, rpdf = data
+    out = asof_join(
+        left, right, on="conv_id", direction=direction, tolerance="3 days"
+    )
+    _check(_got(out), _oracle(lpdf, rpdf, tolerance="3 days", direction=direction))
 
 
 def test_asof_no_future_reads(spark, data):
