@@ -33,6 +33,7 @@ from feat_spark.operators.windows import (
     cumulative_features,
     forward_fill,
     lag_lead_features,
+    time_range_features,
     top_k_per_group,
     tumbling_window_agg,
     with_stable_order,
@@ -270,6 +271,56 @@ def _q_bfill(spark, sf_dir):
     return out.select("event_id", F.col("purchase_value_bfill").alias("next_purchase_value"))
 
 
+def _q_time_range_rolling(spark, sf_dir):
+    """Time-range rolling frame: sum/count of value over the trailing
+    hour per user — rangeBetween on unix_micros, peers-at-same-ts
+    included by value (deterministic without a tiebreak)."""
+    df = _events(spark, sf_dir).withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    out = time_range_features(
+        df, {"value_dec": ["sum", "count"]}, duration="1 hour",
+        partition="user_id", ts="ts",
+    )
+    return out.select(
+        "event_id",
+        F.col("value_dec_roll_sum").cast("double").alias("roll_sum"),
+        F.col("value_dec_roll_count").cast("long").alias("roll_n"),
+    )
+
+
+def _q_semi_join(spark, sf_dir):
+    """Left-semi: customers having at least one big order (EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def _q_anti_join(spark, sf_dir):
+    """Left-anti: customers with no order above 350k (NOT EXISTS) — the
+    same shape the checkpoint resume uses to skip done partitions."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+def _q_grouping_sets(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        select o_orderpriority, o_orderstatus, count(*) as n,
+               cast(sum(cast(o_totalprice as decimal(18,4))) as double) as total
+        from __orders_gs
+        group by grouping sets ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
 def _q_range_join(spark, sf_dir):
     """Interval join: orders placed within 7 days before each event —
     equi key (user) + range predicate; counts per event."""
@@ -460,6 +511,87 @@ select event_id,
                     case when c3 then 'vb' end], x -> x is not null)), ',')
        end as diff_paths_str
 from cmp
+"""
+
+
+def _q_feature_extract_union(spark, sf_dir):
+    """Union-schema extraction at table scale (feat.erl:143-179): a
+    tagged payload dispatches on its discriminator; unknown variants
+    (signup/error) yield NULL features, known variants hash their own
+    accessor. Compiled to a CASE/WHEN struct — zero Python at run time."""
+    from feat_spark.operators.extract import compile_schema
+    from feat_spark.schema import UnionSchema
+    from feat_spark.functions.text import md5_long32
+
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k")
+    vb = F.floor(F.col("value") * 10).cast("long").cast("string")
+    pay = e.select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("kind"), k.alias("x"), vb.alias("y")
+        ).alias("payload"),
+    )
+    spec = UnionSchema(
+        "kind",
+        {"click": (10, {11: "x"}), "purchase": (20, {21: "y"}), "view": (30, {31: "x"})},
+    )
+    ptype = pay.schema["payload"].dataType
+    feats = compile_schema(spec, F.col("payload"), ptype, leaf_hash=md5_long32)
+    return pay.select("event_id", feats.alias("u")).select(
+        "event_id",
+        F.col("u.variant").alias("variant"),
+        F.col("u.v10.f11").alias("h10"),
+        F.col("u.v20.f21").alias("h20"),
+        F.col("u.v30.f31").alias("h30"),
+    )
+
+
+def _q_feature_extract_set(spark, sf_dir):
+    """Set-schema extraction at table scale (feat.erl:128-141): the
+    first 8 words of each document as an unordered collection —
+    canonically sorted by extracted features with original indices
+    retained, emitted as 'idx:hash' pairs so plain SQL can twin it."""
+    from feat_spark.operators.extract import compile_schema
+    from feat_spark.schema import SetSchema
+    from feat_spark.functions.text import md5_long32
+
+    d = _t(spark, sf_dir, "documents")
+    ws8 = F.slice(TXT.words("text"), 1, 8)
+    pay = d.select(
+        "doc_id",
+        F.transform(ws8, lambda w: F.struct(w.alias("w"))).alias("payload"),
+    )
+    spec = SetSchema({5: "w"})
+    ptype = pay.schema["payload"].dataType
+    feats = compile_schema(spec, F.col("payload"), ptype, leaf_hash=md5_long32)
+    return pay.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                feats,
+                lambda s: F.concat_ws(
+                    ":",
+                    s.getField("idx").cast("string"),
+                    s.getField("f").getField("f5").cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("set_features"),
+    )
+
+
+_FEATURE_EXTRACT_UNION_SQL = f"""
+select event_id,
+       case event_type when 'click' then 10 when 'purchase' then 20
+                        when 'view' then 30 end as variant,
+       case when event_type = 'click'
+            then {_HX.format(x="json_extract_string(props, '$.k')")} end as h10,
+       case when event_type = 'purchase'
+            then {_HX.format(x="cast(cast(floor(value * 10) as bigint) as varchar)")} end as h20,
+       case when event_type = 'view'
+            then {_HX.format(x="json_extract_string(props, '$.k')")} end as h30
+from events
 """
 
 
@@ -705,7 +837,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative": _q_cumulative,
         "forward_fill": _q_ffill,
         "backward_fill": _q_bfill,
+        "time_range_rolling": _q_time_range_rolling,
         "range_join": _q_range_join,
+        "semi_join": _q_semi_join,
+        "anti_join": _q_anti_join,
+        "grouping_sets": _q_grouping_sets,
         "cube_agg": _q_cube,
         "except_all": _q_except_all,
         "intersect_all": _q_intersect_all,
@@ -717,6 +853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": _q_sliding,
         "feature_compare": _q_feature_compare,
         "feature_extract": _q_feature_extract,
+        "feature_extract_union": _q_feature_extract_union,
+        "feature_extract_set": _q_feature_extract_set,
         "topk_per_group": _q_topk,
         "feature_hash_extract": _q_feature_hash,
         "q1_pricing_summary": _q_q1,
@@ -853,6 +991,30 @@ def oracle_sql() -> dict[str, str]:
                  first_value(case when event_type = 'purchase' then value end ignore nulls)
                    over ({_WIN} rows between current row and unbounded following) as next_purchase_value
           from events""",
+        "time_range_rolling": """
+          select event_id,
+                 cast(sum(cast(value as decimal(18,2))) over (
+                   partition by user_id order by ts
+                   range between interval '1 hour' preceding and current row
+                 ) as double) as roll_sum,
+                 cast(count(value) over (
+                   partition by user_id order by ts
+                   range between interval '1 hour' preceding and current row
+                 ) as bigint) as roll_n
+          from events""",
+        "semi_join": """
+          select c_custkey, c_mktsegment from customer
+          where exists (select 1 from orders
+                        where o_custkey = c_custkey and o_totalprice > 150000)""",
+        "anti_join": """
+          select c_custkey, c_acctbal from customer
+          where not exists (select 1 from orders
+                            where o_custkey = c_custkey and o_totalprice > 350000)""",
+        "grouping_sets": """
+          select o_orderpriority, o_orderstatus, count(*) as n,
+                 cast(sum(cast(o_totalprice as decimal(18,4))) as double) as total
+          from orders
+          group by grouping sets ((o_orderpriority), (o_orderstatus), ())""",
         "range_join": """
           select e.event_id, count(o.o_orderkey) as n_recent_orders
           from events e
@@ -905,6 +1067,18 @@ def oracle_sql() -> dict[str, str]:
           group by user_id, win_start""",
         "feature_compare": _FEATURE_COMPARE_SQL,
         "feature_extract": _FEATURE_EXTRACT_SQL,
+        "feature_extract_union": _FEATURE_EXTRACT_UNION_SQL,
+        "feature_extract_set": f"""
+          with t as (select doc_id, ({_WS})[1:8] as ws from documents)
+          select doc_id,
+                 array_to_string(
+                   list_transform(
+                     list_sort(list_transform(ws, (w, i) ->
+                       {{'f': ('0x' || substr(md5(w), 1, 8))::BIGINT,
+                         'i': i - 1}})),
+                     s -> s.i::VARCHAR || ':' || s.f::VARCHAR),
+                   ',') as set_features
+          from t""",
         "topk_per_group": """
           select user_id, event_id, value from events
           qualify row_number() over (partition by user_id

@@ -148,6 +148,47 @@ def backward_fill(
     return out
 
 
+def time_range_features(
+    df: DataFrame,
+    aggs: Mapping[str, Sequence[str]],
+    duration: str = "1 hour",
+    partition: str | Sequence[str] = "conv_id",
+    ts: str = "ts",
+    include_current: bool = True,
+) -> DataFrame:
+    """Rolling aggregates over a TIME range ``[ts - duration, ts]`` per
+    key — ``{col}_roll_{fn}`` columns via a ``rangeBetween`` frame on
+    ``unix_micros(ts)``. Unlike row frames, a range frame is defined by
+    *value*: all rows at the same timestamp are peers and enter the
+    frame together, so results are deterministic under duplicate
+    timestamps without any tiebreak column.
+
+    ``include_current=False`` ends the frame 1 microsecond before the
+    current timestamp — the strict "features at t see only t' < t"
+    stance; note it excludes ALL rows at ts, including same-ts siblings
+    (which is exactly what zero leakage requires when ts is the
+    knowledge cutoff). Same single shuffle + sort as any other window
+    on the key.
+    """
+    import pandas as pd
+
+    micros = int(pd.Timedelta(duration).total_seconds() * 1_000_000)
+    end = 0 if include_current else -1
+    # cast handles TIMESTAMP_NTZ columns; the session-timezone shift it
+    # applies is constant per partition sort, so frame semantics are
+    # unchanged
+    w = (
+        Window.partitionBy(*_cols(partition))
+        .orderBy(F.unix_micros(F.col(ts).cast("timestamp")))
+        .rangeBetween(-micros, end)
+    )
+    out = df
+    for c, fns in aggs.items():
+        for fn in fns:
+            out = out.withColumn(f"{c}_roll_{fn}", getattr(F, fn)(c).over(w))
+    return out
+
+
 def tumbling_window_agg(
     df: DataFrame,
     aggs: Sequence[Column],

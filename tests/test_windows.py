@@ -174,3 +174,34 @@ def test_session_agg_matches_native_session_window(spark, tdata):
     )
     assert ours["n"].tolist() == want["n"].tolist()
     assert ours["session_start"].tolist() == want["session_start"].tolist()
+
+
+def test_time_range_rolling_frame(spark, tdata):
+    """rangeBetween time frame vs a brute-force pandas oracle, including
+    duplicate timestamps (peers enter the frame together) and the
+    strict include_current=False mode (excludes ALL rows at ts)."""
+    from feat_spark.operators.windows import time_range_features
+
+    df, pdf = tdata
+    df = df.withColumn("n_chars", F.length("text").cast("long"))
+    pdf = pdf.assign(n_chars=pdf["text"].str.len())
+    dur = pd.Timedelta("45 minutes")
+
+    for include_current in (True, False):
+        out = time_range_features(
+            df, {"n_chars": ["sum", "count"]}, duration="45 minutes",
+            partition="conv_id", ts="ts", include_current=include_current,
+        )
+        got = _sorted_pdf(out.select("conv_id", "turn_idx", "ts",
+                                     "n_chars_roll_sum", "n_chars_roll_count"))
+        for _, row in got.iterrows():
+            grp = pdf[pdf["conv_id"] == row["conv_id"]]
+            if include_current:
+                mask = (grp["ts"] >= row["ts"] - dur) & (grp["ts"] <= row["ts"])
+            else:
+                mask = (grp["ts"] >= row["ts"] - dur) & (grp["ts"] < row["ts"])
+            want_n = int(grp.loc[mask, "n_chars"].notna().sum())
+            got_n = 0 if pd.isna(row["n_chars_roll_count"]) else int(row["n_chars_roll_count"])
+            assert got_n == want_n, (row["conv_id"], row["turn_idx"], include_current)
+            if want_n:
+                assert int(row["n_chars_roll_sum"]) == int(grp.loc[mask, "n_chars"].sum())
