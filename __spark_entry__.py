@@ -787,11 +787,86 @@ def _q_knn_lsh(spark, sf_dir):
     )
 
 
+def _q_knn_ivf(spark, sf_dir):
+    """IVF ANN: deterministic coarse quantizer (16 lowest-id vectors),
+    nearest-centroid assignment, 4-probe search. The oracle replicates
+    the WHOLE index — build and probe — so recall misses of the index
+    itself are bit-agreed, like minhash_lsh_dedup."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_topk(
+        e, queries, k=5, id_col="vec_id", vec_col="embedding",
+        n_centroids=16, n_probe=4,
+    )
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return S.embedding_near_dup_pairs(
         e, threshold=0.35, id_col="vec_id", vec_col="embedding", exact=True
     )
+
+
+# ------------------------------------------------------------- multimodal
+
+def _q_media_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end with a REAL oracle: documents'
+    bytes stand in for media payloads (binary column), mapInPandas
+    decodes them with the deterministic fake decoder, and DuckDB
+    recomputes byte length + header-derived metadata in SQL."""
+    from feat_spark.operators.multimodal import (
+        deterministic_fake_decoder,
+        extract_media_features,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit(0).cast("int").alias("media_idx"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.lit("x/fake").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = extract_media_features(
+        media, {t: deterministic_fake_decoder(t) for t in ("image", "audio", "video")}
+    )
+    return feats.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "media_type", "n_bytes", "width", "height", "duration_ms", "decode_ok",
+    )
+
+
+_MEDIA_SQL = """
+with h as (
+  select doc_id, text, doc_id % 3 as m,
+         (coalesce(ascii(nullif(substr(text, 1, 1), '')), 0)::HUGEINT
+          + coalesce(ascii(nullif(substr(text, 2, 1), '')), 0)::HUGEINT * 256
+          + coalesce(ascii(nullif(substr(text, 3, 1), '')), 0)::HUGEINT * 65536
+          + coalesce(ascii(nullif(substr(text, 4, 1), '')), 0)::HUGEINT * 16777216
+          + coalesce(ascii(nullif(substr(text, 5, 1), '')), 0)::HUGEINT * 4294967296
+          + coalesce(ascii(nullif(substr(text, 6, 1), '')), 0)::HUGEINT * 1099511627776
+          + coalesce(ascii(nullif(substr(text, 7, 1), '')), 0)::HUGEINT * 281474976710656
+          + coalesce(ascii(nullif(substr(text, 8, 1), '')), 0)::HUGEINT * 72057594037927936
+         ) as hv
+  from documents)
+select doc_id,
+       case m when 0 then 'image' when 1 then 'audio' else 'video' end as media_type,
+       octet_length(encode(text))::BIGINT as n_bytes,
+       case m when 0 then (64 + hv % 1024)::INT
+              when 2 then (64 + hv % 1920)::INT end as width,
+       case m when 0 then (64 + (hv // 1024) % 1024)::INT
+              when 2 then (64 + (hv // 1024) % 1080)::INT end as height,
+       case m when 1 then (200 + hv % 600000)::BIGINT
+              when 2 then (1000 + hv % 3600000)::BIGINT end as duration_ms,
+       true as decode_ok
+from h
+"""
 
 
 # ---------------------------------------------------------------- contract
@@ -873,7 +948,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near,
         "knn_cosine": _q_knn,
         "knn_cosine_lsh": _q_knn_lsh,  # approximate: rows-only check
+        "knn_cosine_ivf": _q_knn_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
+        "media_features": _q_media_features,
     }
 
 
@@ -960,6 +1037,38 @@ def oracle_sql() -> dict[str, str]:
         "list_dot_product(a.v, b.v) / "
         "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
     )
+    _c = lambda x, y: (
+        f"list_dot_product({x}, {y}) / "
+        f"(sqrt(list_dot_product({x}, {x})) * sqrt(list_dot_product({y}, {y})))"
+    )
+    ivf_sql = f"""
+      with v as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+      cent as (select vec_id as cid, v as cv from v order by vec_id limit 16),
+      assign as (
+        select vec_id, v, cid from (
+          select v.vec_id, v.v, cent.cid,
+                 row_number() over (partition by v.vec_id
+                                    order by {_c('v.v', 'cent.cv')} desc, cent.cid) as rn
+          from v cross join cent)
+        where rn = 1),
+      q as (select vec_id as query_id, v as qv from v where vec_id < 10),
+      probe as (
+        select query_id, qv, cid from (
+          select q.query_id, q.qv, cent.cid,
+                 row_number() over (partition by q.query_id
+                                    order by {_c('q.qv', 'cent.cv')} desc, cent.cid) as rn
+          from q cross join cent)
+        where rn <= 4),
+      scored as (
+        select p.query_id, a.vec_id as neighbor_id, {_c('p.qv', 'a.v')} as cs
+        from probe p join assign a using (cid)
+        where p.query_id != a.vec_id)
+      select query_id, neighbor_id, round(cs, 6) as cos_sim,
+             cast(row_number() over (partition by query_id
+                                     order by cs desc, neighbor_id) as bigint) as rank
+      from scored
+      qualify rank <= 5
+    """
     return {
         "asof_join": _ASOF_SQL,
         "asof_join_broadcast": _ASOF_SQL,
@@ -1204,6 +1313,8 @@ def oracle_sql() -> dict[str, str]:
                                          order by cs desc, neighbor_id) as bigint) as rank
           from scored
           qualify rank <= 5""",
+        "knn_cosine_ivf": ivf_sql,
+        "media_features": _MEDIA_SQL,
         "embedding_near_dup": f"""
           with v as (select vec_id, embedding::DOUBLE[] as v from embeddings)
           select a.vec_id as id_a, b.vec_id as id_b, round({cos}, 6) as cos_sim

@@ -158,6 +158,90 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the classic ANN scale
+    path next to ``lsh_bucketed_topk``.
+
+    Coarse quantizer: ``n_centroids`` centroid vectors. Default pick =
+    the ``n_centroids`` lowest-id corpus rows (deterministic, zero
+    training — fine for tests/oracles); production passes real k-means
+    centroids via ``centroids`` (a tiny ``(centroid_id, vec)`` frame)
+    and nothing else changes. Build: one broadcast pass assigns every
+    corpus vector to its nearest centroid by cosine — at 100 TB that
+    assignment is written as a partition column so probing prunes
+    files/partitions instead of scanning. Search: each query ranks the
+    centroids, brute-forces only its ``n_probe`` nearest inverted
+    lists. All ties (centroid assignment, ranking) break by id so the
+    whole index is deterministic and SQL-twinnable.
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(F.col(id_col).asc())
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cent"))
+        )
+    else:
+        cid, cvec = centroids.columns[:2]
+        centroids = centroids.select(
+            F.col(cid).alias("__cid"), F.col(cvec).alias("__cent")
+        )
+
+    assign_w = Window.partitionBy("neighbor_id").orderBy(
+        F.col("__ccos").desc(), F.col("__cid").asc()
+    )
+    assigned = (
+        c.join(F.broadcast(centroids), F.lit(True))
+        .withColumn("__ccos", cosine(F.col("__cv"), F.col("__cent")))
+        .withColumn("__rn", F.row_number().over(assign_w))
+        .filter(F.col("__rn") == 1)
+        .select("neighbor_id", "__cv", "__cid")
+    )
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("__ccos").desc(), F.col("__cid").asc()
+    )
+    probes = (
+        q.join(F.broadcast(centroids), F.lit(True))
+        .withColumn("__ccos", cosine(F.col("__qv"), F.col("__cent")))
+        .withColumn("__rn", F.row_number().over(probe_w))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "__qv", "__cid")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), ["__cid"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,
