@@ -385,6 +385,55 @@ def _q_sliding(spark, sf_dir):
     return out.select("user_id", "win_start", "n")
 
 
+def _q_pivot(spark, sf_dir):
+    """Pivot (long→wide): per-user event-type counts as columns."""
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    e = _events(spark, sf_dir)
+    out = e.groupBy("user_id").pivot("event_type", kinds).agg(F.count(F.lit(1)))
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(f"n_{k}") for k in kinds],
+    )
+
+
+def _q_ranking(spark, sf_dir):
+    """Ranking family: rank/dense_rank/percent_rank over value ties,
+    ntile over the fully-deterministic ordering."""
+    e = _events(spark, sf_dir)
+    w_ties = Window.partitionBy("user_id").orderBy(F.col("value").desc())
+    w_det = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return e.select(
+        "event_id",
+        F.rank().over(w_ties).cast("long").alias("rnk"),
+        F.dense_rank().over(w_ties).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w_ties), 6).alias("prnk"),
+        F.ntile(4).over(w_det).cast("long").alias("quartile"),
+    )
+
+
+def _q_word_explode(spark, sf_dir):
+    """posexplode (UDTF-shaped lateral): one row per (doc, position,
+    word)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(TXT.words("text")).alias("pos", "word")
+    ).withColumn("pos", F.col("pos").cast("long"))
+
+
+def _q_sketches(spark, sf_dir):
+    """Sketch aggregates (HLL++ distinct, approximate percentile) —
+    approximate by design: rows-only driver check; the pytest suite
+    bounds the error vs exact (test_windows::test_sketch_accuracy)."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5, 1000).alias("p50_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ------------------------------------ reference-core: extract/compare/paths
 
 def _payload_frames(spark, sf_dir):
@@ -931,6 +980,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_extract_union": _q_feature_extract_union,
         "feature_extract_set": _q_feature_extract_set,
         "topk_per_group": _q_topk,
+        "pivot_event_counts": _q_pivot,
+        "ranking_functions": _q_ranking,
+        "word_explode": _q_word_explode,
+        "sketches": _q_sketches,  # approximate: rows-only check
         "feature_hash_extract": _q_feature_hash,
         "q1_pricing_summary": _q_q1,
         "segment_revenue_broadcast": _q_segment_revenue,
@@ -1192,6 +1245,28 @@ def oracle_sql() -> dict[str, str]:
           select user_id, event_id, value from events
           qualify row_number() over (partition by user_id
                                      order by value desc, event_id) <= 3""",
+        "pivot_event_counts": """
+          select user_id,
+                 count(*) filter (event_type = 'click') as n_click,
+                 count(*) filter (event_type = 'view') as n_view,
+                 count(*) filter (event_type = 'purchase') as n_purchase,
+                 count(*) filter (event_type = 'signup') as n_signup,
+                 count(*) filter (event_type = 'error') as n_error
+          from events group by user_id""",
+        "ranking_functions": """
+          select event_id,
+                 cast(rank() over (partition by user_id order by value desc) as bigint) as rnk,
+                 cast(dense_rank() over (partition by user_id order by value desc) as bigint) as drnk,
+                 round(percent_rank() over (partition by user_id order by value desc), 6) as prnk,
+                 cast(ntile(4) over (partition by user_id
+                                     order by value desc, event_id) as bigint) as quartile
+          from events""",
+        "word_explode": f"""
+          with t as (select doc_id, {_WS} as ws from documents)
+          select doc_id, cast(s.pos as bigint) as pos, s.word as word from (
+            select doc_id,
+                   unnest(list_transform(ws, (w, i) -> {{'pos': i - 1, 'word': w}})) as s
+            from t)""",
         "feature_hash_extract": """
           select event_id,
                  json_extract_string(props, '$.k') as k_val,

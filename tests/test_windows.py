@@ -205,3 +205,21 @@ def test_time_range_rolling_frame(spark, tdata):
             assert got_n == want_n, (row["conv_id"], row["turn_idx"], include_current)
             if want_n:
                 assert int(row["n_chars_roll_sum"]) == int(grp.loc[mask, "n_chars"].sum())
+
+
+def test_sketch_accuracy(spark, tdata):
+    """approx_count_distinct (HLL++) and percentile_approx are bounded
+    vs their exact twins — the driver gate is rows-only for these, so
+    the error bound lives here."""
+    df, _ = tdata
+    row = (
+        df.select(
+            F.approx_count_distinct("conv_id").alias("approx"),
+            F.countDistinct("conv_id").alias("exact"),
+            F.percentile_approx("turn_idx", 0.5, 1000).alias("p50a"),
+            F.expr("percentile(turn_idx, 0.5)").alias("p50"),
+        )
+        .collect()[0]
+    )
+    assert abs(row.approx - row.exact) / row.exact <= 0.05
+    assert abs(row.p50a - row.p50) <= 1.0
