@@ -222,4 +222,6 @@ def test_sketch_accuracy(spark, tdata):
         .collect()[0]
     )
     assert abs(row.approx - row.exact) / row.exact <= 0.05
-    assert abs(row.p50a - row.p50) <= 1.0
+    # percentile_approx returns an actual element; exact percentile
+    # interpolates between order statistics — allow one element gap
+    assert abs(row.p50a - row.p50) <= 2.0
