@@ -385,6 +385,27 @@ def _q_sliding(spark, sf_dir):
     return out.select("user_id", "win_start", "n")
 
 
+def _q_salted_agg(spark, sf_dir):
+    """Salted two-phase aggregation: bit-identical to the plain
+    group-by (the oracle) while spreading hot keys across n_salts
+    reducers — decimal sums so the re-association is exact."""
+    from feat_spark.operators.salted import salted_group_agg
+
+    e = _events(spark, sf_dir).withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    out = salted_group_agg(
+        e, "user_id", {"value_dec": ["sum", "count", "min", "max"]}, n_salts=8
+    )
+    return out.select(
+        "user_id",
+        F.col("value_dec_sum").cast("double").alias("sum_value"),
+        F.col("value_dec_count").alias("n"),
+        F.col("value_dec_min").cast("double").alias("min_value"),
+        F.col("value_dec_max").cast("double").alias("max_value"),
+    )
+
+
 def _q_pivot(spark, sf_dir):
     """Pivot (long→wide): per-user event-type counts as columns."""
     kinds = ["click", "view", "purchase", "signup", "error"]
@@ -980,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_extract_union": _q_feature_extract_union,
         "feature_extract_set": _q_feature_extract_set,
         "topk_per_group": _q_topk,
+        "salted_agg_skew": _q_salted_agg,
         "pivot_event_counts": _q_pivot,
         "ranking_functions": _q_ranking,
         "word_explode": _q_word_explode,
@@ -1245,6 +1267,13 @@ def oracle_sql() -> dict[str, str]:
           select user_id, event_id, value from events
           qualify row_number() over (partition by user_id
                                      order by value desc, event_id) <= 3""",
+        "salted_agg_skew": """
+          select user_id,
+                 cast(sum(cast(value as decimal(18,2))) as double) as sum_value,
+                 count(value) as n,
+                 cast(min(cast(value as decimal(18,2))) as double) as min_value,
+                 cast(max(cast(value as decimal(18,2))) as double) as max_value
+          from events group by user_id""",
         "pivot_event_counts": """
           select user_id,
                  count(*) filter (event_type = 'click') as n_click,

@@ -1,0 +1,105 @@
+"""Salted two-phase aggregation — the skew answer for COMMUTATIVE
+aggregates (north rule: "salted repartitioning for hot conversations",
+BASELINE.json:6).
+
+Skew handling in this engine comes in three flavors, by operator class:
+
+* ordered windows  -> ``operators/chunked.py`` (order-aligned prefix
+  sums; salting an ordered window would corrupt it — SURVEY.md §7c);
+* as-of / joins    -> ``operators/asof.py`` ``skew_aware`` (hot-key
+  isolation into a broadcast branch);
+* commutative aggs -> THIS module: append a deterministic salt to the
+  grouping key, aggregate ``(key, salt)`` partials, then merge partials
+  per key. Both stages are hash aggregates with map-side combine; the
+  first shuffle spreads a hot key over ``n_salts`` reducers instead of
+  melting one.
+
+Results are bit-identical to the unsalted aggregate for the supported
+merge-able functions (sum/count/min/max — NOT avg directly: derive it
+as sum/count at the end, which ``salted_group_agg`` does for you).
+
+Note Spark's AQE skew handling does not cover aggregations (only
+joins), so at 10^12-turn scale with Zipf-hot conversations this is the
+difference between a stuck straggler task and an even fan-out.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+#: partial-aggregate -> final-merge function pairs
+_MERGEABLE = {
+    "sum": ("sum", "sum"),
+    "count": ("count", "sum"),
+    "min": ("min", "min"),
+    "max": ("max", "max"),
+}
+
+
+def salted_group_agg(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    aggs: Mapping[str, Sequence[str]],
+    n_salts: int = 16,
+    salt_col: str | None = None,
+) -> DataFrame:
+    """Group-by ``keys`` with ``{col: [fn, ...]}`` aggregates, executed
+    as salt-partial + merge. Output columns ``{col}_{fn}`` (plus
+    ``{col}_avg`` derived from sum/count when requested).
+
+    ``salt_col`` defaults to a deterministic hash of a high-cardinality
+    tiebreak-free expression: ``pmod(xxhash64(monotonically_increasing_
+    id()), n_salts)`` would be nondeterministic across retries, so we
+    salt on ``pmod(xxhash64(*all non-key columns used), n_salts)`` —
+    any spread works because the aggregate is commutative; determinism
+    only matters for plan-stable tests.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    wants_avg = {c for c, fns in aggs.items() if "avg" in fns}
+    plan: dict[str, list[str]] = {}
+    for c, fns in aggs.items():
+        out = [f for f in fns if f != "avg"]
+        if c in wants_avg:
+            out += [f for f in ("sum", "count") if f not in out]
+        for f in out:
+            if f not in _MERGEABLE:
+                raise ValueError(f"{f!r} is not salt-mergeable (use chunked/plain)")
+        plan[c] = out
+
+    value_cols = list(plan)
+    salt = (
+        F.col(salt_col)
+        if salt_col
+        else F.pmod(F.xxhash64(*[F.col(c) for c in value_cols]), F.lit(n_salts))
+    )
+
+    partial = (
+        df.withColumn(_SALT, salt)
+        .groupBy(*keys, _SALT)
+        .agg(
+            *[
+                getattr(F, _MERGEABLE[fn][0])(c).alias(f"__p_{c}_{fn}")
+                for c, fns in plan.items()
+                for fn in fns
+            ]
+        )
+    )
+    final = partial.groupBy(*keys).agg(
+        *[
+            getattr(F, _MERGEABLE[fn][1])(f"__p_{c}_{fn}").alias(f"{c}_{fn}")
+            for c, fns in plan.items()
+            for fn in fns
+        ]
+    )
+    for c in wants_avg:
+        final = final.withColumn(c + "_avg", F.col(f"{c}_sum") / F.col(f"{c}_count"))
+        final = final.drop(
+            *[f"{c}_{fn}" for fn in ("sum", "count") if fn not in aggs[c]]
+        )
+    return final

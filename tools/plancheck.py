@@ -28,8 +28,9 @@ import __spark_entry__ as E  # noqa: E402
 from feat_spark.session import get_spark  # noqa: E402
 
 #: queries allowed a nested-loop/cartesian: exact kNN + exact near-dup
-#: score ALL pairs by contract.
-NL_EXEMPT = {"knn_cosine", "embedding_near_dup"}
+#: score ALL pairs by contract; IVF crosses every vector with the TINY
+#: broadcast centroid set (16 rows) to build/probe the index.
+NL_EXEMPT = {"knn_cosine", "embedding_near_dup", "knn_cosine_ivf"}
 
 #: max Exchange nodes allowed (shuffles; BroadcastExchange excluded).
 #: window/sessionize pipelines must reuse ONE exchange.
@@ -48,6 +49,28 @@ MAX_EXCHANGES = {
     "lang_quality": 0, "doc_fingerprint": 0,
     # broadcast-dim join: the orders side must NOT shuffle
     "segment_revenue_broadcast": 1,
+    # one rangeBetween window = one exchange, like the row-frame ops
+    "time_range_rolling": 1,
+    # rhs-dedup window + the directional union-window exchange
+    "asof_join_forward": 2,
+    # nearest = backward + forward passes over the same key: the rhs
+    # dedup exchange plus two union-window exchanges
+    "asof_join_nearest": 4,
+    # semi/anti against a small filtered build side must broadcast
+    "semi_join": 0, "anti_join": 0,
+    # expand + single hash aggregate
+    "grouping_sets": 1,
+    # pivot = two-phase aggregate on the group key
+    "pivot_event_counts": 2,
+    # two window specs sharing one hashpartitioning(user_id) exchange
+    "ranking_functions": 1,
+    # pure lateral explode: no shuffle at all
+    "word_explode": 0,
+    "feature_extract_union": 0, "feature_extract_set": 0,
+    # partial+final sketch aggregation
+    "sketches": 1,
+    # mapInPandas over the scan: no shuffle
+    "media_features": 0,
 }
 
 #: queries whose scan must show a pushed filter
