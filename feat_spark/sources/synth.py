@@ -103,17 +103,20 @@ def synth_transcripts_pdf(
 
     tool = np.where(role == "tool", _TOOLS[rng.integers(0, 4, n)], None)
 
-    conv_id = np.char.add("conv-", np.char.zfill(conv_ord.astype("U8"), 8))
+    # conv ids: format once per conversation, gather per row (a pandas
+    # object-dtype concat here costs ~minutes at bench scale)
+    ids = np.array([f"conv-{i:08d}" for i in range(n_convs)])
+    conv_id = ids[conv_ord]
     blob = _VOCAB[rng.integers(0, len(_VOCAB), (n, 6))]
-    text = (
-        pd.Series(conv_id)
-        + ":"
-        + pd.Series(turn_idx).astype(str)
-        + ":"
-        + pd.Series(blob[:, 0]) + " " + pd.Series(blob[:, 1]) + " "
-        + pd.Series(blob[:, 2]) + " " + pd.Series(blob[:, 3]) + " "
-        + pd.Series(blob[:, 4]) + " " + pd.Series(blob[:, 5])
-    ).to_numpy()
+    # text assembly via Arrow compute (C++): identical strings to the
+    # old pandas concat, ~50x faster at 38M rows
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    words = pc.binary_join_element_wise(*[pa.array(blob[:, j]) for j in range(6)], " ")
+    text = pc.binary_join_element_wise(
+        pa.array(conv_id), pc.cast(pa.array(turn_idx), pa.string()), words, ":"
+    ).to_numpy(zero_copy_only=False)
 
     pdf = pd.DataFrame(
         {

@@ -40,7 +40,7 @@ def run_level(cpus: int, convs: int, reps: int) -> dict:
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=1800, check=True,
+        env=env, capture_output=True, text=True, timeout=3600, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
