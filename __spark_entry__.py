@@ -722,6 +722,81 @@ def _q_region_rollup(spark, sf_dir):
     )
 
 
+def _q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join (two broadcast dims into the lineitem
+    fact), filtered both sides, grouped revenue, deterministic top-10."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
+    )
+    dec = lambda col: F.col(col).cast("decimal(18,4)")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def _q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join, region/nation/supplier/customer all
+    broadcast, one shuffle for the final group-by."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dec = lambda col: F.col(col).cast("decimal(18,4)")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+_Q3_SQL = """
+  select l_orderkey,
+         o_orderdate, o_orderpriority,
+         cast(sum(cast(l_extendedprice as decimal(18,4)) *
+                  (cast(1 as decimal(18,4)) - cast(l_discount as decimal(18,4)))) as double) as revenue
+  from customer, orders, lineitem
+  where c_mktsegment = 'BUILDING' and c_custkey = o_custkey and l_orderkey = o_orderkey
+    and o_orderdate < timestamp '1997-03-15 00:00:00'
+    and l_shipdate > timestamp '1997-03-15 00:00:00'
+  group by l_orderkey, o_orderdate, o_orderpriority
+  order by revenue desc, o_orderdate, l_orderkey
+  limit 10
+"""
+
+_Q5_SQL = """
+  select n_name,
+         cast(sum(cast(l_extendedprice as decimal(18,4)) *
+                  (cast(1 as decimal(18,4)) - cast(l_discount as decimal(18,4)))) as double) as revenue
+  from customer, orders, lineitem, supplier, nation, region
+  where c_custkey = o_custkey and l_orderkey = o_orderkey and l_suppkey = s_suppkey
+    and c_nationkey = s_nationkey and s_nationkey = n_nationkey and n_regionkey = r_regionkey
+    and r_name = 'ASIA'
+    and o_orderdate >= timestamp '1997-01-01 00:00:00'
+    and o_orderdate < timestamp '1998-01-01 00:00:00'
+  group by n_name
+"""
+
+
 # ----------------------------------------------------------- text analysis
 
 def _q_text_stats(spark, sf_dir):
@@ -1008,6 +1083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketches": _q_sketches,  # approximate: rows-only check
         "feature_hash_extract": _q_feature_hash,
         "q1_pricing_summary": _q_q1,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q5_local_supplier_volume": _q5_local_supplier_volume,
         "segment_revenue_broadcast": _q_segment_revenue,
         "orders_rollup": _q_region_rollup,
         "text_stats": _q_text_stats,
@@ -1311,6 +1388,8 @@ def oracle_sql() -> dict[str, str]:
           from lineitem
           where l_shipdate <= timestamp '1998-09-01 00:00:00'
           group by l_returnflag, l_linestatus""",
+        "q3_shipping_priority": _Q3_SQL,
+        "q5_local_supplier_volume": _Q5_SQL,
         "segment_revenue_broadcast": """
           select c_mktsegment, count(*) as n_orders,
                  cast(sum(cast(o_totalprice as decimal(18,4))) as double) as revenue

@@ -71,6 +71,11 @@ MAX_EXCHANGES = {
     "sketches": 1,
     # mapInPandas over the scan: no shuffle
     "media_features": 0,
+    # all dims broadcast: ONE shuffle for the final aggregate, the
+    # lineitem fact side never exchange-partitions for the joins
+    "q3_shipping_priority": 1, "q5_local_supplier_volume": 1,
+    # salt partial + merge: exactly two hash aggregates, two exchanges
+    "salted_agg_skew": 2,
 }
 
 #: queries whose scan must show a pushed filter
