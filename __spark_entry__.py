@@ -385,6 +385,23 @@ def _q_sliding(spark, sf_dir):
     return out.select("user_id", "win_start", "n")
 
 
+def _q_map_ops(spark, sf_dir):
+    """Map-expression surface (SURVEY §2.9): per-user event-type count
+    map via map_from_entries, probed with try_element_at (missing key →
+    NULL, the reference's undefined semantics) and map_keys."""
+    e = _events(spark, sf_dir)
+    per = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.try_element_at("m", F.lit("purchase")).alias("n_purchase"),
+        F.try_element_at("m", F.lit("error")).alias("n_error"),
+        F.size(F.map_keys(F.col("m"))).alias("n_types"),
+    )
+
+
 def _q_salted_agg(spark, sf_dir):
     """Salted two-phase aggregation: bit-identical to the plain
     group-by (the oracle) while spreading hot keys across n_salts
@@ -1076,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_extract_union": _q_feature_extract_union,
         "feature_extract_set": _q_feature_extract_set,
         "topk_per_group": _q_topk,
+        "map_ops": _q_map_ops,
         "salted_agg_skew": _q_salted_agg,
         "pivot_event_counts": _q_pivot,
         "ranking_functions": _q_ranking,
@@ -1344,6 +1362,12 @@ def oracle_sql() -> dict[str, str]:
           select user_id, event_id, value from events
           qualify row_number() over (partition by user_id
                                      order by value desc, event_id) <= 3""",
+        "map_ops": """
+          select user_id,
+                 nullif(count(*) filter (event_type = 'purchase'), 0) as n_purchase,
+                 nullif(count(*) filter (event_type = 'error'), 0) as n_error,
+                 cast(count(distinct event_type) as int) as n_types
+          from events group by user_id""",
         "salted_agg_skew": """
           select user_id,
                  cast(sum(cast(value as decimal(18,2))) as double) as sum_value,
