@@ -222,3 +222,21 @@ def test_detect_hot_keys(spark, data):
     want = set(lpdf.groupby("conv_id").size().loc[lambda s: s > 50].index)
     assert hot == want
     assert "conv-00000000" in hot  # the designated heavy hitter
+
+
+def test_asof_forward_is_label_path_not_feature_path(spark, data):
+    """direction='forward' attaches FUTURE outcomes (labels) by design:
+    the feature-side leakage audit must reject it, and every matched
+    timestamp must sit at-or-after the row's ts (the mirror property)."""
+    from pyspark.sql import functions as F
+
+    from feat_spark.plans.audit import LeakageError, assert_no_future_reads
+
+    left, right, _, _ = data
+    out = asof_join(
+        left, right, on="conv_id", direction="forward", include_matched_ts=True
+    )
+    bad = out.filter(F.col("matched_ts") < F.col("ts")).count()
+    assert bad == 0
+    with pytest.raises(LeakageError):
+        assert_no_future_reads(out, "ts", "matched_ts", allow_exact=False)
