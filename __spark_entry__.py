@@ -385,6 +385,30 @@ def _q_sliding(spark, sf_dir):
     return out.select("user_id", "win_start", "n")
 
 
+def _q_partition_lineage(spark, sf_dir):
+    """Per-partition lineage frame (north rule: 'per-partition lineage +
+    rows/sec metrics') with a PORTABLE bucket hash so DuckDB reproduces
+    the bucketing bit-for-bit — lineage itself is oracle-checked."""
+    from feat_spark.functions.text import md5_long32
+    from feat_spark.plans.lineage import partition_lineage, with_bucket
+
+    e = _events(spark, sf_dir).withColumn(
+        "purchase_value", F.when(F.col("event_type") == "purchase", F.col("value"))
+    )
+    b = with_bucket(
+        e, key="user_id", n_buckets=16,
+        hash_fn=lambda c: md5_long32(c.cast("string")),
+    )
+    out = partition_lineage(
+        b, ts_col="ts", null_cols=["purchase_value"], key="user_id",
+        exact_distinct=True,
+    )
+    return out.select(
+        F.col("_bucket").alias("bucket"), "rows_out", "min_ts", "max_ts",
+        F.col("n_convs").alias("n_users"), "null_purchase_value",
+    )
+
+
 def _q_map_ops(spark, sf_dir):
     """Map-expression surface (SURVEY §2.9): per-user event-type count
     map via map_from_entries, probed with try_element_at (missing key →
@@ -1093,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_extract_union": _q_feature_extract_union,
         "feature_extract_set": _q_feature_extract_set,
         "topk_per_group": _q_topk,
+        "partition_lineage": _q_partition_lineage,
         "map_ops": _q_map_ops,
         "salted_agg_skew": _q_salted_agg,
         "pivot_event_counts": _q_pivot,
@@ -1362,6 +1387,14 @@ def oracle_sql() -> dict[str, str]:
           select user_id, event_id, value from events
           qualify row_number() over (partition by user_id
                                      order by value desc, event_id) <= 3""",
+        "partition_lineage": f"""
+          select cast({_HX.format(x="cast(user_id as varchar)")} % 16 as int) as bucket,
+                 count(*) as rows_out,
+                 min(ts) as min_ts, max(ts) as max_ts,
+                 count(distinct user_id) as n_users,
+                 sum(case when event_type = 'purchase' then 0 else 1 end) as null_purchase_value
+          from events
+          group by 1""",
         "map_ops": """
           select user_id,
                  nullif(count(*) filter (event_type = 'purchase'), 0) as n_purchase,

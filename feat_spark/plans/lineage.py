@@ -30,13 +30,17 @@ from pyspark.sql import functions as F
 BUCKET_COL = "_bucket"
 
 
-def with_bucket(df: DataFrame, key: str = "conv_id", n_buckets: int = 32) -> DataFrame:
-    """Deterministic, stable partition id: ``pmod(xxhash64(key), n)``.
-    The same expression bucketizes the Iceberg table's hidden
-    partitioning at scale, so lineage rows align with storage layout."""
-    return df.withColumn(
-        BUCKET_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
-    )
+def with_bucket(
+    df: DataFrame, key: str = "conv_id", n_buckets: int = 32, hash_fn=None
+) -> DataFrame:
+    """Deterministic, stable partition id: ``pmod(hash(key), n)`` —
+    xxhash64 by default (native, the same expression bucketizes the
+    Iceberg table's hidden partitioning at scale, so lineage rows align
+    with storage layout). ``hash_fn`` swaps in a portable hash (e.g.
+    ``functions.text.md5_long32``) when an external engine must
+    reproduce the bucketing bit-for-bit (the DuckDB oracle does)."""
+    h = (hash_fn or F.xxhash64)(F.col(key))
+    return df.withColumn(BUCKET_COL, F.pmod(h, F.lit(n_buckets)).cast("int"))
 
 
 def partition_lineage(
@@ -44,14 +48,20 @@ def partition_lineage(
     ts_col: str = "ts",
     null_cols: Sequence[str] = (),
     bucket_col: str = BUCKET_COL,
+    key: str = "conv_id",
+    exact_distinct: bool = False,
 ) -> DataFrame:
     """Per-bucket lineage frame:
-    ``(bucket, rows_out, min_ts, max_ts, n_convs, null_<c>...)``."""
+    ``(bucket, rows_out, min_ts, max_ts, n_convs, null_<c>...)``.
+
+    ``exact_distinct`` swaps the HLL entity count for the exact one —
+    pricier shuffle, used when lineage itself is oracle-checked."""
+    distinct = F.countDistinct(key) if exact_distinct else F.approx_count_distinct(key)
     aggs = [
         F.count(F.lit(1)).alias("rows_out"),
         F.min(ts_col).alias("min_ts"),
         F.max(ts_col).alias("max_ts"),
-        F.approx_count_distinct("conv_id").alias("n_convs"),
+        distinct.alias("n_convs"),
     ]
     for c in null_cols:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}"))
