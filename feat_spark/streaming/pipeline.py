@@ -186,6 +186,172 @@ def stateful_turn_features(
     )
 
 
+def stateful_asof_stream(
+    turns: DataFrame,
+    attrs: DataFrame,
+    on: str = "conv_id",
+    ts: str = "ts",
+    value_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream point-in-time join: attach the latest attribute
+    state with ``ts' <= ts`` to every turn — the streaming twin of
+    ``operators.asof.asof_join`` (union_window semantics).
+
+    Mechanics: tag and union the two streams (one stateless op), group
+    by key, and run ONE ``applyInPandasWithState`` step whose state is
+    the compacted attribute history (see ``state_schema`` note below).
+    Within a micro-batch the attach is a vectorized ``pd.merge_asof``
+    over (state ∪ batch attrs); across micro-batches the history
+    carries both the last-applicable attribute AND any early-arriving
+    future attributes forward, so a turn in batch N matches exactly
+    what the batch engine would match — whether its attribute arrived
+    in batch N-1 with an older ts or in batch N-1 with a ts still
+    ahead of the turn.
+
+    Ordering contract (same as ``stateful_turn_features``): TURNS must
+    arrive in ts order per conversation across micro-batches, and an
+    attribute arriving LATER than a turn it should have matched cannot
+    retro-update already-emitted rows — append-mode streaming reality.
+    (Early-arriving attributes are fully handled; late ones are the
+    watermark's job.) The batch engine is the replay/backfill tool when
+    the bound is violated.
+    """
+    from pyspark.sql import functions as F
+
+    rschema = {f.name: f for f in attrs.schema.fields}
+    if value_cols is None:
+        value_cols = [c for c in attrs.columns if c not in (on, ts)]
+
+    out_fields = list(turns.schema.fields) + [
+        T.StructField(c, rschema[c].dataType, True) for c in value_cols
+    ]
+    out_schema = T.StructType(out_fields)
+    # State = the turn frontier + the COMPACTED attribute history:
+    # attributes can carry timestamps ahead of the turns seen so far
+    # (the attr feed often lands early), so "just the latest attr" is
+    # wrong — keep the latest attr at-or-before the frontier plus every
+    # future attr. That set is exactly what any future in-order turn
+    # can match, and it stays tiny (1 + attr-arrival skew).
+    state_schema = T.StructType(
+        [T.StructField("max_turn_ts_us", T.LongType()),
+         T.StructField("attrs_json", T.StringType())]
+    )
+
+    # Attribute values ride the union as ONE JSON string column: a
+    # NULL-bearing int64 column would cross Arrow->pandas as float64 and
+    # silently lose low bits of 64-bit hashes; JSON keeps integers exact
+    # and the per-attr-row parse cost is negligible (attrs are the
+    # slowly-changing side).
+    tagged_turns = turns.withColumn("__src", F.lit(1))
+    tagged_attrs = attrs.select(
+        F.col(on),
+        F.col(ts),
+        F.to_json(F.struct(*[F.col(c) for c in value_cols])).alias("__attr_json"),
+    ).withColumn("__src", F.lit(0))
+    unified = tagged_turns.unionByName(tagged_attrs, allowMissingColumns=True)
+
+    turn_cols = [f.name for f in turns.schema.fields]
+    out_names = [f.name for f in out_schema.fields]
+    vcols = list(value_cols)
+    ts_col = ts
+    # pandas nullable dtypes so NULL-bearing integer columns survive the
+    # Arrow conversion (float64 NaN -> bigint fails), as in _asof_cogroup
+    nullable = {
+        f.name: ("Int64" if isinstance(f.dataType, T.LongType) else "Int32")
+        for f in out_schema.fields
+        if isinstance(f.dataType, (T.LongType, T.IntegerType))
+    }
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import json
+
+        import pandas as pd
+
+        def expand(json_series):
+            # to_json drops NULL fields -> reindex restores them as None;
+            # json preserves 64-bit integers exactly (the whole point)
+            recs = [json.loads(s) if s else {} for s in json_series]
+            return pd.DataFrame.from_records(recs).reindex(
+                columns=vcols, fill_value=None
+            ).astype(object).where(lambda d: d.notna(), None)
+
+        if state.exists:
+            max_turn_ts_us, attrs_json = state.get
+            history = json.loads(attrs_json) if attrs_json else []
+        else:
+            max_turn_ts_us, history = None, []
+
+        for pdf in pdfs:
+            is_attr = pdf["__src"] == 0
+            batch_attrs = [
+                (int(pd.Timestamp(t).value // 1000), s)
+                for t, s in zip(
+                    pdf.loc[is_attr, ts_col], pdf.loc[is_attr, "__attr_json"]
+                )
+            ]
+            # stable by ts; last-wins on duplicate attr ts = arrival
+            # order, matching the batch engine's _SEQ rule
+            history = sorted(history + batch_attrs, key=lambda p: p[0])
+            dedup: dict[int, str] = {}
+            for t_us, s in history:
+                dedup[t_us] = s
+            history = sorted(dedup.items())
+
+            turn_rows = pdf[~is_attr][turn_cols].sort_values(ts_col, kind="mergesort")
+            if len(turn_rows):
+                if history:
+                    rhs = pd.DataFrame(
+                        {ts_col: pd.to_datetime(
+                            [t for t, _ in history], unit="us"
+                         )}
+                    )
+                    rhs = pd.concat(
+                        [rhs, expand(pd.Series([s for _, s in history]))], axis=1
+                    )
+                    merged = pd.merge_asof(
+                        turn_rows, rhs, on=ts_col,
+                        direction="backward", allow_exact_matches=True,
+                    )
+                else:
+                    merged = turn_rows.copy()
+                    for c in vcols:
+                        merged[c] = None
+                merged = merged[out_names]
+                for c, dt in nullable.items():
+                    merged[c] = merged[c].astype(dt)
+                yield merged
+
+                batch_max = int(pd.Timestamp(turn_rows[ts_col].iloc[-1]).value // 1000)
+                max_turn_ts_us = (
+                    batch_max
+                    if max_turn_ts_us is None
+                    else max(max_turn_ts_us, batch_max)
+                )
+
+            # compact: of the attrs at-or-before the turn frontier only
+            # the latest can ever match again; future attrs all stay
+            if max_turn_ts_us is not None and history:
+                past = [p for p in history if p[0] <= max_turn_ts_us]
+                future = [p for p in history if p[0] > max_turn_ts_us]
+                history = (past[-1:] if past else []) + future
+
+        if history or max_turn_ts_us is not None:
+            state.update((max_turn_ts_us, json.dumps(history)))
+
+    return (
+        unified.withWatermark(ts, watermark)
+        .groupBy(on)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def _parse_gap_seconds(gap: str) -> int:
     qty, unit = gap.split()
     mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,

@@ -95,3 +95,56 @@ def test_stateful_turn_features_parity(spark, stream_dir, batch_df):
     }
     assert len(got) == batch_df.count()
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def asof_stream_dirs(spark, tmp_path_factory):
+    """Two source streams: conv_attrs (one file) and transcripts (two
+    files, conversation-ordered) — batch 2's turns must match
+    attributes held in STATE from batch 1."""
+    from feat_spark.sources.synth import synth_conv_attrs_pdf
+
+    td = tmp_path_factory.mktemp("asof_turns")
+    ad = tmp_path_factory.mktemp("asof_attrs")
+    tpdf = synth_transcripts_pdf(n_convs=20, mean_turns=10, seed=9)
+    tpdf = tpdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    cut = len(tpdf) // 2
+    tpdf.iloc[:cut].to_parquet(os.path.join(td, "part1.parquet"), index=False)
+    tpdf.iloc[cut:].to_parquet(os.path.join(td, "part2.parquet"), index=False)
+    synth_conv_attrs_pdf(n_convs=20, seed=9).to_parquet(
+        os.path.join(ad, "attrs.parquet"), index=False
+    )
+    return str(td), str(ad)
+
+
+def test_stateful_asof_stream_parity(spark, asof_stream_dirs):
+    """Stream-stream as-of (state across micro-batches) == the batch
+    union_window as-of on the same rows. The turns source feeds one
+    file per micro-batch, so half the turns can only match through the
+    carried attribute state."""
+    from feat_spark.operators.asof import asof_join
+    from feat_spark.sources.synth import CONV_ATTRS_SCHEMA
+    from feat_spark.streaming.pipeline import stateful_asof_stream
+
+    td, ad = asof_stream_dirs
+    turns = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(td)
+    )
+    attrs = spark.readStream.schema(CONV_ATTRS_SCHEMA).parquet(ad)
+    out = stateful_asof_stream(turns, attrs, on="conv_id", ts="ts")
+    run_to_memory(out, "asof_stream", "append")
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["attr_hash"], r["plan"])
+        for r in spark.table("asof_stream").collect()
+    }
+
+    batch_turns = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(td)
+    batch_attrs = spark.read.schema(CONV_ATTRS_SCHEMA).parquet(ad)
+    want = {
+        (r["conv_id"], r["turn_idx"]): (r["attr_hash"], r["plan"])
+        for r in asof_join(batch_turns, batch_attrs, on="conv_id").collect()
+    }
+    assert len(got) == batch_turns.count()
+    assert got == want
