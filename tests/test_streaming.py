@@ -33,7 +33,20 @@ def stream_dir(spark, tmp_path_factory):
     cut = len(pdf) // 2
     pdf.iloc[:cut].to_parquet(os.path.join(d, "part1.parquet"), index=False)
     pdf.iloc[cut:].to_parquet(os.path.join(d, "part2.parquet"), index=False)
+    _space_mtimes(d, ["part1.parquet", "part2.parquet"])
     return str(d)
+
+
+def _space_mtimes(d, names, gap_s=60):
+    """FileStreamSource orders micro-batches by file modification time;
+    files written milliseconds apart can tie and arrive in either order
+    (observed flake). Pin an unambiguous order."""
+    import time
+
+    base = time.time() - gap_s * (len(names) + 1)
+    for i, name in enumerate(names):
+        t = base + i * gap_s
+        os.utime(os.path.join(d, name), (t, t))
 
 
 @pytest.fixture(scope="module")
@@ -111,6 +124,7 @@ def asof_stream_dirs(spark, tmp_path_factory):
     cut = len(tpdf) // 2
     tpdf.iloc[:cut].to_parquet(os.path.join(td, "part1.parquet"), index=False)
     tpdf.iloc[cut:].to_parquet(os.path.join(td, "part2.parquet"), index=False)
+    _space_mtimes(td, ["part1.parquet", "part2.parquet"])
     synth_conv_attrs_pdf(n_convs=20, seed=9).to_parquet(
         os.path.join(ad, "attrs.parquet"), index=False
     )
