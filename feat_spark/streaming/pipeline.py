@@ -282,7 +282,16 @@ def stateful_asof_stream(
         else:
             max_turn_ts_us, history = None, []
 
-        for pdf in pdfs:
+        # One group's micro-batch may arrive as SEVERAL Arrow chunks
+        # (chunk size follows arrow.maxRecordsPerBatch, an environment
+        # detail) — attrs in a later chunk must still be visible to
+        # turns in an earlier one, exactly as in the batch engine.
+        # A group-batch is bounded state by this operator's contract,
+        # so materializing it is safe.
+        chunks = [p for p in pdfs if len(p)]
+        batches = [pd.concat(chunks, ignore_index=True)] if chunks else []
+
+        for pdf in batches:
             is_attr = pdf["__src"] == 0
             batch_attrs = [
                 (int(pd.Timestamp(t).value // 1000), s)
