@@ -173,14 +173,22 @@ def _asof_union_window(
     # then holds the rows at-or-after the left row, and flipping _SEQ
     # makes the EARLIEST input row win among equal right timestamps
     # (pd.merge_asof's forward rule; backward is last-wins).
+    #
+    # NULL timestamps never match, in either role, matching the
+    # broadcast strategy (NULL comparison -> no match): NULL-ts rows
+    # sort FIRST in both directions (asc default is nulls-first; forward
+    # needs desc_nulls_first explicitly, or a NULL-ts left row would
+    # sort last with every right row in its frame), and a NULL-ts right
+    # row's pack is nulled so ignorenulls skips it.
     src_order = F.col(_SRC).asc() if exact else F.col(_SRC).desc()
-    ts_order = F.col(_TS).asc() if back else F.col(_TS).desc()
+    ts_order = F.col(_TS).asc() if back else F.col(_TS).desc_nulls_first()
     seq_order = F.col(_SEQ).asc_nulls_last() if back else F.col(_SEQ).desc_nulls_last()
     w = (
         Window.partitionBy(*keys)
         .orderBy(ts_order, src_order, seq_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    both = both.withColumn(_PACK, F.when(F.col(_TS).isNotNull(), F.col(_PACK)))
     filled = both.withColumn(_PACK, F.last(_PACK, ignorenulls=True).over(w))
     return filled.filter(F.col(_SRC) == 1)
 
@@ -203,7 +211,11 @@ def _asof_broadcast(
         order = [F.col(_TS).asc_nulls_last(), F.col(_SEQ).asc_nulls_last()]
     else:  # nearest: all same-key candidates, ranked by |distance|,
         # equal-distance tie to the backward side (pandas' rule), then
-        # the per-side _SEQ rule (backward last-wins / forward first-wins)
+        # the per-side _SEQ rule (backward last-wins / forward first-wins).
+        # NULL ts on either side -> no candidate (backward/forward get
+        # this for free from NULL comparisons; here the rank-by-distance
+        # would otherwise pick an arbitrary row among all-NULL distances)
+        cond = cond & lft[left_ts].isNotNull() & rgt[_TS].isNotNull()
         if not exact:
             cond = cond & (rgt[_TS] != lft[left_ts])
         dist = F.abs(

@@ -52,12 +52,17 @@ def salted_group_agg(
     as salt-partial + merge. Output columns ``{col}_{fn}`` (plus
     ``{col}_avg`` derived from sum/count when requested).
 
-    ``salt_col`` defaults to a deterministic hash of a high-cardinality
-    tiebreak-free expression: ``pmod(xxhash64(monotonically_increasing_
-    id()), n_salts)`` would be nondeterministic across retries, so we
-    salt on ``pmod(xxhash64(*all non-key columns used), n_salts)`` —
-    any spread works because the aggregate is commutative; determinism
-    only matters for plan-stable tests.
+    ``salt_col`` defaults to ``pmod(xxhash64(<ALL non-key columns>),
+    n_salts)`` — deterministic (``monotonically_increasing_id`` would
+    differ across task retries), and hashing every non-key column (not
+    just the aggregated ones) keeps the spread alive when the
+    aggregated value itself is constant or low-cardinality for a hot
+    key (a flag, a repeated price): any timestamp/id column in the
+    frame restores the entropy. Any spread is correct because the
+    aggregate is commutative. If EVERY non-key column is
+    low-cardinality, pass ``salt_col`` explicitly — the degenerate
+    single-salt case silently reverts to the unsalted straggler this
+    operator exists to avoid.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
 
@@ -72,11 +77,11 @@ def salted_group_agg(
                 raise ValueError(f"{f!r} is not salt-mergeable (use chunked/plain)")
         plan[c] = out
 
-    value_cols = list(plan)
+    entropy_cols = [c for c in df.columns if c not in keys and c != _SALT]
     salt = (
         F.col(salt_col)
         if salt_col
-        else F.pmod(F.xxhash64(*[F.col(c) for c in value_cols]), F.lit(n_salts))
+        else F.pmod(F.xxhash64(*[F.col(c) for c in entropy_cols]), F.lit(n_salts))
     )
 
     partial = (

@@ -112,13 +112,18 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _turn_feature_fn(gap_seconds: int):
+def _turn_feature_fn(gap_seconds: int, ttl_ms: int):
     gap_us = gap_seconds * 1_000_000
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         import pandas as pd  # local: keep the closure free of module globals
+        if state.hasTimedOut:
+            # conversation idle past watermark + ttl: evict — without
+            # this, state grows monotonically with conv cardinality
+            state.remove()
+            return
         # Arrow-batched, vectorized within each micro-batch group — the
         # only Python in the engine's streaming hot path, and it is
         # pandas-vectorized per BASELINE.json:15 ("no per-row Python"
@@ -153,6 +158,11 @@ def _turn_feature_fn(gap_seconds: int):
             session_id = int(sess.iloc[-1])
             yield out
         state.update((n, last_ts_us, session_id))
+        # evict when the watermark passes last activity + ttl; the max
+        # with the watermark keeps the timestamp legal (> watermark) and
+        # meaningful on the first batch, when the watermark is still 0
+        base_ms = max(state.getCurrentWatermarkMs(), (last_ts_us or 0) // 1000)
+        state.setTimeoutTimestamp(base_ms + ttl_ms)
 
     return fn
 
@@ -162,10 +172,17 @@ def stateful_turn_features(
     gap: str = "30 minutes",
     watermark: str = "2 hours",
     ts: str = "ts",
+    state_ttl: str = "30 days",
 ) -> DataFrame:
     """Custom stateful operator: running turn count + gap-session id per
     conversation, exactly the batch ``sessionize``/``cumulative``
     semantics, carried across micro-batches in GroupState.
+
+    ``state_ttl`` bounds state size: a conversation idle past
+    ``watermark + state_ttl`` (event time) is evicted; if it later
+    resumes, it restarts as a fresh conversation. Without eviction,
+    state grows with total conversation cardinality forever — the TTL
+    is what makes a year-long run bounded by ACTIVE conversations.
 
     NOTE: within-conversation order across micro-batches follows
     arrival (file/commit) order — upstream must deliver a conversation's
@@ -173,15 +190,16 @@ def stateful_turn_features(
     transcript feeds; the batch engine is the replay tool when not).
     """
     gap_seconds = _parse_gap_seconds(gap)
+    ttl_ms = _parse_gap_seconds(state_ttl) * 1000
     return (
         stream.withWatermark(ts, watermark)
         .groupBy("conv_id")
         .applyInPandasWithState(
-            _turn_feature_fn(gap_seconds),
+            _turn_feature_fn(gap_seconds, ttl_ms),
             outputStructType=TURN_STATE_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
@@ -193,6 +211,7 @@ def stateful_asof_stream(
     ts: str = "ts",
     value_cols: list[str] | None = None,
     watermark: str = "2 hours",
+    state_ttl: str = "30 days",
 ) -> DataFrame:
     """Stream-stream point-in-time join: attach the latest attribute
     state with ``ts' <= ts`` to every turn — the streaming twin of
@@ -263,10 +282,19 @@ def stateful_asof_stream(
         if isinstance(f.dataType, (T.LongType, T.IntegerType))
     }
 
+    ttl_ms = _parse_gap_seconds(state_ttl) * 1000
+
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         import json
 
         import pandas as pd
+
+        if state.hasTimedOut:
+            # key idle past watermark + ttl: evict attr history — this
+            # (not the compaction) is what bounds state by ACTIVE keys,
+            # and it also drops future-dated attrs of a stalled key
+            state.remove()
+            return
 
         def expand(json_series):
             # to_json drops NULL fields -> reindex restores them as None;
@@ -347,6 +375,15 @@ def stateful_asof_stream(
 
         if history or max_turn_ts_us is not None:
             state.update((max_turn_ts_us, json.dumps(history)))
+            # last activity = newest of (turn frontier, newest attr);
+            # max with watermark keeps the timestamp legal on batch 1
+            last_ms = max(
+                [(max_turn_ts_us or 0) // 1000]
+                + [t // 1000 for t, _ in history[-1:]]
+            )
+            state.setTimeoutTimestamp(
+                max(state.getCurrentWatermarkMs(), last_ms) + ttl_ms
+            )
 
     return (
         unified.withWatermark(ts, watermark)
@@ -356,7 +393,7 @@ def stateful_asof_stream(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
@@ -364,7 +401,7 @@ def stateful_asof_stream(
 def _parse_gap_seconds(gap: str) -> int:
     qty, unit = gap.split()
     mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
-            "hour": 3600, "hours": 3600}[unit]
+            "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
     return int(qty) * mult
 
 

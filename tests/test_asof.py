@@ -240,3 +240,37 @@ def test_asof_forward_is_label_path_not_feature_path(spark, data):
     assert bad == 0
     with pytest.raises(LeakageError):
         assert_no_future_reads(out, "ts", "matched_ts", allow_exact=False)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("strategy", ["union_window", "broadcast"])
+def test_null_ts_never_matches(spark, direction, strategy):
+    """NULL timestamps never match, in either role, in any direction or
+    strategy (advisor finding: under `ts desc` a NULL-ts left row sorted
+    LAST in the forward union_window path, putting every right row in
+    its frame and spuriously matching the earliest one)."""
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, 10)
+    left = spark.createDataFrame(
+        [("c1", 1, t), ("c1", 2, None), ("c2", 1, None)],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("c1", dt.datetime(2024, 1, 1, 9), 100),
+            ("c1", None, 999),
+            ("c2", None, 888),
+        ],
+        "conv_id string, ts timestamp, attr int",
+    )
+    out = asof_join(
+        left, right, on="conv_id", strategy=strategy, direction=direction,
+        value_cols=["attr"],
+    )
+    got = {(r["conv_id"], r["turn_idx"]): r["attr"] for r in out.collect()}
+    # NULL-ts left rows: no match; NULL-ts right rows: invisible
+    assert got[("c1", 2)] is None
+    assert got[("c2", 1)] is None
+    # the non-NULL row still matches normally (backward/nearest find 9:00)
+    assert got[("c1", 1)] == (None if direction == "forward" else 100)

@@ -162,3 +162,50 @@ def test_stateful_asof_stream_parity(spark, asof_stream_dirs):
     }
     assert len(got) == batch_turns.count()
     assert got == want
+
+
+def _write_turn_file(d, name, rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    pdf.to_parquet(os.path.join(d, name), index=False)
+
+
+def test_state_ttl_eviction(spark, tmp_path_factory):
+    """Event-time TTL (advisor finding: NoTimeout grew state with total
+    conversation cardinality forever): a conversation idle past
+    watermark + ttl is evicted and restarts fresh; a long ttl carries
+    state across the same gap."""
+    import pandas as pd
+
+    d = str(tmp_path_factory.mktemp("ttl"))
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    D = pd.Timedelta
+    _write_turn_file(d, "f1.parquet", [("a", 1, t0), ("a", 2, t0 + D("5 minutes"))])
+    _write_turn_file(d, "f2.parquet", [("b", 1, t0 + D("40 days"))])
+    # batch 3: 'a' has no data and the watermark (t0+40d-2h) now exceeds
+    # its last-activity+ttl timeout -> evicted (small ttl only)
+    _write_turn_file(d, "f3.parquet", [("b", 2, t0 + D("40 days 1 hour"))])
+    _write_turn_file(d, "f4.parquet", [("a", 3, t0 + D("40 days 2 hours"))])
+    names = ["f1.parquet", "f2.parquet", "f3.parquet", "f4.parquet"]
+    _space_mtimes(d, names)
+    schema = "conv_id string, turn_idx int, ts timestamp"
+
+    def run(ttl, sink):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        run_to_memory(stateful_turn_features(stream, "30 minutes", state_ttl=ttl), sink)
+        return {
+            (r["conv_id"], r["turn_idx"]): r["turns_so_far"]
+            for r in spark.table(sink).collect()
+        }
+
+    evicted = run("1 day", "ttl_small")
+    assert evicted[("a", 3)] == 1  # state dropped: fresh conversation
+    kept = run("3650 days", "ttl_large")
+    assert kept[("a", 3)] == 3  # state carried across the gap
