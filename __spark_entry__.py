@@ -1140,12 +1140,43 @@ def _q_knn(spark, sf_dir):
 
 
 def _q_knn_lsh(spark, sf_dir):
+    """LSH ANN with multi-probe (Hamming-1 buckets). The hyperplanes are
+    md5-derived, so the DuckDB oracle replicates the WHOLE index —
+    bucketing, probing, ranking — and the row is fully hash-checked
+    (bit-agreed recall misses included), like minhash_lsh_dedup."""
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.lsh_bucketed_topk(
-        e, queries, k=5, id_col="vec_id", vec_col="embedding", planes=3, dim=64
+        e, queries, k=5, id_col="vec_id", vec_col="embedding", planes=3, dim=64,
+        probe_hamming=1,
+    )
+
+
+def _q_knn_lsh_recall(spark, sf_dir):
+    """Recall@5 of the multi-probe LSH result against the exact top-k —
+    the index-quality metric the VERDICT asked for, oracle-checked end
+    to end (DuckDB recomputes the index, the exact kNN, and the same
+    recall)."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lsh = S.lsh_bucketed_topk(
+        e, queries, k=5, id_col="vec_id", vec_col="embedding", planes=3, dim=64,
+        probe_hamming=1,
+    )
+    exact = S.cosine_topk(e, queries, k=5, id_col="vec_id", vec_col="embedding")
+    hits = exact.join(
+        lsh.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_hits"))
+        .withColumn("recall_at_5", F.round(F.col("n_hits") / 5.0, 4))
     )
 
 
@@ -1274,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near,
         "knn_cosine": _q_knn,
         "knn_cosine_lsh": _q_knn_lsh,
+        "knn_lsh_recall": _q_knn_lsh_recall,
         "knn_cosine_ivf": _q_knn_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
         "media_features": _q_media_features,
@@ -1419,6 +1451,64 @@ def oracle_sql() -> dict[str, str]:
         f"list_dot_product({x}, {y}) / "
         f"(sqrt(list_dot_product({x}, {x})) * sqrt(list_dot_product({y}, {y})))"
     )
+    # Random-hyperplane LSH twin (similarity.lsh_bucketed_topk): the
+    # planes are md5-derived, so DuckDB rebuilds the identical index.
+    # planes=3, dim=64, multi-probe Hamming<=1 (masks 0,1,2,4).
+    _comps = (
+        "list_transform(generate_series(1, 64), i -> "
+        "(('0x' || substr(md5(p::varchar || ':' || (i-1)::varchar), 1, 8))::BIGINT"
+        " / 4294967296.0 - 0.5))"
+    )
+    _bucket = (
+        "cast(list_sum(list_transform(generate_series(0, 2), p -> "
+        f"case when list_dot_product({{v}}, {_comps}) >= 0 "
+        "then (1::BIGINT << (2 - p)) else 0 end)) as bigint)"
+    )
+    lsh_topk_core = f"""
+      v as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+      b as (select vec_id, v, {_bucket.format(v="v")} as bucket from v),
+      qb as (select vec_id as query_id, v as qv, bucket as qbk from b
+             where vec_id < 10),
+      probes as (select query_id, qv,
+                        unnest([xor(qbk, 0), xor(qbk, 1), xor(qbk, 2), xor(qbk, 4)]) as bucket
+                 from qb),
+      lsh_scored as (
+        select p.query_id, b.vec_id as neighbor_id,
+               list_dot_product(p.qv, b.v) /
+                 (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(b.v, b.v))) as cs
+        from probes p join b using (bucket)
+        where p.query_id != b.vec_id),
+      lsh_topk as (
+        select query_id, neighbor_id, round(cs, 6) as cos_sim,
+               cast(row_number() over (partition by query_id
+                                       order by cs desc, neighbor_id) as bigint) as rank
+        from lsh_scored
+        qualify rank <= 5)
+    """
+    knn_lsh_sql = f"""
+      with {lsh_topk_core}
+      select query_id, neighbor_id, cos_sim, rank from lsh_topk
+    """
+    knn_lsh_recall_sql = f"""
+      with {lsh_topk_core},
+      exact_scored as (
+        select a.query_id, b.vec_id as neighbor_id,
+               list_dot_product(a.qv, b.v) /
+                 (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.v, b.v))) as cs
+        from qb a join v b on a.query_id != b.vec_id),
+      exact_topk as (
+        select query_id, neighbor_id
+        from exact_scored
+        qualify row_number() over (partition by query_id
+                                   order by cs desc, neighbor_id) <= 5)
+      select e.query_id,
+             cast(sum(case when l.neighbor_id is not null then 1 else 0 end) as bigint) as n_hits,
+             round(sum(case when l.neighbor_id is not null then 1 else 0 end) / 5.0, 4) as recall_at_5
+      from exact_topk e
+      left join lsh_topk l
+        on e.query_id = l.query_id and e.neighbor_id = l.neighbor_id
+      group by e.query_id
+    """
     ivf_sql = f"""
       with v as (select vec_id, embedding::DOUBLE[] as v from embeddings),
       cent as (select vec_id as cid, v as cv from v order by vec_id limit 16),
@@ -1751,6 +1841,8 @@ def oracle_sql() -> dict[str, str]:
                                          order by cs desc, neighbor_id) as bigint) as rank
           from scored
           qualify rank <= 5""",
+        "knn_cosine_lsh": knn_lsh_sql,
+        "knn_lsh_recall": knn_lsh_recall_sql,
         "knn_cosine_ivf": ivf_sql,
         "media_features": _MEDIA_SQL,
         "embedding_near_dup": f"""

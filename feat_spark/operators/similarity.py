@@ -125,19 +125,31 @@ def lsh_bucketed_topk(
     query_id_col: str = "query_id",
     planes: int = 4,
     dim: int = 64,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's
     hyperplane bucket. At 100 TB the corpus is bucketed ONCE (written
     bucket-partitioned), so each query touches ~1/2^planes of the data.
-    """
+
+    ``probe_hamming`` enables multi-probe: each query also probes every
+    bucket within that Hamming distance of its own (sign flips are the
+    likeliest LSH misses — a near neighbor lands across one hyperplane).
+    Cost multiplies by ~sum(C(planes, i) for i <= h) probed buckets —
+    still a tiny corpus fraction — and recall rises sharply; measured by
+    the ``knn_lsh_recall`` driver query against the exact result."""
     c = with_lsh_bucket(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
         "__cv", planes, dim,
     )
     q = with_lsh_bucket(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
-        "__qv", planes, dim,
+        "__qv", planes, dim, out_col="__b0",
     )
+    masks = [m for m in range(1 << planes) if bin(m).count("1") <= probe_hamming]
+    q = q.withColumn(
+        "bucket",
+        F.explode(F.array(*[F.col("__b0").bitwiseXOR(F.lit(m)) for m in masks])),
+    ).drop("__b0")
     scored = (
         c.join(F.broadcast(q), ["bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -58,3 +58,20 @@ def test_lsh_topk_subset_of_exact_ordering(spark, vectors):
         g = grp.sort_values("rank")
         assert g["rank"].tolist() == list(range(1, len(g) + 1))
         assert g["neighbor_id"].is_unique
+
+
+def test_multiprobe_lifts_recall(spark, vectors):
+    """Multi-probe (Hamming-1 neighbor buckets) must strictly widen the
+    candidate set vs single-probe and lift recall@5 above a floor; the
+    driver's knn_lsh_recall query is the oracle-checked twin of this."""
+    e, q = vectors
+    exact = _pairs(cosine_topk(e, q, k=5))
+    single = _pairs(lsh_bucketed_topk(e, q, k=5, planes=3, dim=64))
+    multi = _pairs(lsh_bucketed_topk(e, q, k=5, planes=3, dim=64, probe_hamming=1))
+    r_single = len(single & exact) / len(exact)
+    r_multi = len(multi & exact) / len(exact)
+    assert r_multi >= r_single  # probing more buckets can't lose recall
+    assert r_multi >= 0.5  # measured ~0.7 on near-uniform synth vectors
+    # full probe (h = planes) degenerates to brute force = exact recall
+    full = _pairs(lsh_bucketed_topk(e, q, k=5, planes=3, dim=64, probe_hamming=3))
+    assert full == exact
