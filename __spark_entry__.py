@@ -1181,17 +1181,22 @@ def _q_knn_lsh_recall(spark, sf_dir):
 
 
 def _q_knn_ivf(spark, sf_dir):
-    """IVF ANN: deterministic coarse quantizer (16 lowest-id vectors),
-    nearest-centroid assignment, 4-probe search. The oracle replicates
-    the WHOLE index — build and probe — so recall misses of the index
+    """IVF ANN with a TRAINED coarse quantizer: 2 deterministic Lloyd
+    iterations (seeded init = 16 lowest-id vectors, decimal-summed
+    means so training is order-independent), nearest-centroid
+    assignment, 4-probe search. The oracle replicates the WHOLE index —
+    k-means training, build, and probe — so recall misses of the index
     itself are bit-agreed, like minhash_lsh_dedup."""
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    cents = S.kmeans_centroids(
+        e, n_centroids=16, iters=2, id_col="vec_id", vec_col="embedding"
+    )
     return S.ivf_topk(
         e, queries, k=5, id_col="vec_id", vec_col="embedding",
-        n_centroids=16, n_probe=4,
+        n_centroids=16, n_probe=4, centroids=cents,
     )
 
 
@@ -1509,9 +1514,38 @@ def oracle_sql() -> dict[str, str]:
         on e.query_id = l.query_id and e.neighbor_id = l.neighbor_id
       group by e.query_id
     """
+    # 2 deterministic Lloyd iterations (twin of similarity.kmeans_centroids):
+    # decimal-summed means make training order-independent, hence replayable
+    lloyd = ["cent0 as (select vec_id as cid, v as cv from v order by vec_id limit 16)"]
+    for it in (1, 2):
+        p = f"cent{it - 1}"
+        lloyd += [
+            f"""a{it} as (
+            select vec_id, v, cid from (
+              select v.vec_id, v.v, c.cid,
+                     row_number() over (partition by v.vec_id
+                                        order by {_c('v.v', 'c.cv')} desc, c.cid) as rn
+              from v cross join {p} c) where rn = 1)""",
+            f"""m{it} as (
+            select cid, s.pos as pos,
+                   round(cast(sum(s.x::DECIMAL(27,12)) as double) / count(*), 6) as m
+            from (select cid,
+                         unnest(list_transform(v, (x, i) -> {{'pos': i, 'x': x}})) as s
+                  from a{it})
+            group by cid, s.pos)""",
+            f"""g{it} as (
+            select cid,
+                   list_transform(list_sort(list({{'pos': pos, 'm': m}})), t -> t.m) as cv
+            from m{it} group by cid)""",
+            f"""cent{it} as (
+            select prv.cid, coalesce(nxt.cv, prv.cv) as cv
+            from cent{it - 1} prv left join g{it} nxt on prv.cid = nxt.cid)""",
+        ]
+    lloyd_ctes = ",\n      ".join(lloyd)
     ivf_sql = f"""
       with v as (select vec_id, embedding::DOUBLE[] as v from embeddings),
-      cent as (select vec_id as cid, v as cv from v order by vec_id limit 16),
+      {lloyd_ctes},
+      cent as (select cid, cv from cent2),
       assign as (
         select vec_id, v, cid from (
           select v.vec_id, v.v, cent.cid,

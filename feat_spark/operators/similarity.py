@@ -170,6 +170,78 @@ def lsh_bucketed_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd iterations for the IVF coarse quantizer —
+    returns ``(__cid, __cent)`` ready for ``ivf_topk(centroids=...)``.
+
+    Init = the ``n_centroids`` lowest-id vectors (seeded, zero-config,
+    reproducible). Each iteration: nearest-centroid assignment by
+    cosine (centroids broadcast, corpus never shuffled), then the
+    element-wise cluster mean. The mean is summed in DECIMAL(27,12),
+    not double: decimal addition is associative, so the result is
+    bit-identical regardless of partitioning/partial-agg order — which
+    is what lets an external engine (the DuckDB oracle) replay the
+    training bit-for-bit. Empty clusters keep their previous centroid.
+
+    At 100 TB: train on a bounded sample (pass ``corpus.sample(...)``
+    or a ``limit``-ed frame) — centroid quality needs thousands of
+    points, not the full corpus; full-corpus assignment happens once in
+    ``ivf_topk`` and is written as a partition column.
+    """
+    as_double = lambda c: F.transform(c, lambda x: x.cast("double"))
+    cent = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("__cid"), as_double(vec_col).alias("__cent"))
+    )
+    base = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    assign_w = Window.partitionBy("__id").orderBy(
+        F.col("__ccos").desc(), F.col("__cid").asc()
+    )
+    for _ in range(iters):
+        assigned = (
+            base.join(F.broadcast(cent), F.lit(True))
+            .withColumn("__ccos", cosine(F.col("__v"), F.col("__cent")))
+            .withColumn("__rn", F.row_number().over(assign_w))
+            .filter(F.col("__rn") == 1)
+            .select("__id", "__v", "__cid")
+        )
+        means = (
+            assigned.select("__cid", F.posexplode("__v").alias("__pos", "__x"))
+            .groupBy("__cid", "__pos")
+            .agg(
+                # double FIRST, then decimal: float->decimal uses the
+                # float's shortest decimal repr (can differ ~1e-9 from
+                # the binary value an engine that widens float->double
+                # first would see); double->decimal agrees across engines
+                F.round(
+                    F.sum(F.col("__x").cast("double").cast("decimal(27,12)"))
+                    .cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("__m")
+            )
+        )
+        assembled = means.groupBy("__cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+                lambda s: s["__m"],
+            ).alias("__new")
+        )
+        cent = (
+            cent.select("__cid", F.col("__cent").alias("__prev"))
+            .join(assembled, "__cid", "left")
+            .select("__cid", F.coalesce("__new", "__prev").alias("__cent"))
+        )
+    return cent
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

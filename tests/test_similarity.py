@@ -75,3 +75,44 @@ def test_multiprobe_lifts_recall(spark, vectors):
     # full probe (h = planes) degenerates to brute force = exact recall
     full = _pairs(lsh_bucketed_topk(e, q, k=5, planes=3, dim=64, probe_hamming=3))
     assert full == exact
+
+
+def test_kmeans_ivf_recall(spark, vectors):
+    """Trained coarse quantizer (2 Lloyd iterations, decimal-summed
+    means): deterministic across runs, and on CLUSTERED data (the
+    regime k-means exists for) it beats the untrained lowest-id-init
+    index at equal probe cost. On near-uniform vectors training neither
+    helps nor is needed - any 16 seeds cover the sphere equally."""
+    import numpy as np
+
+    from feat_spark.operators.similarity import kmeans_centroids
+
+    e, q = vectors
+    c1 = kmeans_centroids(e, n_centroids=16, iters=2)
+    c2 = kmeans_centroids(e, n_centroids=16, iters=2)
+    p1 = {(r["__cid"], tuple(r["__cent"])) for r in c1.collect()}
+    p2 = {(r["__cid"], tuple(r["__cent"])) for r in c2.collect()}
+    assert p1 == p2  # order-independent training: bit-identical twice
+
+    # clustered corpus: 16 well-separated centers, 20 members each
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(16, 64)) * 4.0
+    pts = np.repeat(centers, 20, axis=0) + rng.normal(size=(320, 64))
+    ce = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    cq = ce.filter((F.col("vec_id") % 20) == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = _pairs(cosine_topk(ce, cq, k=5))
+    untrained = _pairs(ivf_topk(ce, cq, k=5, n_centroids=16, n_probe=2))
+    cents = kmeans_centroids(ce, n_centroids=16, iters=2)
+    trained = _pairs(
+        ivf_topk(ce, cq, k=5, n_centroids=16, n_probe=2, centroids=cents)
+    )
+    r_un = len(untrained & exact) / len(exact)
+    r_tr = len(trained & exact) / len(exact)
+    print(f"clustered recall untrained={r_un:.3f} trained={r_tr:.3f}")
+    assert r_tr > r_un  # training must pay for itself where it can
+    assert r_tr >= 0.9  # measured ~1.0: Lloyd finds the true centers
