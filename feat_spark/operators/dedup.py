@@ -183,13 +183,28 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     k: int = 16,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: split the k signatures into ``bands`` bands of
     ``k/bands`` rows; docs agreeing on ALL rows of any band become a
     candidate pair. Shuffle = docs x bands rows keyed by a 128-bit
     band hash — the only join in the pipeline, and it is an equi-join
     Catalyst can plan (SMJ / shuffled hash / AQE skew-split).
+
+    ``max_bucket`` caps the quadratic blowup of a degenerate bucket (a
+    boilerplate-heavy corpus can put thousands of near-identical docs
+    behind ONE band hash -> m(m-1)/2 pairs from a single task): buckets
+    larger than the cap emit a STAR — every member paired with the
+    bucket-min id (m-1 pairs) — instead of all pairs. The star keeps
+    the bucket's candidate subgraph connected, so dedup component /
+    representative selection is unchanged; what's lost are only the
+    non-hub pair rows of pathological buckets. Deterministic, so an
+    external oracle can replay the cap bit-for-bit. The bucket-size
+    window runs on the same (band, bhash) key the join shuffles on —
+    no extra exchange.
     """
+    from pyspark.sql import Window
+
     rows_per_band = k // bands
     banded = sigs.select(
         F.col(id_col).alias("__id"),
@@ -213,9 +228,23 @@ def lsh_candidate_pairs(
             )
         ).alias("bh"),
     ).select("__id", "bh.band", "bh.bhash")
+    star = None
+    if max_bucket is not None:
+        w_b = Window.partitionBy("band", "bhash")
+        banded = (
+            banded.withColumn("__n", F.count(F.lit(1)).over(w_b))
+            .withColumn("__hub", F.min("__id").over(w_b))
+        )
+        star = (
+            banded.filter((F.col("__n") > max_bucket) & (F.col("__id") != F.col("__hub")))
+            .select(F.col("__hub").alias("id_a"), F.col("__id").alias("id_b"))
+        )
+        banded = banded.filter(F.col("__n") <= max_bucket).select(
+            "__id", "band", "bhash"
+        )
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -223,8 +252,10 @@ def lsh_candidate_pairs(
             & (F.col("a.__id") < F.col("b.__id")),
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def minhash_dedup_pairs(
@@ -235,9 +266,11 @@ def minhash_dedup_pairs(
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """The full scale pipeline: MinHash -> LSH candidates -> exact
-    Jaccard verification of candidates only.
+    Jaccard verification of candidates only. ``max_bucket`` bounds
+    degenerate-bucket pair generation (see ``lsh_candidate_pairs``).
 
     The shingle, signature and candidate frames are persisted: they are
     small (one row per shingle occurrence / k longs per doc / one row
@@ -251,7 +284,7 @@ def minhash_dedup_pairs(
 
     sh = _shingle_rows(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(df, id_col, text_col, k, n, shingles=sh)
-    cand = lsh_candidate_pairs(sigs, id_col, k, bands).persist(
+    cand = lsh_candidate_pairs(sigs, id_col, k, bands, max_bucket).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     return shingle_jaccard_pairs(

@@ -1,0 +1,69 @@
+"""MinHash/LSH dedup: the degenerate-bucket cap (a boilerplate-heavy
+corpus puts thousands of identical docs behind one band hash) and its
+parity with the uncapped pipeline on ordinary corpora."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from feat_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+)
+
+_WORDS = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def varied(spark):
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, " ".join(rng.choice(_WORDS, size=12)))
+        for i in range(100)
+    ]
+    return _docs(spark, rows)
+
+
+def test_bucket_cap_bounds_pairs_and_keeps_connectivity(spark):
+    """800 identical docs = one degenerate bucket per band. Uncapped
+    that is ~320k candidate pairs from one task; capped it must emit
+    exactly the 799 star pairs, and the verified output still connects
+    every doc to the hub (rep selection unchanged)."""
+    n = 800
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler) for i in range(n)] + [
+        (n + 1, "one completely unrelated document body here"),
+    ]
+    df = _docs(spark, rows)
+    sigs = minhash_signatures(df)
+    cand = lsh_candidate_pairs(sigs, max_bucket=50)
+    pairs = cand.collect()
+    assert len(pairs) == n - 1  # star, not quadratic
+    assert {r["id_a"] for r in pairs} == {0}  # hub = bucket-min id
+    assert {r["id_b"] for r in pairs} == set(range(1, n))
+
+    verified = minhash_dedup_pairs(df, max_bucket=50, threshold=0.9).collect()
+    assert len(verified) == n - 1
+    assert all(r["jaccard"] == 1.0 for r in verified)
+
+
+def test_cap_parity_on_ordinary_corpus(spark, varied):
+    """With no degenerate buckets, a generous cap changes nothing:
+    capped == uncapped bit-for-bit."""
+    plain = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_dedup_pairs(varied, threshold=0.3).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_dedup_pairs(varied, threshold=0.3, max_bucket=64).collect()
+    }
+    assert plain == capped
