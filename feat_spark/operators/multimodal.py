@@ -117,39 +117,43 @@ def extract_media_features(
 
         import pandas as pd  # local import: closure is self-contained
 
+        def _hash(b):
+            return int.from_bytes(
+                hashlib.blake2b(b, digest_size=8).digest(), "little", signed=True
+            )
+
         for pdf in batches:
-            out = []
-            for row in pdf.itertuples(index=False):
-                payload = row.payload
-                rec = {
-                    "conv_id": row.conv_id,
-                    "turn_idx": row.turn_idx,
-                    "media_idx": row.media_idx,
-                    "media_type": row.media_type,
-                    "n_bytes": len(payload) if payload is not None else None,
-                    "payload_hash": (
-                        int.from_bytes(
-                            hashlib.blake2b(payload, digest_size=8).digest(),
-                            "little",
-                            signed=True,
-                        )
-                        if payload is not None
-                        else None
-                    ),
-                    "width": None, "height": None, "duration_ms": None,
-                    "decode_ok": False,
-                }
-                dec = active.get(row.media_type) or _stub_decoder(row.media_type)
-                if payload is not None:
+            # cheap byte features: pandas column ops (NULL-aware), no
+            # per-row frame assembly — only codec dispatch stays a loop
+            out = pdf[["conv_id", "turn_idx", "media_idx", "media_type"]].copy()
+            payload = pdf["payload"]
+            out["n_bytes"] = payload.map(len, na_action="ignore").astype("Int64")
+            out["payload_hash"] = payload.map(_hash, na_action="ignore").astype(
+                "Int64"
+            )
+
+            width, height, dur, ok = [], [], [], []
+            for mt, b in zip(pdf["media_type"], payload):
+                rec = {}
+                done = False
+                if b is not None:
+                    dec = active.get(mt) or _stub_decoder(mt)
                     try:
-                        rec.update(dec(payload))
-                        rec["decode_ok"] = True
+                        rec = dec(b)
+                        done = True
                     except NotImplementedError:
                         raise
                     except Exception:  # corrupt payload -> missing, not fatal
                         pass
-                out.append(rec)
-            yield pd.DataFrame(out, columns=out_cols)
+                width.append(rec.get("width"))
+                height.append(rec.get("height"))
+                dur.append(rec.get("duration_ms"))
+                ok.append(done)
+            out["width"] = pd.array(width, dtype="Int32")
+            out["height"] = pd.array(height, dtype="Int32")
+            out["duration_ms"] = pd.array(dur, dtype="Int64")
+            out["decode_ok"] = ok
+            yield out[out_cols]
 
     spark = media.sparkSession
     # big binary cells -> small Arrow batches, bounding executor memory
