@@ -35,6 +35,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RUNS = os.path.join(REPO, "BENCH", "runs.jsonl")
 
 
+def git_rev() -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=REPO, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except Exception:
+        return "unknown"
+
+
 def run_level(cpus: int, convs: int, reps: int) -> dict:
     env = dict(
         os.environ,
@@ -56,19 +66,34 @@ def record(row: dict) -> None:
         f.write(json.dumps(row) + "\n")
 
 
-def all_runs(turns: int) -> dict[int, list[float]]:
+def all_runs(turns: int, rev: str | None = None) -> dict[int, list[float]]:
+    """Recorded throughputs per level at this input size. ``rev``
+    restricts to rows stamped with that git revision — the published
+    numbers must describe HEAD, not a historical best from older code
+    (a regression would otherwise hide behind history)."""
     tps: dict[int, list[float]] = {}
     if os.path.exists(RUNS):
         with open(RUNS) as f:
             for line in f:
                 r = json.loads(line)
-                if r.get("turns") == turns:
-                    tps.setdefault(int(r["cpus"]), []).append(float(r["tps"]))
+                if r.get("turns") != turns:
+                    continue
+                if rev is not None and r.get("rev") != rev:
+                    continue
+                tps.setdefault(int(r["cpus"]), []).append(float(r["tps"]))
     return tps
 
 
 def write_md(turns: int) -> dict:
-    tps = all_runs(turns)
+    rev = git_rev()
+    tps = all_runs(turns, rev=rev)
+    rev_note = f"All rows below were measured at git rev `{rev}` (HEAD)."
+    if not tps:  # no campaign at HEAD yet: fall back, but say so
+        tps = all_runs(turns)
+        rev_note = (
+            "**WARNING: no runs recorded at the current git rev — the "
+            "numbers below mix historical engine revisions.**"
+        )
     levels = sorted(tps)
     best = {c: max(v) for c, v in tps.items()}
     pairs = [(a, b) for a in levels for b in levels if b == 4 * a]
@@ -91,6 +116,8 @@ This box has ~2x one-sided run-to-run interference (an oversubscribed
 hypervisor: outside load can only SLOW a run). The per-level estimator
 is therefore best-over-all-recorded-runs (BENCH/runs.jsonl keeps every
 measurement; nothing is discarded).
+
+{rev_note}
 
 | cores (N) | turns/sec (best) | all recorded runs |
 |---|---|---|
@@ -135,7 +162,10 @@ def main() -> None:
         for c in levels:
             r = run_level(c, convs, reps=3)
             turns = r["turns"]
-            record({"cpus": c, "tps": r["value"], "turns": turns, "convs": convs})
+            record({
+                "cpus": c, "tps": r["value"], "turns": turns, "convs": convs,
+                "rev": git_rev(), "reps": 3,
+            })
 
     summary = write_md(turns)
     print(json.dumps({"turns": turns, **summary}))
