@@ -13,6 +13,15 @@ Design for 100 TB:
   shuffle-align for free;
 * the Iceberg catalog is attempted first and parquet is the sandbox
   fallback — no code outside this module knows which one is active.
+
+TESTED CLAIM BOUNDARY: no Iceberg runtime jar exists in this
+environment (and no network to fetch one), so the Iceberg branch of
+this seam has NEVER been executed here — every test, oracle row and
+benchmark runs the parquet path. What Iceberg would add (hidden
+partitioning, snapshot-isolated commits, manifest-based pruning,
+snapshot-id checkpoint resume in plans/checkpoint.py) is design intent
+expressed at this seam, not a verified behavior. A deployment enabling
+it must run tests/test_checkpoint.py against a real catalog first.
 """
 
 from __future__ import annotations
