@@ -1037,6 +1037,62 @@ def _q_lang_quality(spark, sf_dir):
     )
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Within-document repetition (Gopher/Dolma-style filter signal):
+    duplicate-2gram fraction + most-frequent-2gram share. Relational
+    form — explode to (doc, gram) rows, two partial-agg group-bys —
+    so a pathological document costs rows, not memory."""
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select("doc_id", F.explode(TXT.raw_word_ngrams("text", 2)).alias("g"))
+    per = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_2grams"),
+            F.count(F.lit(1)).alias("n_distinct_2grams"),
+            F.max("c").alias("__maxc"),
+        )
+        .select(
+            "doc_id",
+            "n_2grams",
+            "n_distinct_2grams",
+            F.round(
+                1 - F.col("n_distinct_2grams") / F.col("n_2grams"), 6
+            ).alias("dup_2gram_frac"),
+            F.round(F.col("__maxc") / F.col("n_2grams"), 6).alias("top_2gram_frac"),
+        )
+    )
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII masking (emails / IPv4 / phone-like runs) with per-category
+    counts — the standard pre-training scrub pass as a narrow map.
+    The corpus carries no PII, so deterministic doc_id-derived tokens
+    are injected first; both engines inject and scrub identically, and
+    the scrubbed text is compared by md5."""
+    d = _t(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".0.1 or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 7, "0"),
+        ).alias("text"),
+    )
+    counts = TXT.pii_counts(F.col("text"))
+    scrubbed = TXT.pii_scrub(F.col("text"))
+    return injected.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["ip"].alias("n_ips"),
+        counts["phone"].alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+    )
+
+
 def _q_quality_udf(spark, sf_dir):
     """Iterator pandas UDF twin of the column-expression quality score —
     same oracle SQL as lang_quality's quality column."""
@@ -1318,6 +1374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketches": _q_sketches,
         "stream_turn_features": _q_stream_turn_features,
         "stream_asof": _q_stream_asof,
+        "repetition_stats": _q_repetition_stats,
+        "pii_scrub": _q_pii_scrub,
         "asof_join": _q_asof("union_window"),
         "asof_join_broadcast": _q_asof("broadcast"),
         "asof_join_skew": _q_asof("skew_aware"),
@@ -1814,6 +1872,42 @@ def oracle_sql() -> dict[str, str]:
         "value_spread_grouped_udf": """
           select user_id, round(max(value) - min(value), 4) as spread
           from events group by user_id""",
+        "repetition_stats": f"""
+          with g as (
+            select doc_id,
+                   unnest(list_transform(
+                     generate_series(1, greatest(len({_WS}) - 1, 0)),
+                     i -> array_to_string(({_WS})[i:i+1], ' '))) as g
+            from documents),
+          per as (select doc_id, g, count(*) as c from g group by 1, 2)
+          select doc_id,
+                 cast(sum(c) as bigint) as n_2grams,
+                 count(*) as n_distinct_2grams,
+                 round(1 - count(*) * 1.0 / sum(c), 6) as dup_2gram_frac,
+                 round(max(c) * 1.0 / sum(c), 6) as top_2gram_frac
+          from per group by doc_id""",
+        "pii_scrub": f"""
+          with t as (
+            select doc_id,
+                   text || ' contact user' || doc_id::varchar || '@example.com at 10.'
+                        || (doc_id % 256)::varchar || '.0.1 or +1-555-'
+                        || lpad((doc_id % 10000)::varchar, 7, '0') as text
+            from documents),
+          s as (
+            select doc_id, text,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text, '{TXT.EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{TXT.IPV4_RE}', '<IP>', 'g'),
+                     '{TXT.PHONE_RE}', '<PHONE>', 'g') as scrubbed
+            from t)
+          select doc_id,
+                 cast(len(regexp_extract_all(text, '{TXT.EMAIL_RE}')) as bigint) as n_emails,
+                 cast(len(regexp_extract_all(text, '{TXT.IPV4_RE}')) as bigint) as n_ips,
+                 cast(len(regexp_extract_all(text, '{TXT.PHONE_RE}')) as bigint) as n_phones,
+                 md5(scrubbed) as scrubbed_md5,
+                 cast(length(scrubbed) as bigint) as scrubbed_len
+          from s""",
         "doc_fingerprint": f"""
           select doc_id,
                  cast(list_sum(list_transform({_WS},

@@ -175,20 +175,52 @@ def main() -> None:
             _noop(qs[name](spark, sf_dir))
             queries[name] = round(time.perf_counter() - t0, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "asof_join+windowed-feature turns/sec",
-                "value": round(turns_per_sec, 1),
-                "unit": "turns/sec",
-                "queries": queries,
-                "sf": sf,
-                "turns": n_turns,
-                "flagship_sec": round(flagship_sec, 3),
-                "cpus": cpus,
-            }
-        )
+    out = {
+        "metric": "asof_join+windowed-feature turns/sec",
+        "value": round(turns_per_sec, 1),
+        "unit": "turns/sec",
+        "queries": queries,
+        "sf": sf,
+        "turns": n_turns,
+        "flagship_sec": round(flagship_sec, 3),
+        "cpus": cpus,
+    }
+    out.update(_deltas_vs_previous_round(turns_per_sec, queries))
+    print(json.dumps(out))
+
+
+def _deltas_vs_previous_round(tps: float, queries: dict[str, float]) -> dict:
+    """Round-over-round attribution: compare against the newest
+    driver-recorded BENCH_r{N}.json so regressions are visible in the
+    bench line itself. This box has ~2x one-sided interference — treat
+    single-run deltas as indicative, not conclusive."""
+    import glob
+    import re
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    rounds = sorted(
+        glob.glob(os.path.join(repo, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
     )
+    if not rounds:
+        return {}
+    try:
+        prev = json.loads(open(rounds[-1]).read())
+        parsed = prev.get("parsed", prev)
+        prev_tps = float(parsed["value"])
+        prev_q = parsed.get("queries", {})
+    except Exception:
+        return {}
+    deltas = {
+        k: round((v / prev_q[k] - 1) * 100, 1)
+        for k, v in queries.items()
+        if prev_q.get(k)
+    }
+    return {
+        "prev_round": os.path.basename(rounds[-1]),
+        "headline_delta_pct": round((tps / prev_tps - 1) * 100, 1),
+        "query_sec_delta_pct": deltas,
+    }
 
 
 if __name__ == "__main__":

@@ -111,6 +111,57 @@ def doc_fingerprint(col: Column | str) -> Column:
     ).alias("fingerprint")
 
 
+def raw_word_ngrams(col: Column | str, n: int = 2) -> Column:
+    """ALL n-word grams, duplicates kept — the unit of within-document
+    repetition analysis (``word_shingles`` is the distinct variant used
+    for cross-document near-dup)."""
+    ws = words(col)
+    k = F.size(ws) - F.lit(n - 1)
+    return F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(ws, i, n))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+#: PII patterns — deliberately lookaround-free so the same strings run
+#: in Spark (java.util.regex) and DuckDB (RE2) with identical matches.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+PHONE_RE = "\\+\\d[\\d-]{7,}\\d"
+
+#: scrub order matters: emails contain dots+digits (could half-match the
+#: IP pattern), IPs contain digit runs (could feed the phone pattern) —
+#: most-specific first.
+PII_PATTERNS = (
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("ip", IPV4_RE, "<IP>"),
+    ("phone", PHONE_RE, "<PHONE>"),
+)
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-category PII match counts (``regexp_extract_all`` size) —
+    the filtering signal; twin: DuckDB ``len(regexp_extract_all(..))``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(re_), F.lit(0))).cast("long")
+        for name, re_, _ in PII_PATTERNS
+    }
+
+
+def pii_scrub(col: Column | str) -> Column:
+    """Mask emails / IPv4s / phone-like digit runs with typed tokens.
+    A narrow map over the scan — the standard pre-training scrub pass;
+    swap regexes per policy. Counts ride separately via ``pii_counts``
+    (compute them BEFORE scrubbing or the masks hide the matches)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, re_, token in PII_PATTERNS:
+        c = F.regexp_replace(c, re_, token)
+    return c
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct n-word shingles (the near-dup unit). Implemented as a
     transform over ``sequence(0, size-n)`` + ``slice`` + ``concat_ws``

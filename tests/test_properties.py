@@ -163,3 +163,28 @@ def test_paths_consistent_with_verdict(sr):
         and all(isinstance(p, str) and p for p in paths)
         and paths == sorted(paths)
     )
+
+
+def test_pii_scrub_removes_all_matches(spark):
+    """After scrubbing, every PII pattern must count zero — the masks
+    themselves must not re-match (idempotence of the scrub pass)."""
+    from feat_spark.functions import text as TXT
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-y.co.uk or 192.168.0.1 call +44-20-7946-0958 now"),
+            (2, "no pii here at all"),
+            (3, "double j@k.io j@k.io and 10.0.0.1 10.0.0.1"),
+        ],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    scrubbed = df.select("doc_id", TXT.pii_scrub(F.col("text")).alias("text"))
+    counts = TXT.pii_counts(F.col("text"))
+    leftover = scrubbed.select(
+        *[v.alias(k) for k, v in counts.items()]
+    ).groupBy().sum().collect()[0]
+    assert all(v == 0 for v in leftover)
+    row1 = scrubbed.filter("doc_id = 1").collect()[0]["text"]
+    assert "<EMAIL>" in row1 and "<IP>" in row1 and "<PHONE>" in row1
