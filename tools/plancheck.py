@@ -30,7 +30,11 @@ from feat_spark.session import get_spark  # noqa: E402
 #: queries allowed a nested-loop/cartesian: exact kNN + exact near-dup
 #: score ALL pairs by contract; IVF crosses every vector with the TINY
 #: broadcast centroid set (16 rows) to build/probe the index.
-NL_EXEMPT = {"knn_cosine", "embedding_near_dup", "knn_cosine_ivf"}
+NL_EXEMPT = {"knn_cosine", "embedding_near_dup", "knn_cosine_ivf",
+             # recall metric joins the exact kNN (broadcast NL by
+             # contract) against the LSH result; kmeans training also
+             # crosses the tiny broadcast centroid set
+             "knn_lsh_recall"}
 
 #: max Exchange nodes allowed (shuffles; BroadcastExchange excluded).
 #: window/sessionize pipelines must reuse ONE exchange.
@@ -67,8 +71,10 @@ MAX_EXCHANGES = {
     # pure lateral explode: no shuffle at all
     "word_explode": 0,
     "feature_extract_union": 0, "feature_extract_set": 0,
-    # partial+final sketch aggregation
-    "sketches": 1,
+    # the sketch row now carries its exact counterparts for the oracle
+    # bound-check -> Spark's two-phase exact-distinct (expand + final),
+    # same shape as distinct_agg
+    "sketches": 2,
     # mapInPandas over the scan: no shuffle
     "media_features": 0,
     # all dims broadcast: ONE shuffle for the final aggregate, the
@@ -76,6 +82,10 @@ MAX_EXCHANGES = {
     "q3_shipping_priority": 1, "q5_local_supplier_volume": 1,
     # salt partial + merge: exactly two hash aggregates, two exchanges
     "salted_agg_skew": 2,
+    # pure regex map over the scan: no shuffle at all
+    "pii_scrub": 0,
+    # (doc,gram) partial agg + per-doc final agg
+    "repetition_stats": 2,
 }
 
 #: queries whose scan must show a pushed filter
