@@ -239,7 +239,11 @@ def kmeans_centroids(
             .join(assembled, "__cid", "left")
             .select("__cid", F.coalesce("__new", "__prev").alias("__cent"))
         )
-    return cent
+    # materialize: the result feeds TWO broadcasts in ivf_topk (corpus
+    # assignment + query probe); left lazy, the whole training chain
+    # would execute once per broadcast. n_centroids rows at the driver
+    # is the definition of broadcast-small.
+    return cent.sparkSession.createDataFrame(cent.collect(), cent.schema)
 
 
 def ivf_topk(

@@ -37,10 +37,17 @@ RUNS = os.path.join(REPO, "BENCH", "runs.jsonl")
 
 def git_rev() -> str:
     try:
-        return subprocess.run(
+        rev = subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"],
             cwd=REPO, capture_output=True, text=True, check=True,
         ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=REPO, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        # a dirty tree is NOT the committed rev — never let its rows
+        # masquerade as (or pollute) a commit's published numbers
+        return rev + "-dirty" if dirty else rev
     except Exception:
         return "unknown"
 
