@@ -1247,8 +1247,12 @@ def _q_knn_ivf(spark, sf_dir):
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # train on a bounded, deterministic sample (lowest 2000 ids) — the
+    # 100 TB posture: centroid quality needs thousands of points, not
+    # the corpus; full-corpus work stays in assignment/probe
     cents = S.kmeans_centroids(
-        e, n_centroids=16, iters=2, id_col="vec_id", vec_col="embedding"
+        e.filter(F.col("vec_id") < 2000),
+        n_centroids=16, iters=2, id_col="vec_id", vec_col="embedding",
     )
     return S.ivf_topk(
         e, queries, k=5, id_col="vec_id", vec_col="embedding",
@@ -1583,7 +1587,8 @@ def oracle_sql() -> dict[str, str]:
               select v.vec_id, v.v, c.cid,
                      row_number() over (partition by v.vec_id
                                         order by {_c('v.v', 'c.cv')} desc, c.cid) as rn
-              from v cross join {p} c) where rn = 1)""",
+              from (select * from v where vec_id < 2000) v
+              cross join {p} c) where rn = 1)""",
             f"""m{it} as (
             select cid, s.pos as pos,
                    round(cast(sum(s.x::DECIMAL(27,12)) as double) / count(*), 6) as m
