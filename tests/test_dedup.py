@@ -67,3 +67,32 @@ def test_cap_parity_on_ordinary_corpus(spark, varied):
         for r in minhash_dedup_pairs(varied, threshold=0.3, max_bucket=64).collect()
     }
     assert plain == capped
+
+
+def test_connected_components(spark):
+    """HashMin label propagation: chain (multi-round propagation),
+    triangle, isolated pair — component = min reachable id."""
+    from feat_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(30, 40)]  # 30..40: diameter 10
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11)] + chain, "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert {v for k, v in got.items() if k in (1, 2, 3)} == {1}
+    assert got[10] == got[11] == 10
+    assert {got[i] for i in range(30, 41)} == {30}
+
+
+def test_capped_pipeline_components_cover_bucket(spark):
+    """Bucket-cap star pairs + CC: every one of the 800 identical docs
+    lands in the hub's component — cap changes pair count, not groups."""
+    from feat_spark.operators.dedup import connected_components
+
+    n = 800
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    df = _docs(spark, [(i, boiler) for i in range(n)])
+    pairs = minhash_dedup_pairs(df, max_bucket=50, threshold=0.9)
+    comp = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert len(comp) == n
+    assert set(comp.values()) == {0}

@@ -84,6 +84,8 @@ MAX_EXCHANGES = {
     "salted_agg_skew": 2,
     # pure regex map over the scan: no shuffle at all
     "pii_scrub": 0,
+    # hash-gate filter over the scan: no shuffle at all
+    "stratified_sample": 0,
     # (doc,gram) partial agg + per-doc final agg
     "repetition_stats": 2,
 }
