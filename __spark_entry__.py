@@ -1214,6 +1214,22 @@ def _q_stratified_sample(spark, sf_dir):
     return out.select("event_id", "event_type")
 
 
+def _q_curation_pipeline(spark, sf_dir):
+    """END-TO-END curation (plans/curation.py): quality gate -> exact
+    dedup -> LSH near-dup component drop -> hash sample, over documents
+    + truncated near-copies. Every stage is an already-oracled
+    primitive; this row checks their COMPOSITION (keep/drop rules,
+    stage order) against a single composed SQL twin."""
+    from feat_spark.plans.curation import curate_documents
+
+    corpus = _augmented_docs(spark, sf_dir)
+    out = curate_documents(
+        corpus, quality_floor=0.2, near_dup_threshold=0.6,
+        minhash_k=16, bands=8, shingle_n=3, sample_pct=80,
+    )
+    return out.select("doc_id", F.md5("text").alias("content_md5"))
+
+
 # -------------------------------------------------------------- similarity
 
 def _q_knn(spark, sf_dir):
@@ -1411,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "dedup_components": _q_dedup_components,
         "stratified_sample": _q_stratified_sample,
+        "curation_pipeline": _q_curation_pipeline,
         "asof_join": _q_asof("union_window"),
         "asof_join_broadcast": _q_asof("broadcast"),
         "asof_join_skew": _q_asof("skew_aware"),
@@ -1562,6 +1579,55 @@ def oracle_sql() -> dict[str, str]:
       join sz sa on inter.id_a = sa.doc_id
       join sz sb on inter.id_b = sb.doc_id
       where round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.6
+    """
+    curation_sql = f"""
+      with recursive corpus as ({_AUG_DOCS_SQL}),
+      q as (
+        select doc_id, text from (
+          select doc_id, text,
+                 round(least(len({_WS}) / 50.0, 1.0)
+                       * (len(list_distinct({_WS})) * 1.0 / greatest(len({_WS}), 1))
+                       * (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9_\\s]', '', 'g'))) * 1.0
+                              / greatest(length(text), 1)), 6) as quality
+          from corpus)
+        where quality >= 0.2),
+      ed as (select doc_id, text from q
+             qualify row_number() over (partition by md5(text) order by doc_id) = 1),
+      shl as (select doc_id, {sh} as shingles from ed),
+      sigs as (select doc_id, {sig16} from shl),
+      bands as ({band_rows}),
+      cand as (
+        select a.doc_id id_a, b.doc_id id_b
+        from bands a join bands b on a.band = b.band and a.bhash = b.bhash
+                                 and a.doc_id < b.doc_id
+        group by 1, 2),
+      shr as (select doc_id, unnest(shingles) as s from shl),
+      sz as (select doc_id, count(*) as n from shr group by 1),
+      inter as (
+        select c.id_a, c.id_b, count(*) i
+        from cand c
+        join shr a on a.doc_id = c.id_a
+        join shr b on b.doc_id = c.id_b and b.s = a.s
+        group by 1, 2),
+      pairs as (
+        select id_a, id_b
+        from inter
+        join sz sa on inter.id_a = sa.doc_id
+        join sz sb on inter.id_b = sb.doc_id
+        where round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.6),
+      e as (select id_a as a, id_b as b from pairs
+            union
+            select id_b as a, id_a as b from pairs),
+      reach(v, r) as (
+        select a, a from e
+        union
+        select e.a, reach.r from e join reach on reach.v = e.b),
+      comp as (select v, min(r) as component from reach group by v),
+      nonrep as (select v as doc_id from comp where component != v)
+      select ed.doc_id, md5(ed.text) as content_md5
+      from ed
+      where ed.doc_id not in (select doc_id from nonrep)
+        and {_HX.format(x="'s:' || cast(ed.doc_id as varchar)")} % 100 < 80
     """
     cos = (
         "list_dot_product(a.v, b.v) / "
@@ -1987,6 +2053,7 @@ def oracle_sql() -> dict[str, str]:
         # bit-for-bit including any recall misses of the banding scheme.
         # `jaccard_pairs` above is the exact ground-truth twin.
         "minhash_lsh_dedup": minhash_lsh_sql,
+        "curation_pipeline": curation_sql,
         "simhash": f"""
           with h as (select doc_id,
                             list_transform({_WS}, w -> {_HXW}) as hs

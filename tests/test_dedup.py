@@ -96,3 +96,37 @@ def test_capped_pipeline_components_cover_bucket(spark):
     comp = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
     assert len(comp) == n
     assert set(comp.values()) == {0}
+
+
+def test_curation_dropped_doc_cannot_bridge_clusters(spark):
+    """plans/curation.py composition rule: near-dup pairs are computed
+    on the POST-quality-filter corpus, so a dropped low-quality doc
+    must not act as the bridge that merges two clusters (which would
+    wrongly drop one of the two good docs)."""
+    from feat_spark.plans.curation import curate_documents
+
+    a_words = [f"alpha{i}" for i in range(20)]
+    b_words = [f"beta{i}" for i in range(20)]
+    junk = ["!!!!!!!!!!"] * 30  # pure punctuation: kills C's quality
+    rows = [
+        (1, " ".join(a_words)),
+        (2, " ".join(b_words)),
+        # C contains ALL of A's and B's text -> near-dup of both, but
+        # its punctuation density puts it below the quality floor
+        (3, " ".join(a_words + b_words + junk)),
+    ]
+    df = _docs(spark, rows)
+    out = curate_documents(
+        df, quality_floor=0.3, near_dup_threshold=0.15,
+        minhash_k=16, bands=8, shingle_n=3, sample_pct=100,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {1, 2}  # C dropped by quality; A and B BOTH survive
+
+    # control: with the floor relaxed, C bridges A and B into one
+    # component and only the min-id representative survives
+    out2 = curate_documents(
+        df, quality_floor=0.0, near_dup_threshold=0.15,
+        minhash_k=16, bands=8, shingle_n=3, sample_pct=100,
+    )
+    assert {r["doc_id"] for r in out2.collect()} == {1}
