@@ -1214,6 +1214,14 @@ def _q_stratified_sample(spark, sf_dir):
     return out.select("event_id", "event_type")
 
 
+def _q_tfidf(spark, sf_dir):
+    """Per-document top-5 TF-IDF keywords (operators/keywords.py):
+    relational tf/df aggregation + word-keyed join, smoothed idf."""
+    from feat_spark.operators.keywords import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=5)
+
+
 def _q_curation_pipeline(spark, sf_dir):
     """END-TO-END curation (plans/curation.py): quality gate -> exact
     dedup -> LSH near-dup component drop -> hash sample, over documents
@@ -1428,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "stratified_sample": _q_stratified_sample,
         "curation_pipeline": _q_curation_pipeline,
+        "tfidf_keywords": _q_tfidf,
         "asof_join": _q_asof("union_window"),
         "asof_join_broadcast": _q_asof("broadcast"),
         "asof_join_skew": _q_asof("skew_aware"),
@@ -1996,6 +2005,18 @@ def oracle_sql() -> dict[str, str]:
         "value_spread_grouped_udf": """
           select user_id, round(max(value) - min(value), 4) as spread
           from events group by user_id""",
+        "tfidf_keywords": f"""
+          with w as (select doc_id, unnest({_WS}) as word from documents),
+          tf as (select doc_id, word, count(*) as tf from w group by 1, 2),
+          dfreq as (select word, count(*) as df from tf group by 1),
+          n as (select count(distinct doc_id) as n from documents)
+          select doc_id, word,
+                 round(tf * (ln((n.n + 1.0) / (df + 1.0)) + 1.0), 6) as tfidf,
+                 cast(row_number() over (partition by doc_id
+                                         order by round(tf * (ln((n.n + 1.0) / (df + 1.0)) + 1.0), 6) desc,
+                                                  word) as bigint) as rank
+          from tf join dfreq using (word) cross join n
+          qualify rank <= 5""",
         "repetition_stats": f"""
           with g as (
             select doc_id,

@@ -86,6 +86,8 @@ MAX_EXCHANGES = {
     "pii_scrub": 0,
     # hash-gate filter over the scan: no shuffle at all
     "stratified_sample": 0,
+    # explode -> (doc,word) agg -> word-keyed df join -> per-doc window
+    "tfidf_keywords": 4,
     # (doc,gram) partial agg + per-doc final agg
     "repetition_stats": 2,
 }
