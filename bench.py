@@ -185,11 +185,13 @@ def main() -> None:
         "flagship_sec": round(flagship_sec, 3),
         "cpus": cpus,
     }
-    out.update(_deltas_vs_previous_round(turns_per_sec, queries))
+    out.update(_deltas_vs_previous_round(turns_per_sec, queries, n_turns, sf))
     print(json.dumps(out))
 
 
-def _deltas_vs_previous_round(tps: float, queries: dict[str, float]) -> dict:
+def _deltas_vs_previous_round(
+    tps: float, queries: dict[str, float], turns: int, sf: float
+) -> dict:
     """Round-over-round attribution: compare against the newest
     driver-recorded BENCH_r{N}.json so regressions are visible in the
     bench line itself. This box has ~2x one-sided interference — treat
@@ -211,16 +213,19 @@ def _deltas_vs_previous_round(tps: float, queries: dict[str, float]) -> dict:
         prev_q = parsed.get("queries", {})
     except Exception:
         return {}
-    deltas = {
-        k: round((v / prev_q[k] - 1) * 100, 1)
-        for k, v in queries.items()
-        if prev_q.get(k)
-    }
-    return {
-        "prev_round": os.path.basename(rounds[-1]),
-        "headline_delta_pct": round((tps / prev_tps - 1) * 100, 1),
-        "query_sec_delta_pct": deltas,
-    }
+    out = {"prev_round": os.path.basename(rounds[-1])}
+    # deltas only mean something on the same input: turns gates the
+    # headline (smoke configs run tiny synth inputs), sf gates the
+    # per-query table
+    if parsed.get("turns") == turns:
+        out["headline_delta_pct"] = round((tps / prev_tps - 1) * 100, 1)
+    if parsed.get("sf") == sf and queries:
+        out["query_sec_delta_pct"] = {
+            k: round((v / prev_q[k] - 1) * 100, 1)
+            for k, v in queries.items()
+            if prev_q.get(k)
+        }
+    return out
 
 
 if __name__ == "__main__":
