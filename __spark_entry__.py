@@ -198,6 +198,32 @@ def _q_cumulative(spark, sf_dir):
     )
 
 
+def _q_chunked_cumulative(spark, sf_dir):
+    """Skew-proof cumulative frames (operators/chunked.py prefix-sum
+    over order-aligned chunks, every task bounded by chunk_width rows
+    of one key) — must be BIT-IDENTICAL to the plain running window,
+    so the oracle is the same SQL as `cumulative`. The order column is
+    epoch-micros (with_chunks needs a numeric order); 1-hour chunks
+    force real multi-chunk recombination at gate scale."""
+    from feat_spark.operators.chunked import chunked_cumulative
+
+    e = (
+        _events(spark, sf_dir)
+        .withColumn("value_dec", F.col("value").cast("decimal(18,2)"))
+        .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    )
+    out = chunked_cumulative(
+        e, {"value_dec": ["sum", "count"]}, partition="user_id",
+        order_col="ts_us", tiebreak=("event_id",),
+        chunk_width=3_600_000_000,
+    )
+    return out.select(
+        "event_id",
+        F.col("value_dec_cum_sum").cast("double").alias("cum_value"),
+        F.col("value_dec_cum_count").cast("long").alias("cum_n"),
+    )
+
+
 def _q_ffill(spark, sf_dir):
     df = _events(spark, sf_dir).withColumn(
         "purchase_value",
@@ -1437,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "curation_pipeline": _q_curation_pipeline,
         "tfidf_keywords": _q_tfidf,
+        "chunked_cumulative": _q_chunked_cumulative,
         "asof_join": _q_asof("union_window"),
         "asof_join_broadcast": _q_asof("broadcast"),
         "asof_join_skew": _q_asof("skew_aware"),
@@ -1490,6 +1517,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _WIN = "partition by user_id order by ts, event_id"
 _ROWS = "rows between unbounded preceding and current row"
+
+_CUM_SQL = f"""
+  select event_id,
+         cast(sum(cast(value as decimal(18,2))) over ({_WIN} {_ROWS}) as double) as cum_value,
+         cast(count(value) over ({_WIN} {_ROWS}) as bigint) as cum_n
+  from events"""
 
 _SESSION_IDS_SQL = f"""
   select *, cast(sum(new_s) over ({_WIN} {_ROWS}) - 1 as bigint) as session_id
@@ -1778,11 +1811,10 @@ def oracle_sql() -> dict[str, str]:
                  lag(value, 2) over ({_WIN}) as value_lag2,
                  lead(value, 2) over ({_WIN}) as value_lead2
           from events""",
-        "cumulative": f"""
-          select event_id,
-                 cast(sum(cast(value as decimal(18,2))) over ({_WIN} {_ROWS}) as double) as cum_value,
-                 cast(count(value) over ({_WIN} {_ROWS}) as bigint) as cum_n
-          from events""",
+        "cumulative": _CUM_SQL,
+        # chunked prefix-sum windows contract: bit-identical to the
+        # plain running window — literally the same oracle
+        "chunked_cumulative": _CUM_SQL,
         "forward_fill": f"""
           select event_id,
                  last_value(case when event_type = 'purchase' then value end ignore nulls)

@@ -86,6 +86,9 @@ MAX_EXCHANGES = {
     "pii_scrub": 0,
     # hash-gate filter over the scan: no shuffle at all
     "stratified_sample": 0,
+    # (key,chunk) intra window + per-chunk totals agg + per-key offset
+    # window; offsets rejoin via broadcast (no fourth exchange)
+    "chunked_cumulative": 3,
     # explode -> (doc,word) agg -> word-keyed df join -> per-doc window
     "tfidf_keywords": 4,
     # (doc,gram) partial agg + per-doc final agg
