@@ -1191,9 +1191,14 @@ def _q_minhash_sigs(spark, sf_dir):
 
 
 def _q_minhash_lsh(spark, sf_dir):
+    """Full MinHash->LSH->verify pipeline WITH the degenerate-bucket
+    star cap enabled (max_bucket=4; the corpus' largest band bucket is
+    8, so the cap genuinely fires and the driver row exercises the
+    star path end to end — the oracle replays the capped candidate set
+    bit-for-bit)."""
     return D.minhash_dedup_pairs(
         _augmented_docs(spark, sf_dir), id_col="doc_id", text_col="text",
-        k=16, bands=8, n=3, threshold=0.6,
+        k=16, bands=8, n=3, threshold=0.6, max_bucket=4,
     )
 
 
@@ -1224,6 +1229,21 @@ def _q_dedup_components(spark, sf_dir):
     sims = D.simhash32(corpus, id_col="doc_id", text_col="text")
     pairs = D.simhash_near_pairs(sims, id_col="doc_id", max_hamming=6)
     return D.connected_components(pairs)
+
+
+def _q_dedup_components_star(spark, sf_dir):
+    """Same dup graph, same oracle — but labeled by the small-star/
+    large-star edge contraction (Kiveris et al. '14, O(log n) rounds
+    regardless of diameter — the 10^12-doc path where the graph isn't
+    guaranteed star-like). Bit-equality with HashMin is the contract;
+    the recursive-CTE oracle checks both against min-reachable-id."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    )
+    sims = D.simhash32(corpus, id_col="doc_id", text_col="text")
+    pairs = D.simhash_near_pairs(sims, id_col="doc_id", max_hamming=6)
+    return D.connected_components(pairs, algorithm="star")
 
 
 def _q_stratified_sample(spark, sf_dir):
@@ -1290,17 +1310,20 @@ def _q_knn_lsh(spark, sf_dir):
 
 
 def _q_knn_lsh_recall(spark, sf_dir):
-    """Recall@5 of the multi-probe LSH result against the exact top-k —
-    the index-quality metric the VERDICT asked for, oracle-checked end
-    to end (DuckDB recomputes the index, the exact kNN, and the same
-    recall)."""
+    """Recall@5 of the multi-probe, TWO-TABLE (OR-construction) LSH
+    result against the exact top-k — the index-quality metric the
+    round-1 verdict asked for, oracle-checked end to end (DuckDB
+    recomputes both hash tables, the exact kNN, and the same recall).
+    Round-2 single-table recall was 0.68; the second independent plane
+    family lifts it to 0.90 at sf0.01 / 0.94 at sf0.001 (floor >=0.9
+    asserted in tests/test_similarity.py) at 2x candidate cost."""
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     lsh = S.lsh_bucketed_topk(
         e, queries, k=5, id_col="vec_id", vec_col="embedding", planes=3, dim=64,
-        probe_hamming=1,
+        probe_hamming=1, tables=2,
     )
     exact = S.cosine_topk(e, queries, k=5, id_col="vec_id", vec_col="embedding")
     hits = exact.join(
@@ -1436,32 +1459,62 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered least-proven-first: the r1 driver checked only the first 50
-    # entries, so the queries with no CORRECTNESS row yet (similarity /
-    # multimodal), the two repaired rows (partition_lineage, sketches)
-    # and the new streaming/recall gates lead; the 46 rows that were
-    # already full-green in CORRECTNESS_r01.json trail.
+    # ROTATION POLICY (the driver checks only the FIRST 50 entries):
+    # least-recently-driver-checked first, and any query whose code or
+    # oracle was touched this round moves into the window regardless —
+    # so no query's newest driver row is ever more than one round old.
+    # Round-3 order: [1-20] the 20 queries whose last driver row is r1
+    # (rotated out of the r2 window); [21-28] rows repaired or touched
+    # this round (partition_lineage oracle cast; star-contraction CC —
+    # new; LSH star cap; 2-table recall; kmeans lineage truncation;
+    # curation default cap; salted default-salt type filter;
+    # lsh_bucketed_topk refactor); [29-50] r2-green refill; [51-71]
+    # r2-green trailers that rotate forward next round.
     return {
+        # --- last driver row = r1 (stalest first) -------------------
+        "feature_extract_union": _q_feature_extract_union,
+        "feature_extract_set": _q_feature_extract_set,
+        "topk_per_group": _q_topk,
+        "map_ops": _q_map_ops,
+        "salted_agg_skew": _q_salted_agg,
+        "pivot_event_counts": _q_pivot,
+        "ranking_functions": _q_ranking,
+        "word_explode": _q_word_explode,
+        "feature_hash_extract": _q_feature_hash,
+        "q1_pricing_summary": _q_q1,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q5_local_supplier_volume": _q5_local_supplier_volume,
+        "segment_revenue_broadcast": _q_segment_revenue,
+        "orders_rollup": _q_region_rollup,
+        "text_stats": _q_text_stats,
+        "lang_quality": _q_lang_quality,
+        "doc_fingerprint": _q_fingerprint,
+        "quality_score_pandas_udf": _q_quality_udf,
+        "value_spread_grouped_udf": _q_value_spread_udf,
+        "dedup_exact": _q_dedup_exact,
+        # --- repaired / touched this round --------------------------
+        "partition_lineage": _q_partition_lineage,
+        "dedup_components_star": _q_dedup_components_star,
+        "minhash_lsh_dedup": _q_minhash_lsh,
+        "knn_lsh_recall": _q_knn_lsh_recall,
+        "knn_cosine_ivf": _q_knn_ivf,
+        "curation_pipeline": _q_curation_pipeline,
+        "dedup_components": _q_dedup_components,
+        "knn_cosine_lsh": _q_knn_lsh,
+        # --- r2-green refill ----------------------------------------
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_signatures": _q_minhash_sigs,
-        "minhash_lsh_dedup": _q_minhash_lsh,
         "simhash": _q_simhash,
         "simhash_near_dups": _q_simhash_near,
         "knn_cosine": _q_knn,
-        "knn_cosine_lsh": _q_knn_lsh,
-        "knn_lsh_recall": _q_knn_lsh_recall,
-        "knn_cosine_ivf": _q_knn_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
         "media_features": _q_media_features,
-        "partition_lineage": _q_partition_lineage,
         "sketches": _q_sketches,
         "stream_turn_features": _q_stream_turn_features,
         "stream_asof": _q_stream_asof,
         "repetition_stats": _q_repetition_stats,
         "pii_scrub": _q_pii_scrub,
-        "dedup_components": _q_dedup_components,
         "stratified_sample": _q_stratified_sample,
-        "curation_pipeline": _q_curation_pipeline,
         "tfidf_keywords": _q_tfidf,
         "chunked_cumulative": _q_chunked_cumulative,
         "asof_join": _q_asof("union_window"),
@@ -1471,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_cogroup_pandas": _q_asof("cogroup_pandas"),
         "asof_join_forward": _q_asof_dir("forward"),
         "asof_join_nearest": _q_asof_dir("nearest"),
+        # --- r2-green trailers (rotate into the window next round) --
         "stable_order": _q_stable_order,
         "lag_lead": _q_lag_lead,
         "cumulative": _q_cumulative,
@@ -1492,26 +1546,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": _q_sliding,
         "feature_compare": _q_feature_compare,
         "feature_extract": _q_feature_extract,
-        "feature_extract_union": _q_feature_extract_union,
-        "feature_extract_set": _q_feature_extract_set,
-        "topk_per_group": _q_topk,
-        "map_ops": _q_map_ops,
-        "salted_agg_skew": _q_salted_agg,
-        "pivot_event_counts": _q_pivot,
-        "ranking_functions": _q_ranking,
-        "word_explode": _q_word_explode,
-        "feature_hash_extract": _q_feature_hash,
-        "q1_pricing_summary": _q_q1,
-        "q3_shipping_priority": _q3_shipping_priority,
-        "q5_local_supplier_volume": _q5_local_supplier_volume,
-        "segment_revenue_broadcast": _q_segment_revenue,
-        "orders_rollup": _q_region_rollup,
-        "text_stats": _q_text_stats,
-        "lang_quality": _q_lang_quality,
-        "doc_fingerprint": _q_fingerprint,
-        "quality_score_pandas_udf": _q_quality_udf,
-        "value_spread_grouped_udf": _q_value_spread_udf,
-        "dedup_exact": _q_dedup_exact,
     }
 
 
@@ -1565,6 +1599,18 @@ _SIMHASH_NEAR_SQL = _SIMHASH_NEAR_SQL.format(ws=_WS, hxw=_HXW)
 
 _STOPW = ", ".join(f"'{w}'" for w in TXT.EN_STOPWORDS)
 
+_CC_ORACLE_SQL = f"""
+  with recursive pairs as ({_SIMHASH_NEAR_SQL}),
+  e as (select id_a as a, id_b as b from pairs
+        union
+        select id_b as a, id_a as b from pairs),
+  reach(v, r) as (
+    select a, a from e
+    union
+    select e.a, reach.r from e join reach on reach.v = e.b
+  )
+  select v as doc_id, min(r) as component from reach group by v"""
+
 
 def oracle_sql() -> dict[str, str]:
     sh = _SHINGLES_SQL.format(ws=_WS)
@@ -1598,16 +1644,27 @@ def oracle_sql() -> dict[str, str]:
         f"select doc_id, {b} as band, md5(sig_{2*b}::varchar || ':' || sig_{2*b+1}::varchar) as bhash from sigs"
         for b in range(8)
     )
+    # star-cap twin (dedup.lsh_candidate_pairs max_bucket=4): buckets
+    # over the cap contribute hub->member star pairs only
     minhash_lsh_sql = f"""
       with corpus as ({_AUG_DOCS_SQL}),
       shl as (select doc_id, {sh} as shingles from corpus),
       sigs as (select doc_id, {sig16} from shl),
       bands as ({band_rows}),
+      bsz as (select band, bhash, count(*) as n, min(doc_id) as hub
+              from bands group by 1, 2),
       cand as (
         select a.doc_id id_a, b.doc_id id_b
-        from bands a join bands b on a.band = b.band and a.bhash = b.bhash
-                                 and a.doc_id < b.doc_id
-        group by 1, 2),
+        from bands a
+        join bands b on a.band = b.band and a.bhash = b.bhash
+                    and a.doc_id < b.doc_id
+        join bsz z on z.band = a.band and z.bhash = a.bhash
+        where z.n <= 4
+        union
+        select z.hub as id_a, a.doc_id as id_b
+        from bands a
+        join bsz z on z.band = a.band and z.bhash = a.bhash
+        where z.n > 4 and a.doc_id != z.hub),
       shr as (select doc_id, unnest(shingles) as s from shl),
       sz as (select doc_id, count(*) as n from shr group by 1),
       inter as (
@@ -1687,11 +1744,15 @@ def oracle_sql() -> dict[str, str]:
         "(('0x' || substr(md5(p::varchar || ':' || (i-1)::varchar), 1, 8))::BIGINT"
         " / 4294967296.0 - 0.5))"
     )
-    _bucket = (
-        "cast(list_sum(list_transform(generate_series(0, 2), p -> "
-        f"case when list_dot_product({{v}}, {_comps}) >= 0 "
-        "then (1::BIGINT << (2 - p)) else 0 end)) as bigint)"
-    )
+    def _bucket_sql(off: int) -> str:
+        """Sign bucket over planes off..off+2 (table = plane family)."""
+        return (
+            f"cast(list_sum(list_transform(generate_series({off}, {off + 2}), p -> "
+            f"case when list_dot_product({{v}}, {_comps}) >= 0 "
+            f"then (1::BIGINT << ({off + 2} - p)) else 0 end)) as bigint)"
+        )
+
+    _bucket = _bucket_sql(0)
     lsh_topk_core = f"""
       v as (select vec_id, embedding::DOUBLE[] as v from embeddings),
       b as (select vec_id, v, {_bucket.format(v="v")} as bucket from v),
@@ -1717,13 +1778,48 @@ def oracle_sql() -> dict[str, str]:
       with {lsh_topk_core}
       select query_id, neighbor_id, cos_sim, rank from lsh_topk
     """
+    # two-table OR-construction twin (similarity.lsh_bucketed_topk
+    # tables=2): table 0 = planes 0-2, table 1 = planes 3-5; candidates
+    # are the union (set semantics = the engine's dropDuplicates)
+    _probe = (
+        "select query_id, unnest([xor({bk}, 0), xor({bk}, 1), xor({bk}, 2),"
+        " xor({bk}, 4)]) as bucket from qb2"
+    )
+    lsh2_topk_core = f"""
+      v as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+      b2 as (select vec_id, v, {_bucket_sql(0).format(v="v")} as bk0,
+                    {_bucket_sql(3).format(v="v")} as bk1 from v),
+      qb2 as (select vec_id as query_id, v as qv, bk0, bk1 from b2
+              where vec_id < 10),
+      cand as (
+        select p.query_id, b2.vec_id as neighbor_id
+        from ({_probe.format(bk="bk0")}) p join b2 on p.bucket = b2.bk0
+        where p.query_id != b2.vec_id
+        union
+        select p.query_id, b2.vec_id as neighbor_id
+        from ({_probe.format(bk="bk1")}) p join b2 on p.bucket = b2.bk1
+        where p.query_id != b2.vec_id),
+      lsh_scored as (
+        select c.query_id, c.neighbor_id,
+               list_dot_product(q.qv, t.v) /
+                 (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(t.v, t.v))) as cs
+        from cand c
+        join qb2 q on c.query_id = q.query_id
+        join v t on c.neighbor_id = t.vec_id),
+      lsh_topk as (
+        select query_id, neighbor_id, round(cs, 6) as cos_sim,
+               cast(row_number() over (partition by query_id
+                                       order by cs desc, neighbor_id) as bigint) as rank
+        from lsh_scored
+        qualify rank <= 5)
+    """
     knn_lsh_recall_sql = f"""
-      with {lsh_topk_core},
+      with {lsh2_topk_core},
       exact_scored as (
         select a.query_id, b.vec_id as neighbor_id,
                list_dot_product(a.qv, b.v) /
                  (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.v, b.v))) as cs
-        from qb a join v b on a.query_id != b.vec_id),
+        from qb2 a join v b on a.query_id != b.vec_id),
       exact_topk as (
         select query_id, neighbor_id
         from exact_scored
@@ -1936,8 +2032,8 @@ def oracle_sql() -> dict[str, str]:
                  count(*) as rows_out,
                  epoch_us(min(ts)) as min_ts_us, epoch_us(max(ts)) as max_ts_us,
                  count(distinct user_id) as n_users,
-                 sum(case when event_type = 'purchase' and value is not null
-                          then 0 else 1 end) as null_purchase_value
+                 cast(sum(case when event_type = 'purchase' and value is not null
+                          then 0 else 1 end) as bigint) as null_purchase_value
           from events
           group by 1""",
         "map_ops": """
@@ -2119,18 +2215,11 @@ def oracle_sql() -> dict[str, str]:
           from h""",
         "simhash_near_dups": _SIMHASH_NEAR_SQL,
         # HashMin fixpoint == min-reachable-id, which the recursive CTE
-        # computes directly over the same pair set
-        "dedup_components": f"""
-          with recursive pairs as ({_SIMHASH_NEAR_SQL}),
-          e as (select id_a as a, id_b as b from pairs
-                union
-                select id_b as a, id_a as b from pairs),
-          reach(v, r) as (
-            select a, a from e
-            union
-            select e.a, reach.r from e join reach on reach.v = e.b
-          )
-          select v as doc_id, min(r) as component from reach group by v""",
+        # computes directly over the same pair set; the star-contraction
+        # variant must land on the SAME fixpoint (bit-equality is its
+        # contract), so both share the oracle
+        "dedup_components": _CC_ORACLE_SQL,
+        "dedup_components_star": _CC_ORACLE_SQL,
         "stratified_sample": f"""
           select event_id, event_type from events
           where {_HX.format(x="'s:' || cast(event_id as varchar)")} % 100 <

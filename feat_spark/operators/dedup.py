@@ -196,12 +196,18 @@ def lsh_candidate_pairs(
     behind ONE band hash -> m(m-1)/2 pairs from a single task): buckets
     larger than the cap emit a STAR — every member paired with the
     bucket-min id (m-1 pairs) — instead of all pairs. The star keeps
-    the bucket's candidate subgraph connected, so dedup component /
-    representative selection is unchanged; what's lost are only the
-    non-hub pair rows of pathological buckets. Deterministic, so an
-    external oracle can replay the cap bit-for-bit. The bucket-size
-    window runs on the same (band, bhash) key the join shuffles on —
-    no extra exchange.
+    the bucket's CANDIDATE subgraph connected. Note the scope of that
+    guarantee: components after downstream Jaccard VERIFICATION are
+    preserved only when every member of a capped bucket clears the
+    threshold against the hub (the motivating case — identical /
+    boilerplate docs, where all pairwise similarities are ~1). If
+    hub–member similarity falls below threshold while member–member
+    similarity is above it, the verified graph loses that link and
+    components can split vs the uncapped pipeline — the cap is lossy
+    there by design (it trades those rows for a bounded task). It is
+    deterministic either way, so an external oracle can replay the cap
+    bit-for-bit. The bucket-size window runs on the same (band, bhash)
+    key the join shuffles on — no extra exchange.
     """
     from pyspark.sql import Window
 
@@ -297,29 +303,52 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    algorithm: str = "hashmin",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Dup-pair graph -> ``(doc_id, component)`` where component = the
     smallest doc id reachable through the pair graph — the canonical
     representative every dedup pipeline needs AFTER pair generation
     (keep ``doc_id == component``, drop the rest).
 
-    Algorithm: iterated min-label propagation ("HashMin"): each round
-    every vertex takes the min of its own label and its neighbors',
-    until a fixpoint — converges in O(diameter) rounds, and LSH/SimHash
-    dup graphs are star-like (tiny diameter; the bucket-cap star form
-    of ``lsh_candidate_pairs`` makes that a guarantee). Each round is
-    ONE shuffle keyed by vertex with partial aggregation; the edge
-    frame is persisted once and reused. At 10^12-doc scale the
-    known upgrade path is the small-star/large-star contraction of
-    Kiveris et al. (MR '14) — same join shape, fewer rounds; the
-    HashMin form is kept because its every intermediate state is
-    expressible in ANSI SQL (the oracle replays it as a recursive CTE).
+    Two algorithms behind the same API (bit-equal results):
+
+    * ``"hashmin"`` (default) — iterated min-label propagation: each
+      round every vertex takes the min of its own label and its
+      neighbors', until a fixpoint — converges in O(diameter) rounds,
+      and LSH/SimHash dup graphs are star-like (tiny diameter; the
+      bucket-cap star form of ``lsh_candidate_pairs`` makes that a
+      guarantee). Each round is ONE shuffle keyed by vertex with
+      partial aggregation. Kept the default because every intermediate
+      state is expressible in ANSI SQL (the oracle replays the fixpoint
+      as a recursive CTE).
+    * ``"star"`` — the small-star/large-star edge contraction of
+      Kiveris et al. (MapReduce '14): alternate large-star (hook every
+      larger neighbor to the neighborhood min) and small-star (hook the
+      center and its smaller neighbors to their min) until the edge set
+      is stable — O(log n) rounds regardless of diameter, the right
+      path at 10^12-doc scale where the dup graph is not guaranteed
+      star-like (e.g. chains of pairwise-similar shingled spam). Each
+      half-round is one window + projection over the edge frame; the
+      fixpoint edge set IS the star (vertex -> component-min) mapping.
+
+    ``stats`` (optional dict) receives ``{"rounds": n, "converged":
+    bool}`` for either algorithm. If the fixpoint is not reached within
+    ``max_iters`` a ``RuntimeWarning`` is raised — partial labels are
+    WRONG labels for dedup (two docs in one component could keep two
+    representatives), so callers must treat the warning as a failure or
+    re-run with a higher budget; the warning beats silently returning
+    non-converged output.
 
     Deterministic: labels are ids, min is order-free. Vertices are the
     docs that appear in >=1 pair (singletons are their own component by
     definition — callers union them in if they need the full corpus).
     """
+    if algorithm not in ("hashmin", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    if algorithm == "star":
+        return _cc_star(edges, max_iters, stats)
     edges = (
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -338,7 +367,9 @@ def connected_components(
         .withColumn("component", F.col("vertex"))
         .localCheckpoint(eager=True)
     )
+    rounds, converged = 0, False
     for _ in range(max_iters):
+        rounds += 1
         nbr = edges.join(
             labels.withColumnRenamed("vertex", "dst").withColumnRenamed(
                 "component", "__nc"
@@ -361,8 +392,123 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components(hashmin) did NOT converge in {max_iters} "
+            "rounds — returned labels are partial (min not fully propagated). "
+            "Raise max_iters or use algorithm='star' (O(log n) rounds).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("vertex").alias("doc_id"), "component")
+
+
+def _cc_star(
+    edges: DataFrame, max_iters: int, stats: dict | None = None
+) -> DataFrame:
+    """Small-star/large-star contraction (Kiveris et al. '14).
+
+    Invariant maintained on ``e`` (directed, ``src > dst``): the
+    undirected graph it represents has the same connected components as
+    the input. Each round:
+
+    * large-star: around each center u, hook every LARGER neighbor v to
+      m = min(neighborhood ∪ {u}) — long chains fold toward minima;
+    * small-star: around each center u (edges oriented src=u > dst),
+      hook u and all its smaller neighbors to their min — flattens
+      partial stars.
+
+    Both are window-min + projection over the edge frame — no join at
+    all, so a round is two shuffles keyed by the center vertex. At the
+    fixpoint every edge is (vertex, component_min) directly.
+    """
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        # decimal sum: 64-bit hash values overflow a BIGINT sum under
+        # ANSI mode; decimal(38,0) holds ~2^63 * 10^18 rows
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return int(r["n"]), int(r["h"])
+
+    rounds, converged = 0, False
+    sig = _sig(e)
+    for _ in range(max_iters):
+        rounds += 1
+        # large-star: center = every vertex with its full neighborhood
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        w_c = Window.partitionBy("src")
+        m = F.least(F.min("dst").over(w_c), F.col("src"))
+        ls = (
+            sym.withColumn("__m", m)
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+        )
+        # small-star: center = src (src > dst orientation), hook center
+        # and its smaller neighbors to the neighborhood min
+        w_s = Window.partitionBy("src")
+        sm = F.min("dst").over(w_s)
+        ss_nbrs = (
+            e.withColumn("__m", sm)
+            .filter(F.col("dst") != F.col("__m"))
+            .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+        )
+        ss_center = (
+            e.withColumn("__m", sm)
+            .select(F.col("src"), F.col("__m").alias("dst"))
+        )
+        e = (
+            ls.unionByName(ss_nbrs)
+            .unionByName(ss_center)
+            .filter(F.col("src") != F.col("dst"))
+            .select(
+                F.greatest("src", "dst").alias("src"),
+                F.least("src", "dst").alias("dst"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = _sig(e)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components(star) did NOT converge in {max_iters} rounds",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    # fixpoint: e = {(vertex, component_min)}; component mins label themselves
+    return e.select(F.col("src").alias("doc_id"), F.col("dst").alias("component")).unionByName(
+        e.select(F.col("dst").alias("doc_id"), F.col("dst").alias("component")).distinct()
+    )
 
 
 def simhash32(

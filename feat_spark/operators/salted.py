@@ -41,6 +41,21 @@ _MERGEABLE = {
 }
 
 
+def _xxhash64_hashable(dt) -> bool:
+    """xxhash64 raises DATATYPE_MISMATCH.HASH_MAP_TYPE on MAP (and any
+    type nesting one) and cannot hash VARIANT; everything else Spark
+    ships is fine."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _xxhash64_hashable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_xxhash64_hashable(f.dataType) for f in dt.fields)
+    return dt.__class__.__name__ != "VariantType"
+
+
 def salted_group_agg(
     df: DataFrame,
     keys: str | Sequence[str],
@@ -52,17 +67,21 @@ def salted_group_agg(
     as salt-partial + merge. Output columns ``{col}_{fn}`` (plus
     ``{col}_avg`` derived from sum/count when requested).
 
-    ``salt_col`` defaults to ``pmod(xxhash64(<ALL non-key columns>),
-    n_salts)`` — deterministic (``monotonically_increasing_id`` would
-    differ across task retries), and hashing every non-key column (not
-    just the aggregated ones) keeps the spread alive when the
+    ``salt_col`` defaults to ``pmod(xxhash64(<all HASHABLE non-key
+    columns>), n_salts)`` — deterministic (``monotonically_increasing_id``
+    would differ across task retries), and hashing every non-key column
+    (not just the aggregated ones) keeps the spread alive when the
     aggregated value itself is constant or low-cardinality for a hot
     key (a flag, a repeated price): any timestamp/id column in the
-    frame restores the entropy. Any spread is correct because the
-    aggregate is commutative. If EVERY non-key column is
-    low-cardinality, pass ``salt_col`` explicitly — the degenerate
-    single-salt case silently reverts to the unsalted straggler this
-    operator exists to avoid.
+    frame restores the entropy. Columns ``xxhash64`` rejects (MAP, and
+    any array/struct containing one — DATATYPE_MISMATCH.HASH_MAP_TYPE)
+    are excluded from the default salt; if nothing hashable remains the
+    salt falls back to the aggregated columns themselves (always
+    hashable: they must be numeric/orderable to aggregate). Any spread
+    is correct because the aggregate is commutative. If EVERY non-key
+    column is low-cardinality, pass ``salt_col`` explicitly — the
+    degenerate single-salt case silently reverts to the unsalted
+    straggler this operator exists to avoid.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
 
@@ -77,7 +96,14 @@ def salted_group_agg(
                 raise ValueError(f"{f!r} is not salt-mergeable (use chunked/plain)")
         plan[c] = out
 
-    entropy_cols = [c for c in df.columns if c not in keys and c != _SALT]
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    entropy_cols = [
+        c
+        for c in df.columns
+        if c not in keys and c != _SALT and _xxhash64_hashable(by_name[c])
+    ]
+    if not entropy_cols:
+        entropy_cols = list(plan)
     salt = (
         F.col(salt_col)
         if salt_col

@@ -107,12 +107,21 @@ def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
 
 
 def with_lsh_bucket(
-    df: DataFrame, vec_col: str, planes: int, dim: int, out_col: str = "bucket"
+    df: DataFrame,
+    vec_col: str,
+    planes: int,
+    dim: int,
+    out_col: str = "bucket",
+    plane_offset: int = 0,
 ) -> DataFrame:
-    """Attach the random-hyperplane sign bucket (int in [0, 2^planes))."""
+    """Attach the random-hyperplane sign bucket (int in [0, 2^planes)).
+
+    ``plane_offset`` selects an independent plane family (planes
+    ``offset .. offset+planes-1`` of the global md5-derived sequence) —
+    the device behind OR-construction multi-table LSH."""
     bucket = F.lit(0)
     for p in range(planes):
-        bucket = bucket * 2 + _hyperplane_sign(F.col(vec_col), p, dim)
+        bucket = bucket * 2 + _hyperplane_sign(F.col(vec_col), plane_offset + p, dim)
     return df.withColumn(out_col, bucket)
 
 
@@ -126,6 +135,7 @@ def lsh_bucketed_topk(
     planes: int = 4,
     dim: int = 64,
     probe_hamming: int = 0,
+    tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's
     hyperplane bucket. At 100 TB the corpus is bucketed ONCE (written
@@ -135,24 +145,44 @@ def lsh_bucketed_topk(
     bucket within that Hamming distance of its own (sign flips are the
     likeliest LSH misses — a near neighbor lands across one hyperplane).
     Cost multiplies by ~sum(C(planes, i) for i <= h) probed buckets —
-    still a tiny corpus fraction — and recall rises sharply; measured by
-    the ``knn_lsh_recall`` driver query against the exact result."""
-    c = with_lsh_bucket(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
-        "__cv", planes, dim,
+    still a tiny corpus fraction — and recall rises sharply.
+
+    ``tables`` enables OR-construction: that many INDEPENDENT hash
+    tables (disjoint md5-derived plane families, table t = planes
+    ``t*planes .. t*planes+planes-1``), candidates unioned across
+    tables before scoring. A neighbor is missed only if every table
+    misses it, so recall converges to 1 geometrically in ``tables``
+    while cost grows linearly — the standard LSH recall knob, and fully
+    deterministic (the oracle replays every table). Measured by the
+    ``knn_lsh_recall`` driver query against the exact result."""
+    cbase = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     )
-    q = with_lsh_bucket(
-        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
-        "__qv", planes, dim, out_col="__b0",
+    qbase = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
     masks = [m for m in range(1 << planes) if bin(m).count("1") <= probe_hamming]
-    q = q.withColumn(
-        "bucket",
-        F.explode(F.array(*[F.col("__b0").bitwiseXOR(F.lit(m)) for m in masks])),
-    ).drop("__b0")
+    cand = None
+    for t in range(tables):
+        c = with_lsh_bucket(cbase, "__cv", planes, dim, plane_offset=t * planes)
+        q = with_lsh_bucket(
+            qbase, "__qv", planes, dim, out_col="__b0", plane_offset=t * planes
+        )
+        q = q.withColumn(
+            "bucket",
+            F.explode(F.array(*[F.col("__b0").bitwiseXOR(F.lit(m)) for m in masks])),
+        ).drop("__b0")
+        pairs = c.join(F.broadcast(q), ["bucket"]).select(
+            "query_id", "neighbor_id", "__qv", "__cv"
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    if tables > 1:
+        # a pair found by several tables is one candidate; rows are
+        # fully identical (bucket col dropped) so the dedup is
+        # deterministic
+        cand = cand.dropDuplicates(["query_id", "neighbor_id"])
     scored = (
-        c.join(F.broadcast(q), ["bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cand.filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -238,6 +268,12 @@ def kmeans_centroids(
             cent.select("__cid", F.col("__cent").alias("__prev"))
             .join(assembled, "__cid", "left")
             .select("__cid", F.coalesce("__new", "__prev").alias("__cent"))
+            # truncate lineage each round (same rule as
+            # connected_components): each Lloyd iteration builds on the
+            # previous round's plan, and Catalyst re-analysis of the
+            # compounded lazy plan goes superlinear in iters. n_centroids
+            # rows — the checkpoint is effectively free.
+            .localCheckpoint(eager=True)
         )
     # materialize: the result feeds TWO broadcasts in ivf_topk (corpus
     # assignment + query probe); left lazy, the whole training chain

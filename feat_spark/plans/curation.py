@@ -47,11 +47,23 @@ def curate_documents(
     minhash_k: int = 16,
     bands: int = 8,
     shingle_n: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 1000,
     sample_pct: int = 100,
     salt: str = "s",
 ) -> DataFrame:
-    """Return the curated corpus (surviving rows of ``df``)."""
+    """Return the curated corpus (surviving rows of ``df``).
+
+    ``max_bucket`` defaults ON (1000): production corpora are exactly
+    where a boilerplate LSH bucket goes degenerate, and forgetting to
+    enable the cap there is the foot-gun the round-2 verdict flagged.
+    1000 caps the worst bucket at ~500k pairs (one heavy-but-bounded
+    task) while being far above any bucket an honest near-dup corpus
+    produces; pass ``None`` to disable (exact parity with the uncapped
+    pipeline). Note exact dedup runs BEFORE the LSH stage, so capped
+    buckets here hold near- (not exact-) duplicates — the lossy case of
+    the cap (see ``lsh_candidate_pairs``) only affects sub-threshold
+    hub links inside one pathological bucket.
+    """
     kept = df.filter(quality_score(F.col(text_col)) >= quality_floor)
 
     w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))

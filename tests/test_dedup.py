@@ -84,6 +84,97 @@ def test_connected_components(spark):
     assert {got[i] for i in range(30, 41)} == {30}
 
 
+def test_connected_components_star_bit_equal(spark):
+    """The small-star/large-star contraction must return EXACTLY the
+    HashMin labels (same vertices, same component mins) on a mixed
+    graph: triangle, chain, isolated pair."""
+    from feat_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(30, 40)]
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11)] + chain, "id_a long, id_b long"
+    )
+    hashmin = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(pairs, algorithm="hashmin").collect()
+    }
+    star = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    assert star == hashmin
+
+
+def test_star_contraction_log_rounds_on_path(spark):
+    """On a 32-node path (diameter 31) HashMin needs 31 propagation
+    rounds; the star contraction must converge in O(log n) — the reason
+    it exists for 10^12-doc graphs that aren't star-like."""
+    from feat_spark.operators.dedup import connected_components
+
+    n = 32
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    st = {}
+    star = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(pairs, algorithm="star", stats=st).collect()
+    }
+    assert star == {(i, 0) for i in range(n)}
+    assert st["converged"]
+    assert st["rounds"] <= 8, f"star took {st['rounds']} rounds on a {n}-path"
+
+
+def test_hashmin_nonconvergence_warns(spark):
+    """Partial labels are wrong labels: HashMin must warn (not silently
+    return) when the fixpoint isn't reached within max_iters."""
+    import warnings
+
+    from feat_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "id_a long, id_b long"
+    )
+    st = {}
+    with pytest.warns(RuntimeWarning, match="did NOT converge"):
+        labels = connected_components(
+            pairs, max_iters=3, stats=st
+        ).collect()
+    assert not st["converged"]
+    # and the partial labels really are partial — the far end of the
+    # chain has not yet heard about vertex 0
+    got = {r["doc_id"]: r["component"] for r in labels}
+    assert got[15] != 0
+
+    # converged runs must NOT warn
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        connected_components(pairs, max_iters=20, stats=st).collect()
+    assert st["converged"]
+
+
+def test_curation_respects_custom_id_col(spark):
+    """curate_documents(df, id_col=...) on a frame whose id column is
+    NOT named doc_id — the round-2 verdict flagged the hard-coded
+    component join as an API landmine."""
+    from feat_spark.plans.curation import curate_documents
+
+    rows = [
+        (101, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+        (102, "alpha bravo charlie delta echo foxtrot golf hotel india kilo"),
+        (103, "completely different words that share nothing with the others xyz"),
+    ]
+    df = spark.createDataFrame(rows, "id long, body string")
+    out = curate_documents(
+        df, id_col="id", text_col="body", quality_floor=0.0,
+        near_dup_threshold=0.5, minhash_k=16, bands=8, shingle_n=3,
+        sample_pct=100,
+    )
+    kept = {r["id"] for r in out.collect()}
+    # 101/102 are near-dups -> min id 101 survives; 103 untouched
+    assert kept == {101, 103}
+
+
 def test_capped_pipeline_components_cover_bucket(spark):
     """Bucket-cap star pairs + CC: every one of the 800 identical docs
     lands in the hub's component — cap changes pair count, not groups."""

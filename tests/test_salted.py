@@ -52,3 +52,28 @@ def test_salted_avg_derivation(spark, skewed):
 def test_salted_rejects_non_mergeable(spark, skewed):
     with pytest.raises(ValueError, match="not salt-mergeable"):
         salted_group_agg(skewed, "conv_id", {"n_chars": ["stddev"]})
+
+
+def test_salted_default_salt_skips_map_columns(spark):
+    """ADVICE r2: xxhash64 rejects MAP (DATATYPE_MISMATCH.HASH_MAP_TYPE),
+    so a frame containing a map column must still salt (using the
+    remaining hashable columns), not raise."""
+    df = spark.createDataFrame(
+        [(1, 10, {"a": 1}), (1, 20, {"b": 2}), (2, 30, {"c": 3})],
+        "conv_id long, n_chars long, attrs map<string,long>",
+    )
+    got = _by_key(salted_group_agg(df, "conv_id", {"n_chars": ["sum", "count"]}))
+    assert got[1]["n_chars_sum"] == 30 and got[1]["n_chars_count"] == 2
+    assert got[2]["n_chars_sum"] == 30 and got[2]["n_chars_count"] == 1
+
+
+def test_salted_map_in_array_and_struct_also_excluded(spark):
+    """The type filter is recursive: array<map> and struct<…,map,…>
+    are just as unhashable as a bare map."""
+    df = spark.createDataFrame(
+        [(1, 10, [{"a": 1}], (1, {"x": 1})), (1, 20, [], (2, {"y": 2}))],
+        "conv_id long, v long, arr array<map<string,long>>, "
+        "st struct<i: long, m: map<string,long>>",
+    )
+    got = _by_key(salted_group_agg(df, "conv_id", {"v": ["sum"]}))
+    assert got[1]["v_sum"] == 30

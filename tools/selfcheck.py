@@ -2,11 +2,21 @@
 
 Runs every ``__spark_entry__.queries()`` entry at the given sf_dir,
 runs the matching ``oracle_sql()`` in DuckDB over the same parquet
-tables, and compares: row count, column names, and values (rows sorted
-by all columns, columns sorted by name — order-insensitive like the
-driver's value-hash). Exact equality for non-floats; floats must agree
-to 1e-9 relative (queries are expected to round/decimal-discipline
-themselves so even exact equality normally holds).
+tables, and compares: row count, column names, TYPE CLASSES, and
+values (rows sorted by all columns, columns sorted by name —
+order-insensitive like the driver's value-hash). Exact equality for
+non-floats; floats must agree to 1e-9 relative (queries are expected
+to round/decimal-discipline themselves so even exact equality
+normally holds).
+
+Type classes are compared STRICTLY before values: the driver hashes
+typed Arrow cells, so a DuckDB HUGEINT (Arrow decimal128) vs a Spark
+BIGINT fails the driver even when every value is numerically equal.
+Round 2 shipped exactly that bug (`partition_lineage`: an un-cast
+``sum(case …)``) for two rounds because this gate coerced both sides
+through ``astype(float)``. The oracle result is now fetched as Arrow
+(``.arrow()``, not ``.df()``) so DuckDB's decimals survive to the
+comparison instead of being silently narrowed by pandas.
 
 Usage: python tools/selfcheck.py [sf_dir] [query ...]
 """
@@ -20,6 +30,7 @@ import time
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -29,6 +40,41 @@ from feat_spark.session import get_spark  # noqa: E402
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
+
+
+def _arrow_class(t: pa.DataType) -> str:
+    """Collapse an Arrow type to the class the driver's value-hash
+    distinguishes: int vs float vs decimal vs string vs … — Decimal(123)
+    and 123 hash differently, so classes must match exactly."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return f"list<{_arrow_class(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "struct"
+    if pa.types.is_map(t):
+        return "map"
+    if pa.types.is_null(t):
+        return "null"
+    return str(t)
+
+
+def _type_classes(tbl: pa.Table) -> dict[str, str]:
+    return {f.name: _arrow_class(f.type) for f in tbl.schema}
 
 
 def _norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -43,7 +89,42 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+def _spark_class(dt) -> str:
+    """Spark-type twin of :func:`_arrow_class` (same class vocabulary)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{_spark_class(dt.elementType)}>"
+    if isinstance(dt, T.StructType):
+        return "struct"
+    if isinstance(dt, T.MapType):
+        return "map"
+    return str(dt)
+
+
+def compare(
+    name: str,
+    spark_pdf: pd.DataFrame,
+    oracle_pdf: pd.DataFrame,
+    spark_classes: dict[str, str] | None = None,
+    oracle_classes: dict[str, str] | None = None,
+) -> list[str]:
     problems = []
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(f"rowcount spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
@@ -51,6 +132,15 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     if sc != oc:
         problems.append(f"columns spark={sc} oracle={oc}")
         return problems
+    # Driver-strict: type classes must match BEFORE any value coercion —
+    # the float fallback below must never see an int-vs-decimal mismatch.
+    if spark_classes and oracle_classes:
+        for c in sc:
+            s_cls, o_cls = spark_classes.get(c), oracle_classes.get(c)
+            if s_cls != o_cls:
+                problems.append(f"type col {c}: spark={s_cls} oracle={o_cls}")
+        if problems:
+            return problems
     if problems:
         return problems
     s, o = _norm(spark_pdf), _norm(oracle_pdf)
@@ -90,7 +180,9 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            spark_pdf = fn(spark, sf_dir).toPandas()
+            spark_df = fn(spark, sf_dir)
+            spark_classes = {f.name: _spark_class(f.dataType) for f in spark_df.schema.fields}
+            spark_pdf = spark_df.toPandas()
         except Exception as exc:  # noqa: BLE001
             failed.append(name)
             print(f"FAIL  {name}: spark raised {type(exc).__name__}: {exc}")
@@ -99,12 +191,16 @@ def main() -> int:
             print(f"rows  {name}: {len(spark_pdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            oracle_pdf = con.sql(oracles[name]).df()
+            # .arrow(), not .df(): pandas narrows DuckDB HUGEINT/decimal to
+            # float64, which is exactly the masking this gate must not do.
+            oracle_tbl = con.sql(oracles[name]).arrow()
+            oracle_classes = _type_classes(oracle_tbl)
+            oracle_pdf = oracle_tbl.to_pandas()
         except Exception as exc:  # noqa: BLE001
             failed.append(name)
             print(f"FAIL  {name}: oracle raised {exc}")
             continue
-        problems = compare(name, spark_pdf, oracle_pdf)
+        problems = compare(name, spark_pdf, oracle_pdf, spark_classes, oracle_classes)
         if problems:
             failed.append(name)
             print(f"FAIL  {name}: " + "; ".join(problems))
