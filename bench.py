@@ -74,6 +74,8 @@ BENCH_QUERIES = (
     "simhash",
     "knn_cosine",
     "knn_cosine_ivf",
+    "knn_cosine_lsh",
+    "knn_lsh_recall",
 )
 
 
@@ -165,15 +167,24 @@ def main() -> None:
     turns_per_sec = n_turns / flagship_sec
 
     # --- per-query timings over the driver testdata -------------------
+    # min-of-N (default 2): the round-2 driver bench timed each query
+    # ONCE, cold, and produced a deltas table where 17/24 queries
+    # "regressed" 20-560% from pure JIT + box-interference noise. The
+    # first rep warms codegen/JIT/page cache; the min is the steady-
+    # state number that round-over-round deltas can be read against.
     queries: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_SKIP_QUERIES") != "1":
         import __spark_entry__ as E
 
         qs = E.queries()
+        reps_q = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPS", "2"))
         for name in BENCH_QUERIES:
-            t0 = time.perf_counter()
-            _noop(qs[name](spark, sf_dir))
-            queries[name] = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            for _ in range(reps_q):
+                t0 = time.perf_counter()
+                _noop(qs[name](spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            queries[name] = round(best, 3)
 
     out = {
         "metric": "asof_join+windowed-feature turns/sec",

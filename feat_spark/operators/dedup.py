@@ -511,6 +511,25 @@ def _cc_star(
     )
 
 
+def components_with_singletons(
+    labels: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Union the corpus' singleton docs (no dup pair, so absent from
+    ``connected_components`` output) back in as their own component —
+    the convenience the round-2 verdict asked for, so external callers
+    don't re-implement the left_anti that ``plans/curation.py`` does
+    implicitly. Output covers every distinct ``id_col`` of ``corpus``."""
+    singles = (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("component", F.col("doc_id"))
+    )
+    return labels.select("doc_id", "component").unionByName(singles)
+
+
 def simhash32(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -221,3 +221,23 @@ def test_curation_dropped_doc_cannot_bridge_clusters(spark):
         minhash_k=16, bands=8, shingle_n=3, sample_pct=100,
     )
     assert {r["doc_id"] for r in out2.collect()} == {1}
+
+
+def test_components_with_singletons_covers_corpus(spark):
+    """components_with_singletons: every corpus doc gets a row; docs
+    without a dup pair label themselves."""
+    from feat_spark.operators.dedup import (
+        components_with_singletons,
+        connected_components,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (5, 6)], "id_a long, id_b long")
+    labels = connected_components(pairs)
+    full = {
+        r["doc_id"]: r["component"]
+        for r in components_with_singletons(labels, corpus).collect()
+    }
+    assert full == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7}
