@@ -1246,6 +1246,45 @@ def _q_dedup_components_star(spark, sf_dir):
     return D.connected_components(pairs, algorithm="star")
 
 
+def _q_decontamination(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.py): a synthetic
+    eval set is carved deterministically from the corpus itself (docs
+    with id % 37 == 0 contribute words 3-10 as one benchmark entry), so
+    contamination has guaranteed positives; every doc gets its
+    8-gram-overlap count. The oracle rebuilds the benchmark, both gram
+    inventories, and the broadcast-join hit counts in SQL."""
+    from feat_spark.operators.decontam import contamination_flags
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = TXT.words("text")
+    bench = (
+        d.filter((F.col("doc_id") % 37 == 0) & (F.size(ws) >= 10))
+        .select(F.concat_ws(" ", F.slice(ws, 3, 8)).alias("text"))
+    )
+    return contamination_flags(d, bench, id_col="doc_id", text_col="text", n=8)
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Sequence packing (operators/packing.py): concat-then-chunk
+    placement of every document into fixed 256-token training
+    sequences across 8 deterministic hash shards. Pure (hash, count,
+    prefix-sum) arithmetic — the oracle replays placement bit-for-bit."""
+    from feat_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(d, ctx_len=256, id_col="doc_id", text_col="text", n_shards=8)
+
+
+def _q_packing_stats(spark, sf_dir):
+    """Per-shard packing summary (sequences used, fill ratio) over the
+    pack_sequences placement — the corpus-level QA number a training
+    job reports."""
+    from feat_spark.operators.packing import pack_sequences, packing_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return packing_stats(pack_sequences(d, ctx_len=256, n_shards=8), ctx_len=256)
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum hash sampling (layout-independent,
     replayable: the oracle recomputes the SAMPLED SET, not its size)."""
@@ -1492,9 +1531,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score_pandas_udf": _q_quality_udf,
         "value_spread_grouped_udf": _q_value_spread_udf,
         "dedup_exact": _q_dedup_exact,
-        # --- repaired / touched this round --------------------------
+        # --- repaired / touched / NEW this round --------------------
         "partition_lineage": _q_partition_lineage,
         "dedup_components_star": _q_dedup_components_star,
+        "decontamination": _q_decontamination,
+        "pack_sequences": _q_pack_sequences,
+        "packing_stats": _q_packing_stats,
         "minhash_lsh_dedup": _q_minhash_lsh,
         "knn_lsh_recall": _q_knn_lsh_recall,
         "knn_cosine_ivf": _q_knn_ivf,
@@ -2220,6 +2262,55 @@ def oracle_sql() -> dict[str, str]:
         # contract), so both share the oracle
         "dedup_components": _CC_ORACLE_SQL,
         "dedup_components_star": _CC_ORACLE_SQL,
+        # benchmark = words 3-10 of every (id % 37 == 0, >=10-word) doc;
+        # doc gram inventory = distinct 8-word shingles; hits = distinct
+        # doc grams present anywhere in the benchmark
+        "decontamination": f"""
+          with ws as (select doc_id, {_WS} as w from documents),
+          bench as (select distinct array_to_string(w[3:10], ' ') as g
+                    from ws where doc_id % 37 = 0 and len(w) >= 10),
+          dg as (select doc_id,
+                        unnest(list_distinct(list_transform(
+                          generate_series(1, greatest(len(w) - 7, 0)),
+                          i -> array_to_string(w[i:i+7], ' ')))) as g
+                 from ws),
+          hits as (select doc_id, count(*) as n
+                   from dg join bench using (g) group by 1)
+          select d.doc_id,
+                 cast(coalesce(h.n, 0) as bigint) as n_contaminated_grams,
+                 coalesce(h.n, 0) > 0 as contaminated
+          from documents d left join hits h using (doc_id)""",
+        "pack_sequences": f"""
+          with t as (select doc_id,
+                            cast({_HX.format(x="cast(doc_id as varchar)")} % 8 as int) as shard,
+                            cast(len({_WS}) as bigint) as n_tokens
+                     from documents),
+          p as (select doc_id, shard, n_tokens,
+                       cast(coalesce(sum(n_tokens) over (
+                         partition by shard order by doc_id
+                         rows between unbounded preceding and 1 preceding), 0)
+                         as bigint) as "offset"
+                from t)
+          select doc_id, shard, n_tokens, "offset",
+                 cast(floor("offset" / 256.0) as bigint) as seq_index,
+                 cast("offset" % 256 as bigint) as seq_offset,
+                 cast(floor(("offset" + greatest(n_tokens, 1) - 1) / 256.0) as bigint)
+                   > cast(floor("offset" / 256.0) as bigint) as spans_boundary
+          from p""",
+        "packing_stats": f"""
+          with t as (select doc_id,
+                            cast({_HX.format(x="cast(doc_id as varchar)")} % 8 as int) as shard,
+                            cast(len({_WS}) as bigint) as n_tokens
+                     from documents),
+          g as (select shard, count(*) as n_docs, sum(n_tokens) as total_tokens
+                from t group by 1)
+          select shard, cast(n_docs as bigint) as n_docs,
+                 cast(total_tokens as bigint) as total_tokens,
+                 cast(ceil(total_tokens / 256.0) as bigint) as n_seqs,
+                 round(total_tokens /
+                       nullif(cast(ceil(total_tokens / 256.0) as bigint) * 256, 0),
+                       6) as fill_ratio
+          from g""",
         "stratified_sample": f"""
           select event_id, event_type from events
           where {_HX.format(x="'s:' || cast(event_id as varchar)")} % 100 <

@@ -1,0 +1,119 @@
+"""Sequence packing — place documents into fixed-length training
+sequences (the concat-then-chunk layout LLM pretraining uses).
+
+Semantics: documents are concatenated in a deterministic order and the
+token stream is cut every ``ctx_len`` tokens; each document's
+placement is fully determined by the exclusive prefix sum of token
+counts ahead of it. That prefix sum is the whole operator — packing is
+windowed arithmetic, not a bin-packing search.
+
+Scale shape: a single global prefix sum would serialize on one
+partition, so the corpus is first split into ``n_shards`` deterministic
+hash shards (portable md5-derived hash of the doc id — layout- and
+engine-independent, same discipline as ``operators/sampling.py``), and
+packing runs per shard: one shuffle keyed by shard, one in-partition
+sort, one running sum. Shards are independent token streams — exactly
+how a 1000-executor job would write 1000 packed output files. Skew is
+bounded by corpus_tokens/n_shards by construction (the hash spreads
+docs uniformly); for pathological single-doc skew the chunked-window
+machinery (``operators/chunked.py``) applies unchanged.
+
+Every output column is integer arithmetic over (hash, count) — the
+DuckDB oracle replays packing bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from feat_spark.functions.text import md5_long32, words
+
+
+def pack_sequences(
+    df: DataFrame,
+    ctx_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Assign every document its place in the packed token stream.
+
+    Output (one row per doc):
+    ``(doc_id, shard, n_tokens, offset, seq_index, seq_offset,
+    spans_boundary)`` where ``offset`` is the doc's start position in
+    its shard's concatenated stream, ``seq_index = offset // ctx_len``
+    (which fixed-length training sequence the doc STARTS in),
+    ``seq_offset = offset % ctx_len``, and ``spans_boundary`` flags
+    docs cut by a sequence boundary (they continue into the next
+    sequence — the concat-then-chunk regime; callers who forbid
+    splitting filter or re-route these).
+
+    ``token_col`` supplies precomputed token counts; the default is the
+    whitespace word count (the honest proxy available without a
+    tokenizer in this environment — swap in a real count column from
+    ``functions.text`` token ops or an external tokenizer at will).
+    Docs with zero tokens are kept (zero-width placements) so the
+    output covers the corpus.
+    """
+    toks = (
+        F.col(token_col)
+        if token_col
+        else F.size(words(text_col))
+    ).cast("long")
+    shard = F.pmod(md5_long32(F.col(id_col).cast("string")), F.lit(n_shards)).cast(
+        "int"
+    )
+    base = df.select(
+        F.col(id_col), shard.alias("shard"), toks.alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = base.withColumn(
+        "offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    seq_index = (F.col("offset") / ctx_len).cast("long")
+    end_index = ((F.col("offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1) / ctx_len).cast("long")
+    return placed.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        "offset",
+        seq_index.alias("seq_index"),
+        (F.col("offset") % ctx_len).cast("long").alias("seq_offset"),
+        (end_index > seq_index).alias("spans_boundary"),
+    )
+
+
+def packing_stats(packed: DataFrame, ctx_len: int) -> DataFrame:
+    """Per-shard packing summary: sequences used, total tokens, fill
+    ratio of the packed stream (= tokens / (n_seqs * ctx_len); the
+    concat-then-chunk layout wastes only the final partial sequence per
+    shard, so fill approaches 1 as shards grow)."""
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "total_tokens",
+            F.ceil(F.col("total_tokens") / ctx_len).cast("long").alias("n_seqs"),
+        )
+        .select(
+            "*",
+            # nullif guards the empty-stream shard (0/0) identically to
+            # the oracle's nullif
+            F.round(
+                F.col("total_tokens")
+                / F.nullif(F.col("n_seqs") * F.lit(ctx_len), F.lit(0)),
+                6,
+            ).alias("fill_ratio"),
+        )
+    )

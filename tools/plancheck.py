@@ -93,6 +93,13 @@ MAX_EXCHANGES = {
     "tfidf_keywords": 4,
     # (doc,gram) partial agg + per-doc final agg
     "repetition_stats": 2,
+    # benchmark-gram distinct + per-doc hit agg; corpus side NEVER
+    # shuffles (gram set and hit counts broadcast back)
+    "decontamination": 2,
+    # one per-shard prefix-sum window
+    "pack_sequences": 1,
+    # the per-shard agg reuses the window's shard partitioning
+    "packing_stats": 1,
 }
 
 #: queries whose scan must show a pushed filter
