@@ -94,7 +94,17 @@ def all_runs(turns: int, rev: str | None = None) -> dict[int, list[float]]:
 def write_md(turns: int) -> dict:
     rev = git_rev()
     tps = all_runs(turns, rev=rev)
-    rev_note = f"All rows below were measured at git rev `{rev}` (HEAD)."
+    if rev.endswith("-dirty") or rev == "unknown":
+        # dirty-tree rows must never masquerade as a commit's published
+        # numbers — say so instead of claiming "(HEAD)"
+        rev_note = (
+            f"**WARNING: working tree dirty (`{rev}`) — these are "
+            "provisional numbers for uncommitted code, NOT the published "
+            "figures of any commit. Re-run the campaign at a clean HEAD "
+            "before citing them.**"
+        )
+    else:
+        rev_note = f"All rows below were measured at git rev `{rev}` (HEAD)."
     if not tps:  # no campaign at HEAD yet: fall back, but say so
         tps = all_runs(turns)
         rev_note = (
