@@ -241,3 +241,42 @@ def test_components_with_singletons_covers_corpus(spark):
         for r in components_with_singletons(labels, corpus).collect()
     }
     assert full == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_star_contraction_random_graphs_property(spark):
+    """Property check: on random graphs (mixed components, cycles,
+    chains), star-contraction labels match a plain union-find computed
+    driver-side."""
+    from feat_spark.operators.dedup import connected_components
+
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        n = 60
+        m = 70
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, size=(m, 2))
+            if a != b
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {
+            v: find(v)
+            for v in {x for e in edges for x in e}
+        }
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["doc_id"]: r["component"]
+            for r in connected_components(pairs, algorithm="star").collect()
+        }
+        assert got == want, f"trial {trial}"
