@@ -41,12 +41,25 @@ def git_rev() -> str:
             ["git", "rev-parse", "--short", "HEAD"],
             cwd=REPO, capture_output=True, text=True, check=True,
         ).stdout.strip()
-        dirty = subprocess.run(
+        status = subprocess.run(
             ["git", "status", "--porcelain"],
             cwd=REPO, capture_output=True, text=True, check=True,
-        ).stdout.strip()
+        ).stdout.splitlines()
         # a dirty tree is NOT the committed rev — never let its rows
-        # masquerade as (or pollute) a commit's published numbers
+        # masquerade as (or pollute) a commit's published numbers.
+        # The campaign's OWN bookkeeping is exempt: appending to
+        # BENCH/runs.jsonl (and stray log files) is what every campaign
+        # does and cannot change the measured engine — without the
+        # exemption the first append marks every later row dirty, which
+        # is exactly how the round-2 table ended up published at a
+        # "-dirty" rev.
+        dirty = [
+            line
+            for line in status
+            if line.strip()
+            and not line.endswith("BENCH/runs.jsonl")
+            and not line.rstrip().endswith((".log", ".out"))
+        ]
         return rev + "-dirty" if dirty else rev
     except Exception:
         return "unknown"
