@@ -57,7 +57,7 @@ def git_rev() -> str:
             line
             for line in status
             if line.strip()
-            and not line.endswith("BENCH/runs.jsonl")
+            and not line.endswith(("BENCH/runs.jsonl", "BENCH/BASELINE.md"))
             and not line.rstrip().endswith((".log", ".out"))
         ]
         return rev + "-dirty" if dirty else rev
