@@ -1285,6 +1285,43 @@ def _q_packing_stats(spark, sf_dir):
     return packing_stats(pack_sequences(d, ctx_len=256, n_shards=8), ctx_len=256)
 
 
+def _q_corpus_mix(spark, sf_dir):
+    """Per-language corpus composition report (operators/mixture.py):
+    docs, tokens, token share — the data-mixture statement a training
+    run publishes before consuming a corpus."""
+    from feat_spark.operators.mixture import corpus_mix
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_mix(d, strata="lang", text_col="text")
+
+
+def _q_mixture_sample(spark, sf_dir):
+    """Mixture re-weighting (operators/mixture.py): downsample to a
+    target language mix (en:de:fr:es = 5:2:2:1, zh dropped — the spec
+    is a whitelist) at maximum size without upsampling. Rates are
+    integer basis points from floor arithmetic and membership is the
+    portable md5 gate, so the oracle recomputes BOTH the rates and the
+    exact sampled set."""
+    from feat_spark.operators.mixture import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = mixture_sample(
+        d, targets={"en": 5, "de": 2, "fr": 2, "es": 1},
+        strata="lang", key="doc_id", salt="mix",
+    )
+    return out.select("doc_id", "lang")
+
+
+def _q_ngram_freq(spark, sf_dir):
+    """Corpus-level n-gram document frequencies (boilerplate mining,
+    operators/keywords.py): every 2-gram appearing in >=20 distinct
+    docs with its doc share."""
+    from feat_spark.operators.keywords import ngram_doc_freq
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_doc_freq(d, n=2, min_docs=20)
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum hash sampling (layout-independent,
     replayable: the oracle recomputes the SAMPLED SET, not its size)."""
@@ -1537,6 +1574,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": _q_decontamination,
         "pack_sequences": _q_pack_sequences,
         "packing_stats": _q_packing_stats,
+        "corpus_mix": _q_corpus_mix,
+        "mixture_sample": _q_mixture_sample,
+        "ngram_freq": _q_ngram_freq,
         "minhash_lsh_dedup": _q_minhash_lsh,
         "knn_lsh_recall": _q_knn_lsh_recall,
         "knn_cosine_ivf": _q_knn_ivf,
@@ -2310,6 +2350,43 @@ def oracle_sql() -> dict[str, str]:
                  round(total_tokens /
                        nullif(cast(ceil(total_tokens / 256.0) as bigint) * 256, 0),
                        6) as fill_ratio
+          from g""",
+        "corpus_mix": f"""
+          with t as (select lang, count(*) as n_docs,
+                            cast(sum(len({_WS})) as bigint) as n_tokens
+                     from documents group by 1)
+          select lang, cast(n_docs as bigint) as n_docs, n_tokens,
+                 round(n_tokens / (select cast(sum(n_tokens) as bigint) from t),
+                       6) as token_share
+          from t""",
+        # floor-basis-point rates: t_max = min(n / (w/10)), bp =
+        # floor(10000 * ((w/10) * t_max) / n) — identical double
+        # arithmetic to mixture_rates, so the SET matches exactly
+        "mixture_sample": f"""
+          with c as (select lang, count(*) as n from documents group by 1),
+          t(lang, w) as (select * from (values ('en', 5.0), ('de', 2.0),
+                                               ('fr', 2.0), ('es', 1.0))),
+          tm as (select min(c.n / (t.w / 10.0)) as t_max
+                 from c join t on c.lang = t.lang),
+          r as (select c.lang,
+                       least(10000,
+                             cast(floor(10000 * ((t.w / 10.0) * tm.t_max) / c.n)
+                                  as bigint)) as bp
+                from c join t on c.lang = t.lang cross join tm)
+          select d.doc_id, d.lang
+          from documents d join r on d.lang = r.lang
+          where {_HX.format(x="'mix:' || cast(d.doc_id as varchar)")} % 10000 < r.bp""",
+        "ngram_freq": f"""
+          with sh as (select doc_id,
+                             unnest(list_distinct(list_transform(
+                               generate_series(1, greatest(len({_WS}) - 1, 0)),
+                               i -> array_to_string({_WS}[i:i+1], ' ')))) as ngram
+                      from documents),
+          g as (select ngram, count(*) as n_docs from sh
+                group by 1 having count(*) >= 20)
+          select ngram, cast(n_docs as bigint) as n_docs,
+                 round(n_docs / (select count(distinct doc_id) from documents),
+                       6) as doc_share
           from g""",
         "stratified_sample": f"""
           select event_id, event_type from events

@@ -50,3 +50,38 @@ def tfidf_topk(
         .filter(F.col("rank") <= k)
         .select("doc_id", "word", "tfidf", "rank")
     )
+
+
+def ngram_doc_freq(
+    df: DataFrame,
+    n: int = 2,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level n-gram document frequencies — the boilerplate-mining
+    primitive (an n-gram appearing in many documents is template text:
+    headers, disclaimers, navigation chrome; its output feeds manual
+    blocklists or the line-level cleaners of a curation pass).
+
+    ``(ngram, n_docs, doc_share)`` for every n-word gram appearing in
+    at least ``min_docs`` DISTINCT documents (per-doc dedup via
+    ``word_shingles``, so a gram repeated inside one doc counts once).
+    One explode + one partial-agg group-by keyed by the gram — the
+    natural blocking key; a Zipf-hot gram is bounded by map-side
+    combine, never a single task.
+    """
+    from feat_spark.functions.text import word_shingles
+
+    total = df.select(id_col).distinct().count()
+    grams = df.select(
+        F.col(id_col).alias("__id"), F.explode(word_shingles(text_col, n)).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select(
+            "ngram", "n_docs", F.round(F.col("n_docs") / total, 6).alias("doc_share")
+        )
+    )

@@ -1,0 +1,121 @@
+"""Corpus composition + mixture re-weighting — the "data mixing" stage
+of a training-data pipeline.
+
+Two primitives:
+
+* ``corpus_mix`` — the per-stratum composition report (docs, tokens,
+  token share) a training run publishes before consuming a corpus: one
+  hash aggregate over the stratum columns, a driver-side total, shares
+  as exact decimal ratios. 100 TB: a partial-agg group-by on a
+  low-cardinality key — nothing to optimize.
+* ``mixture_sample`` — downsample strata to hit TARGET mixture weights
+  without upsampling: with stratum sizes c_s and target weights w_s,
+  the largest corpus exactly at the target mixture keeps
+  ``T = min_s(c_s / w_s)`` rows total and ``keep_s = w_s * T`` per
+  stratum. Rates are fixed as integer basis points and applied through
+  the same portable md5 hash gate as ``operators/sampling.py`` — the
+  sampled SET is deterministic, layout-independent, and replayable by
+  an external engine (the driver gate's oracle recomputes rates AND
+  membership in SQL). The stratum sizes come from one small aggregate
+  collected to the driver (|strata| rows — broadcast-small by
+  construction); the data pass is a single hash-gate filter that
+  pushes down to the scan.
+
+Upsampling (epochs over rare strata) is a training-loop concern, not a
+corpus transform — this operator only ever drops rows, which keeps it
+idempotent and replayable.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from feat_spark.functions.text import md5_long32, words
+
+
+def corpus_mix(
+    df: DataFrame,
+    strata: str | Sequence[str] = ("lang", "source"),
+    text_col: str = "text",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Per-stratum composition: ``(*strata, n_docs, n_tokens,
+    token_share)`` with ``token_share`` rounded to 6dp of the corpus
+    total."""
+    strata = [strata] if isinstance(strata, str) else list(strata)
+    toks = (F.col(token_col) if token_col else F.size(words(text_col))).cast("long")
+    per = df.groupBy(*strata).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+    )
+    # global-window total over the ALREADY-AGGREGATED frame (|strata|
+    # rows) — the single-partition window is over a handful of rows,
+    # never the corpus
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return per.select(
+        *strata,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / total, 6).alias("token_share"),
+    )
+
+
+def mixture_rates(
+    counts: Mapping[tuple, int], targets: Mapping[tuple, float]
+) -> dict[tuple, int]:
+    """Per-stratum keep rates in basis points (0..10000) achieving the
+    target mixture at maximum size without upsampling. Pure driver-side
+    arithmetic on the tiny stratum-count table — exposed for tests and
+    for replaying the computation in an external engine."""
+    missing = set(targets) - set(counts)
+    if missing:
+        raise ValueError(f"targets name absent strata: {sorted(missing)}")
+    wsum = float(sum(targets.values()))
+    norm = {k: v / wsum for k, v in targets.items()}
+    t_max = min(counts[s] / w for s, w in norm.items() if w > 0)
+    rates = {}
+    for s, w in norm.items():
+        keep = w * t_max
+        # floor, not round: no .5-tie ambiguity, so an external engine
+        # (DuckDB oracle) reproduces every basis point bit-for-bit
+        rates[s] = min(10000, int(10000 * keep / counts[s])) if counts[s] else 0
+    return rates
+
+
+def mixture_sample(
+    df: DataFrame,
+    targets: Mapping,
+    strata: str | Sequence[str] = "source",
+    key: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Hash-gated downsample to the target stratum mixture.
+
+    ``targets``: {stratum_value(s): weight}. Strata absent from
+    ``targets`` are DROPPED (explicit inclusion — a mixture spec is a
+    whitelist). Rows kept per stratum: the deterministic md5 gate
+    ``hash(salt:key) % 10000 < rate_bp`` — so re-running on re-
+    partitioned/re-ordered data returns the identical set.
+    """
+    strata = [strata] if isinstance(strata, str) else list(strata)
+    cnt_rows = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("n")).collect()
+    counts = {tuple(r[s] for s in strata): r["n"] for r in cnt_rows}
+    tkeys = {k if isinstance(k, tuple) else (k,): v for k, v in targets.items()}
+    rates = mixture_rates({k: counts.get(k, 0) for k in tkeys}, tkeys)
+
+    gate = F.pmod(
+        md5_long32(F.concat_ws(":", F.lit(salt), F.col(key).cast("string"))),
+        F.lit(10000),
+    )
+    stratum_rate = F.lit(None).cast("int")
+    for sk, bp in rates.items():
+        cond = F.lit(True)
+        for col, val in zip(strata, sk):
+            cond = cond & (F.col(col) == F.lit(val))
+        stratum_rate = F.when(cond, F.lit(bp)).otherwise(stratum_rate)
+    return df.withColumn("__rate", stratum_rate).filter(
+        F.col("__rate").isNotNull() & (gate < F.col("__rate"))
+    ).drop("__rate")

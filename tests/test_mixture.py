@@ -1,0 +1,84 @@
+"""Data-mixture operators: composition report, rate arithmetic, and the
+hash-gated re-weighting sampler (driver gates `corpus_mix` /
+`mixture_sample` / `ngram_freq` are the oracle-checked twins)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feat_spark.operators.mixture import corpus_mix, mixture_rates, mixture_sample
+
+
+def _docs(spark, spec):
+    """spec: {lang: n_docs}; 12-word docs, globally unique ids."""
+    rows, i = [], 0
+    for lang, n in spec.items():
+        for _ in range(n):
+            rows.append((i, lang, " ".join(["w"] * 12)))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_mixture_rates_arithmetic():
+    # limiting stratum: es (100 docs at weight 0.1 -> T_max = 1000)
+    counts = {("en",): 800, ("de",): 300, ("es",): 100}
+    rates = mixture_rates(counts, {("en",): 5, ("de",): 4, ("es",): 1})
+    # T = min(800/.5, 300/.4, 100/.1) = 750 -> keep 375/300/75
+    assert rates[("en",)] == int(10000 * 375 / 800)
+    assert rates[("de",)] == 10000
+    assert rates[("es",)] == int(10000 * 75 / 100)
+
+
+def test_mixture_rates_rejects_unknown_stratum():
+    with pytest.raises(ValueError, match="absent strata"):
+        mixture_rates({("en",): 10}, {("en",): 1, ("xx",): 1})
+
+
+def test_mixture_sample_whitelist_and_proportions(spark):
+    df = _docs(spark, {"en": 400, "de": 200, "zh": 150})
+    out = mixture_sample(df, targets={"en": 3, "de": 1}, strata="lang").toPandas()
+    got = out.groupby("lang").size().to_dict()
+    assert "zh" not in got  # spec is a whitelist
+    # T = min(400/.75, 200/.25) = 533.3 -> keep ~400 en / ~133 de; the
+    # hash gate is probabilistic in COUNT, so allow binomial slack
+    assert got["en"] >= 380  # rate 10000bp -> exactly 400
+    assert 100 <= got["de"] <= 166
+    # achieved mix near 3:1
+    ratio = got["en"] / got["de"]
+    assert 2.2 <= ratio <= 4.0
+
+
+def test_mixture_sample_deterministic_and_layout_independent(spark):
+    df = _docs(spark, {"en": 300, "de": 100})
+    a = {
+        r["doc_id"]
+        for r in mixture_sample(df, {"en": 1, "de": 1}, strata="lang").collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in mixture_sample(
+            df.repartition(17), {"en": 1, "de": 1}, strata="lang"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_corpus_mix_shares(spark):
+    df = _docs(spark, {"en": 30, "de": 10})
+    out = {r["lang"]: r for r in corpus_mix(df, strata="lang").collect()}
+    assert out["en"]["n_docs"] == 30 and out["de"]["n_docs"] == 10
+    assert out["en"]["n_tokens"] == 360 and out["de"]["n_tokens"] == 120
+    assert abs(out["en"]["token_share"] - 0.75) < 1e-9
+    assert abs(out["de"]["token_share"] - 0.25) < 1e-9
+
+
+def test_ngram_doc_freq_dedups_within_doc(spark):
+    from feat_spark.operators.keywords import ngram_doc_freq
+
+    rows = [
+        (1, "a b a b a b"),      # "a b" repeated inside one doc: counts once
+        (2, "a b c d"),
+        (3, "x y z w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["ngram"]: r["n_docs"] for r in ngram_doc_freq(df, n=2, min_docs=2).collect()}
+    assert out == {"a b": 2}

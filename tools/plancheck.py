@@ -100,6 +100,13 @@ MAX_EXCHANGES = {
     "pack_sequences": 1,
     # the per-shard agg reuses the window's shard partitioning
     "packing_stats": 1,
+    # one stratum group-by; the global-total window runs on the |strata|-
+    # row aggregate (SinglePartition over a handful of rows, not counted)
+    "corpus_mix": 1,
+    # rates resolved driver-side -> the data pass is a pure scan filter
+    "mixture_sample": 0,
+    # one gram-keyed partial-agg group-by
+    "ngram_freq": 1,
 }
 
 #: queries whose scan must show a pushed filter
