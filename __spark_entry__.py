@@ -422,6 +422,54 @@ asof left join rhs on e.user_id = rhs.user_id and e.ts >= rhs.ts
 """
 
 
+def _q_stream_dedup(spark, sf_dir):
+    """Streaming gate #3: exact dedup with BOUNDED state
+    (withWatermark + dropDuplicatesWithinWatermark). The input stream
+    carries every event once plus one-in-three events re-emitted BOTH
+    within the first micro-batch and again in the second (intra- and
+    cross-batch duplicates; duplicates are byte-identical so whichever
+    arrival survives hashes the same). The watermark delay exceeds the
+    corpus' ts span, so the run is exact and the batch ``distinct``
+    oracle applies — while the state-evicting operator itself executes
+    end to end across a real 2-micro-batch availableNow stream."""
+    import uuid
+
+    import pandas as pd
+
+    from feat_spark.streaming.pipeline import run_to_memory, stream_exact_dedup
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    pdf = e.toPandas().sort_values("event_id").reset_index(drop=True)
+    if getattr(pdf["ts"].dtype, "tz", None) is None:
+        pdf["ts"] = pdf["ts"].dt.tz_localize("UTC")
+    dups = pdf[pdf["event_id"] % 3 == 0]
+    cut = len(pdf) // 2
+    part1 = pd.concat([pdf.iloc[:cut], dups[dups["event_id"] < int(pdf.iloc[cut]["event_id"])]])
+    part2 = pd.concat([pdf.iloc[cut:], dups])
+    d = _stream_scratch("dedupstream")
+    pq_opts = dict(index=False, coerce_timestamps="us",
+                   allow_truncated_timestamps=True)
+    part1.to_parquet(os.path.join(d, "part1.parquet"), **pq_opts)
+    part2.to_parquet(os.path.join(d, "part2.parquet"), **pq_opts)
+    _space_mtimes(d, ["part1.parquet", "part2.parquet"])
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = stream_exact_dedup(stream, keys=["event_id"], ts_col="ts")
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name)
+    return spark.table(name).select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+    )
+
+
 def _q_topk(spark, sf_dir):
     out = top_k_per_group(
         _events(spark, sf_dir), k=3, partition="user_id",
@@ -1577,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": _q_corpus_mix,
         "mixture_sample": _q_mixture_sample,
         "ngram_freq": _q_ngram_freq,
+        "stream_dedup": _q_stream_dedup,
         "minhash_lsh_dedup": _q_minhash_lsh,
         "knn_lsh_recall": _q_knn_lsh_recall,
         "knn_cosine_ivf": _q_knn_ivf,
@@ -2068,6 +2117,11 @@ def oracle_sql() -> dict[str, str]:
         # Streaming gates: the oracle is the BATCH semantics — a green
         # hash IS the stream/batch parity claim under the driver.
         "stream_turn_features": _STREAM_TURNS_SQL,
+        # duplicates are byte-identical, so first-arrival-wins equals
+        # plain distinct
+        "stream_dedup": """
+          select event_id, user_id, epoch_us(ts) as ts_us, value
+          from events""",
         "stream_asof": _STREAM_ASOF_SQL,
         "sessionize": f"select event_id, session_id from ({_SESSION_IDS_SQL})",
         "session_agg": f"""

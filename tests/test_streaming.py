@@ -209,3 +209,62 @@ def test_state_ttl_eviction(spark, tmp_path_factory):
     assert evicted[("a", 3)] == 1  # state dropped: fresh conversation
     kept = run("3650 days", "ttl_large")
     assert kept[("a", 3)] == 3  # state carried across the gap
+
+
+def test_stream_exact_dedup_and_bounded_state(spark, tmp_path_factory):
+    """stream_exact_dedup: (a) byte-identical duplicates — intra- and
+    cross-batch — never re-emit while state lives; (b) the bounded-state
+    trade: a re-emission stamped with a FRESH event time beyond the
+    watermark delay passes through as a new row (its state was evicted).
+    The driver gate `stream_dedup` is the corpus-scale oracle-checked
+    twin of (a)."""
+    import uuid
+
+    import pandas as pd
+
+    from feat_spark.streaming.pipeline import run_to_memory, stream_exact_dedup
+
+    base = pd.Timestamp("2024-01-01 00:00:00", tz="UTC")
+    hr = pd.Timedelta(hours=1)
+    # batch 1: A, B, plus an immediate duplicate of A; filler F drives
+    # the watermark (wm after batch1 = t0+3h - 1h = t0+2h > A's ts)
+    b1 = pd.DataFrame({
+        "event_id": [1, 2, 1, 9],
+        "ts": [base, base + hr, base, base + 3 * hr],
+        "v": [10.0, 20.0, 10.0, 90.0],
+    })
+    # batch 2: duplicate of B with its ORIGINAL ts (late beyond wm ->
+    # dropped) plus a filler advancing the watermark further; A's state
+    # (expired at t0+1h, wm already t0+2h) is evicted at this batch's end
+    b2 = pd.DataFrame({
+        "event_id": [2, 8],
+        "ts": [base + hr, base + 5 * hr],
+        "v": [20.0, 80.0],
+    })
+    # batch 3: re-emission of A with a FRESH event time -> its state is
+    # gone, so it passes through as a new row (the bounded-state trade)
+    b3 = pd.DataFrame({
+        "event_id": [1],
+        "ts": [base + 6 * hr],
+        "v": [11.0],
+    })
+    d = tmp_path_factory.mktemp("dedupstream")
+    for i, b in enumerate((b1, b2, b3), start=1):
+        b.to_parquet(os.path.join(d, f"part{i}.parquet"), index=False,
+                     coerce_timestamps="us", allow_truncated_timestamps=True)
+    _space_mtimes(d, ["part1.parquet", "part2.parquet", "part3.parquet"])
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = stream_exact_dedup(stream, keys=["event_id"], ts_col="ts", delay="1 hour")
+    name = "t_dedup_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name)
+    rows = sorted(
+        (r["event_id"], r["v"]) for r in spark.table(name).collect()
+    )
+    # A once from batch1 (dup deduped), B once (late dup dropped),
+    # fillers once each, A's fresh-ts re-emission once more
+    assert rows == [(1, 10.0), (1, 11.0), (2, 20.0), (8, 80.0), (9, 90.0)]
