@@ -470,6 +470,44 @@ def _q_stream_dedup(spark, sf_dir):
     )
 
 
+def _q_feature_matrix(spark, sf_dir):
+    """The declarative feature-matrix API (plans/features.py): ONE spec
+    composing point-in-time attrs + stable order + lag + cumulative +
+    trailing time window + sessionization — every constituent has its
+    own gate; this row checks the COMPOSITION (the column set a real
+    feature job materializes) against a single SQL twin."""
+    from feat_spark.plans.features import (
+        AsofSource,
+        FeatureMatrixSpec,
+        build_feature_matrix,
+    )
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "value",
+        F.col("value").cast("decimal(18,2)").alias("value_dec"),
+    )
+    rhs = _orders_rhs(spark, sf_dir)
+    spec = FeatureMatrixSpec(
+        entity="user_id", ts="ts", tiebreak=("event_id",),
+        asof=[AsofSource(rhs, value_cols=["o_totalprice"])],
+        lags={"value": [1]},
+        cumulative={"value": ["count"]},
+        rolling={"value_dec": {"duration": "1 hour", "fns": ["sum"]}},
+        session_gap="30 minutes",
+    )
+    out = build_feature_matrix(e, spec)
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "o_totalprice",
+        F.col("turn_seq").cast("long").alias("turn_seq"),
+        "value_lag1",
+        F.col("value_cum_count").cast("long").alias("value_cum_count"),
+        F.col("value_dec_roll_sum").cast("double").alias("value_roll_sum"),
+        F.col("session_id").cast("long").alias("session_id"),
+    )
+
+
 def _q_topk(spark, sf_dir):
     out = top_k_per_group(
         _events(spark, sf_dir), k=3, partition="user_id",
@@ -1626,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "ngram_freq": _q_ngram_freq,
         "stream_dedup": _q_stream_dedup,
+        "feature_matrix": _q_feature_matrix,
         "minhash_lsh_dedup": _q_minhash_lsh,
         "knn_lsh_recall": _q_knn_lsh_recall,
         "knn_cosine_ivf": _q_knn_ivf,
@@ -2122,6 +2161,32 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": """
           select event_id, user_id, epoch_us(ts) as ts_us, value
           from events""",
+        # composed twin of the declarative feature-matrix spec: asof +
+        # row_number + lag + preceding-frame count + trailing-hour sum +
+        # gap sessionization, all over the shared (ts, event_id) order
+        "feature_matrix": f"""
+          with rhs as ({_ORDERS_RHS_SQL}),
+          j as (
+            select e.event_id, e.user_id, e.ts, e.value, rhs.o_totalprice
+            from events e
+            asof left join rhs on e.user_id = rhs.user_id and e.ts >= rhs.ts),
+          w as (
+            select *,
+              cast(row_number() over ({_WIN}) as bigint) as turn_seq,
+              lag(value, 1) over ({_WIN}) as value_lag1,
+              cast(count(value) over ({_WIN} {_ROWS}) as bigint) as value_cum_count,
+              cast(sum(cast(value as decimal(18,2))) over (
+                partition by user_id order by ts
+                range between interval '1 hour' preceding and current row
+              ) as double) as value_roll_sum,
+              case when lag(ts) over ({_WIN}) is null
+                     or ts - lag(ts) over ({_WIN}) > interval '30 minutes'
+                   then 1 else 0 end as new_s
+            from j)
+          select event_id, user_id, epoch_us(ts) as ts_us, o_totalprice,
+                 turn_seq, value_lag1, value_cum_count, value_roll_sum,
+                 cast(sum(new_s) over ({_WIN} {_ROWS}) - 1 as bigint) as session_id
+          from w""",
         "stream_asof": _STREAM_ASOF_SQL,
         "sessionize": f"select event_id, session_id from ({_SESSION_IDS_SQL})",
         "session_agg": f"""

@@ -1,0 +1,153 @@
+"""Declarative feature-matrix builder — the user-facing API of the
+point-in-time engine.
+
+The flagship pipeline (as-of attrs -> stable order -> lag -> cumulative
+-> session) is the composition every feature job wants; this module
+turns it from hand-written plumbing into a spec:
+
+    spec = FeatureMatrixSpec(
+        entity="user_id", ts="ts", tiebreak=("event_id",),
+        asof=[AsofSource(orders_df, value_cols=["o_totalprice"])],
+        lags={"value": [1, 2]},
+        cumulative={"value": ["count", "sum"]},
+        rolling={"value": {"duration": "1 hour", "fns": ["sum"]}},
+        session_gap="30 minutes",
+    )
+    wide = build_feature_matrix(events_df, spec)
+
+Composition rules (the load-bearing ones, enforced here once instead of
+re-derived per job):
+
+* **as-of FIRST** — its union-window shuffle hash-partitions by the
+  entity, and every window after it reuses that ONE exchange;
+* **one sort** — all ordered windows share the ``(ts, *tiebreak)``
+  ordering, so the whole matrix costs one exchange + one sort after
+  the scan (the flagship plan, verified by plancheck exchange caps);
+* **leakage stance** — only backward-looking constructs are exposed:
+  lags, *preceding-frame* cumulatives, trailing time windows, as-of
+  backward matches. Lead columns (labels) are deliberately NOT part of
+  a feature matrix spec; use ``lag_lead_features(leads=True)``
+  directly when building targets, so a spec can never smuggle future
+  data into features (the north rule's zero-temporal-leakage claim is
+  structural, not reviewed-per-job).
+
+Every feature column is produced by an operator with its own driver
+gate; the `feature_matrix` gate checks the COMPOSITION against a single
+SQL twin.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from feat_spark.operators.asof import asof_join
+from feat_spark.operators.sessionize import sessionize
+from feat_spark.operators.windows import (
+    cumulative_features,
+    lag_lead_features,
+    time_range_features,
+    with_stable_order,
+)
+
+
+@dataclass
+class AsofSource:
+    """A point-in-time attribute source: the latest ``value_cols`` row
+    of ``df`` at-or-before each event's timestamp (backward as-of)."""
+
+    df: DataFrame
+    value_cols: Sequence[str]
+    ts: str = "ts"
+    strategy: str = "union_window"
+    tolerance: str | None = None
+
+
+@dataclass
+class FeatureMatrixSpec:
+    entity: str = "conv_id"
+    ts: str = "ts"
+    tiebreak: Sequence[str] = ()
+    #: point-in-time attribute joins, applied in order
+    asof: Sequence[AsofSource] = field(default_factory=list)
+    #: {col: [offsets]} -> {col}_lag{k}
+    lags: Mapping[str, Sequence[int]] = field(default_factory=dict)
+    #: {col: [fns]} running aggregates over preceding+current rows
+    cumulative: Mapping[str, Sequence[str]] = field(default_factory=dict)
+    #: strictest stance: cumulative frames end at the PREVIOUS row
+    cumulative_exclude_current: bool = False
+    #: {col: {"duration": "1 hour", "fns": [...]}} trailing time windows
+    rolling: Mapping[str, Mapping] = field(default_factory=dict)
+    #: gap sessionization -> session_id (None = skip)
+    session_gap: str | None = None
+    #: dense per-entity sequence column (None = skip)
+    seq_col: str | None = "turn_seq"
+
+
+def build_feature_matrix(df: DataFrame, spec: FeatureMatrixSpec) -> DataFrame:
+    """Compose the spec into one wide frame, one exchange + one sort."""
+    out = df
+    for src in spec.asof:
+        out = asof_join(
+            out,
+            src.df,
+            on=spec.entity,
+            left_ts=spec.ts,
+            right_ts=src.ts,
+            value_cols=list(src.value_cols),
+            strategy=src.strategy,
+            tolerance=src.tolerance,
+        )
+    # rolling FIRST: its range frame sorts by unix_micros(ts), a
+    # different sort key than the (ts, *tiebreak) the row-ordered
+    # windows share. Emitting it before them means the plan sorts each
+    # ordering once; interleaved, Catalyst re-sorts the big frame back
+    # and forth (measured: one extra full Sort node on the fact side)
+    for col, conf in spec.rolling.items():
+        out = time_range_features(
+            out,
+            {col: list(conf["fns"])},
+            duration=conf.get("duration", "1 hour"),
+            partition=spec.entity,
+            ts=spec.ts,
+        )
+    if spec.seq_col:
+        out = with_stable_order(
+            out,
+            partition=spec.entity,
+            order=(spec.ts,),
+            tiebreak=spec.tiebreak,
+            out_col=spec.seq_col,
+        )
+    if spec.lags:
+        for col, offsets in spec.lags.items():
+            out = lag_lead_features(
+                out,
+                cols=[col],
+                offsets=list(offsets),
+                partition=spec.entity,
+                order=(spec.ts,),
+                tiebreak=spec.tiebreak,
+                leads=False,
+            )
+    if spec.cumulative:
+        out = cumulative_features(
+            out,
+            spec.cumulative,
+            partition=spec.entity,
+            order=(spec.ts,),
+            tiebreak=spec.tiebreak,
+            include_current=not spec.cumulative_exclude_current,
+        )
+    if spec.session_gap:
+        out = sessionize(
+            out,
+            gap=spec.session_gap,
+            partition=spec.entity,
+            ts=spec.ts,
+            tiebreak=spec.tiebreak,
+        )
+    return out

@@ -107,6 +107,9 @@ MAX_EXCHANGES = {
     "mixture_sample": 0,
     # one gram-keyed partial-agg group-by
     "ngram_freq": 1,
+    # the WHOLE composed matrix = rhs dedup window + the as-of
+    # union-window exchange; every feature window reuses that exchange
+    "feature_matrix": 2,
 }
 
 #: queries whose scan must show a pushed filter
