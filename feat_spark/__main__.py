@@ -49,23 +49,44 @@ def _featurize(args) -> None:
     turns = load(args.input)
     attrs = load(args.attrs)
 
-    def pipeline(df):
-        feats = df.withColumn(
-            "payload_hash",
-            spark_leaf_hash(F.concat_ws("\x1f", "role", "tool", "text")),
+    if args.spec:
+        from feat_spark.plans.features import (
+            AsofSource, build_feature_matrix, spec_from_dict,
         )
-        feats = asof_join(
-            feats, attrs, on="conv_id", left_ts="ts", right_ts="ts",
+
+        with open(args.spec) as fh:
+            spec_dict = json.load(fh)
+        src = AsofSource(
+            attrs,
             value_cols=[c for c in attrs.columns if c not in ("conv_id", "ts")],
             strategy=args.asof_strategy,
         )
-        feats = with_stable_order(feats)
-        feats = lag_lead_features(feats, cols=["payload_hash"], offsets=[1],
-                                  leads=False, tiebreak=("ts",))
-        feats = cumulative_features(feats, {"payload_hash": ["count"]},
-                                    tiebreak=("ts",))
-        return sessionize(feats, gap=args.gap, order_col="turn_idx",
-                          tiebreak=("ts",))
+        spec = spec_from_dict(spec_dict, asof_sources=[src])
+
+        def pipeline(df):
+            feats = df.withColumn(
+                "payload_hash",
+                spark_leaf_hash(F.concat_ws("\x1f", "role", "tool", "text")),
+            )
+            return build_feature_matrix(feats, spec)
+    else:
+        def pipeline(df):
+            feats = df.withColumn(
+                "payload_hash",
+                spark_leaf_hash(F.concat_ws("\x1f", "role", "tool", "text")),
+            )
+            feats = asof_join(
+                feats, attrs, on="conv_id", left_ts="ts", right_ts="ts",
+                value_cols=[c for c in attrs.columns if c not in ("conv_id", "ts")],
+                strategy=args.asof_strategy,
+            )
+            feats = with_stable_order(feats)
+            feats = lag_lead_features(feats, cols=["payload_hash"], offsets=[1],
+                                      leads=False, tiebreak=("ts",))
+            feats = cumulative_features(feats, {"payload_hash": ["count"]},
+                                        tiebreak=("ts",))
+            return sessionize(feats, gap=args.gap, order_col="turn_idx",
+                              tiebreak=("ts",))
 
     manifest = CheckpointManifest(args.manifest)
     metrics = run_with_resume(
@@ -108,6 +129,10 @@ def main(argv=None) -> None:
     f.add_argument("--buckets", type=int, default=256)
     f.add_argument("--asof-strategy", default="union_window",
                    choices=["union_window", "broadcast", "skew_aware", "cogroup_pandas"])
+    f.add_argument("--spec", default=None,
+                   help="JSON feature-matrix spec (plans/features.py "
+                        "spec_from_dict keys); replaces the built-in "
+                        "lag/cumulative/session pipeline")
     f.add_argument("--master", default=None, help="local override; omit under spark-submit")
     f.add_argument("--cluster", action="store_true",
                    help="never set master (spark-submit provides it)")

@@ -87,6 +87,27 @@ class FeatureMatrixSpec:
     seq_col: str | None = "turn_seq"
 
 
+def spec_from_dict(d: Mapping, asof_sources: Sequence[AsofSource] = ()) -> FeatureMatrixSpec:
+    """Build a spec from a plain dict (the JSON a spark-submit job
+    ships next to its code). As-of sources carry DataFrames, so they
+    are supplied by the caller, not the JSON.
+
+    Unknown keys raise — a typo'd spec key silently producing a matrix
+    without the intended feature is the worst possible failure mode.
+    """
+    allowed = {
+        "entity", "ts", "tiebreak", "lags", "cumulative",
+        "cumulative_exclude_current", "rolling", "session_gap", "seq_col",
+    }
+    unknown = set(d) - allowed
+    if unknown:
+        raise ValueError(f"unknown spec keys: {sorted(unknown)}")
+    kw = dict(d)
+    if "tiebreak" in kw:
+        kw["tiebreak"] = tuple(kw["tiebreak"])
+    return FeatureMatrixSpec(asof=list(asof_sources), **kw)
+
+
 def build_feature_matrix(df: DataFrame, spec: FeatureMatrixSpec) -> DataFrame:
     """Compose the spec into one wide frame, one exchange + one sort."""
     out = df

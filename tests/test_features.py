@@ -106,3 +106,23 @@ def test_spec_defaults_are_inert(spark, turns):
     out = build_feature_matrix(turns, FeatureMatrixSpec(entity="conv_id"))
     assert set(out.columns) == set(turns.columns) | {"turn_seq"}
     assert out.count() == turns.count()
+
+
+def test_spec_from_dict_roundtrip_and_unknown_keys():
+    from feat_spark.plans.features import spec_from_dict
+
+    d = {
+        "entity": "conv_id", "ts": "ts", "tiebreak": ["turn_idx"],
+        "lags": {"n_chars": [1, 2]},
+        "cumulative": {"n_chars": ["sum"]},
+        "session_gap": "30 minutes",
+    }
+    spec = spec_from_dict(d)
+    assert spec.entity == "conv_id"
+    assert spec.tiebreak == ("turn_idx",)
+    assert spec.lags == {"n_chars": [1, 2]}
+    assert spec.session_gap == "30 minutes"
+    assert spec.asof == []
+
+    with pytest.raises(ValueError, match="unknown spec keys.*lagz"):
+        spec_from_dict({"lagz": {}})
