@@ -508,6 +508,33 @@ def _q_feature_matrix(spark, sf_dir):
     )
 
 
+def _q_leakage_audit(spark, sf_dir):
+    """The north rule's leakage audit as a driver row (plans/audit.py
+    `assert_no_future_reads` in frame form): as-of output with matched
+    timestamps retained, aggregated per user into (rows, matched rows,
+    FUTURE READS — provably zero, and the oracle recomputes the same
+    zero from its own ASOF join — and max staleness). A regression that
+    let any window/join peek forward flips n_future_reads and fails the
+    hash."""
+    left = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    rhs = _orders_rhs(spark, sf_dir)
+    j = asof_join(
+        left, rhs, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["o_orderkey"], strategy="union_window",
+        include_matched_ts=True,
+    )
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    m_us = F.unix_micros(F.col("matched_ts").cast("timestamp"))
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("matched_ts").alias("n_matched"),
+        F.sum(F.when(m_us > ts_us, 1).otherwise(0).cast("long")).alias(
+            "n_future_reads"
+        ),
+        F.max(ts_us - m_us).alias("max_staleness_us"),
+    )
+
+
 def _q_topk(spark, sf_dir):
     out = top_k_per_group(
         _events(spark, sf_dir), k=3, partition="user_id",
@@ -1665,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_freq": _q_ngram_freq,
         "stream_dedup": _q_stream_dedup,
         "feature_matrix": _q_feature_matrix,
+        "leakage_audit": _q_leakage_audit,
         "minhash_lsh_dedup": _q_minhash_lsh,
         "knn_lsh_recall": _q_knn_lsh_recall,
         "knn_cosine_ivf": _q_knn_ivf,
@@ -2161,6 +2189,21 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": """
           select event_id, user_id, epoch_us(ts) as ts_us, value
           from events""",
+        # the audit's theorem (no future reads) recomputed independently:
+        # DuckDB's own ASOF join must also find zero
+        "leakage_audit": f"""
+          with rhs as ({_ORDERS_RHS_SQL}),
+          j as (
+            select e.event_id, e.user_id, e.ts, rhs.ts as matched_ts
+            from events e
+            asof left join rhs on e.user_id = rhs.user_id and e.ts >= rhs.ts)
+          select user_id,
+                 cast(count(*) as bigint) as n_rows,
+                 cast(count(matched_ts) as bigint) as n_matched,
+                 cast(sum(case when matched_ts > ts then 1 else 0 end) as bigint)
+                   as n_future_reads,
+                 max(epoch_us(ts) - epoch_us(matched_ts)) as max_staleness_us
+          from j group by user_id""",
         # composed twin of the declarative feature-matrix spec: asof +
         # row_number + lag + preceding-frame count + trailing-hour sum +
         # gap sessionization, all over the shared (ts, event_id) order
