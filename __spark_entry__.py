@@ -535,6 +535,35 @@ def _q_leakage_audit(spark, sf_dir):
     )
 
 
+def _q_quantile_bin(spark, sf_dir):
+    """Equal-frequency discretization (operators/encoding.py): exact
+    quartile boundaries -> 0-based bin per event; NULL values keep a
+    NULL bin. The oracle recomputes boundaries with quantile_cont
+    (bit-parity with Spark's exact percentile is already proven by the
+    `percentiles` gate) and the same strictly-below count."""
+    from feat_spark.operators.encoding import quantile_bin
+
+    e = _events(spark, sf_dir)
+    return quantile_bin(e, "value", n_bins=4).select("event_id", "value_bin")
+
+
+def _q_target_encode(spark, sf_dir):
+    """Leakage-safe categorical target encoding (operators/encoding.py):
+    event_type encoded as the mean of value over strictly PRECEDING
+    rows of the same type — the only target encoding valid for
+    point-in-time training data (whole-corpus means leak the row's own
+    label and the future). Decimal-sum/round discipline makes the
+    running mean bit-replayable."""
+    from feat_spark.operators.encoding import cumulative_target_encode
+
+    e = _events(spark, sf_dir)
+    out = cumulative_target_encode(
+        e, cat_col="event_type", target_col="value",
+        order=("ts",), tiebreak=("event_id",),
+    )
+    return out.select("event_id", "event_type", "event_type_te")
+
+
 def _q_topk(spark, sf_dir):
     out = top_k_per_group(
         _events(spark, sf_dir), k=3, partition="user_id",
@@ -1693,6 +1722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": _q_stream_dedup,
         "feature_matrix": _q_feature_matrix,
         "leakage_audit": _q_leakage_audit,
+        "quantile_bin": _q_quantile_bin,
+        "target_encode": _q_target_encode,
         "minhash_lsh_dedup": _q_minhash_lsh,
         "knn_lsh_recall": _q_knn_lsh_recall,
         "knn_cosine_ivf": _q_knn_ivf,
@@ -2189,6 +2220,27 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": """
           select event_id, user_id, epoch_us(ts) as ts_us, value
           from events""",
+        "quantile_bin": """
+          with b as (select quantile_cont(value, 0.25) as q1,
+                            quantile_cont(value, 0.50) as q2,
+                            quantile_cont(value, 0.75) as q3
+                     from events)
+          select event_id,
+                 case when value is null then null else
+                   cast((case when value > b.q1 then 1 else 0 end)
+                      + (case when value > b.q2 then 1 else 0 end)
+                      + (case when value > b.q3 then 1 else 0 end) as int)
+                 end as value_bin
+          from events, b""",
+        "target_encode": """
+          select event_id, event_type,
+                 case when count(value) over w > 0 then
+                   round(cast(sum(cast(value as decimal(18,2))) over w as double)
+                         / count(value) over w, 6)
+                 end as event_type_te
+          from events
+          window w as (partition by event_type order by ts, event_id
+                       rows between unbounded preceding and 1 preceding)""",
         # the audit's theorem (no future reads) recomputed independently:
         # DuckDB's own ASOF join must also find zero
         "leakage_audit": f"""

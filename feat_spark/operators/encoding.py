@@ -1,0 +1,80 @@
+"""Feature encoding — discretization and categorical target encoding.
+
+* :func:`quantile_bin` — equal-frequency binning: exact percentile
+  boundaries (one sort-based aggregate, collected as driver scalars —
+  the same tiny-driver-read class as a checkpoint manifest), then a
+  pure Column count-of-boundaries-below per row. At 100 TB the swap is
+  ``approx_percentile`` boundaries (or boundaries frozen from a
+  training snapshot — which production encoders want anyway so serving
+  bins match training); the assignment expression is unchanged.
+* :func:`cumulative_target_encode` — the leakage-safe categorical
+  encoder: each row's category value is summarized by the TARGET mean
+  over strictly PRECEDING rows of the same category (time-ordered
+  leave-future-out — the only target encoding that is valid for
+  point-in-time training data; the classic whole-corpus mean leaks the
+  row's own label and every future one). One window over the category
+  partition: a hot category is a single partition's ordered scan —
+  for Zipf-hot categories bound it with ``operators/chunked.py``'s
+  prefix-sum form.
+
+Decimal-sum discipline throughout (sum in decimal, divide as double,
+round 6dp) so both columns replay bit-for-bit in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def quantile_bin(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 4,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Add ``{col}_bin`` (0-based, int): equal-frequency bin by exact
+    continuous percentiles. NULL values get a NULL bin. Returns the
+    input frame plus the bin column; boundaries are half-open —
+    ``bin = #{boundaries strictly below value}``."""
+    out_col = out_col or f"{col}_bin"
+    probs = [i / n_bins for i in range(1, n_bins)]
+    row = df.select(
+        F.percentile(F.col(col), F.array(*[F.lit(p) for p in probs])).alias("qs")
+    ).collect()[0]
+    bounds = list(row["qs"] or [])
+    bin_expr = F.lit(0)
+    for b in bounds:
+        bin_expr = bin_expr + F.when(F.col(col) > F.lit(b), 1).otherwise(0)
+    return df.withColumn(
+        out_col,
+        F.when(F.col(col).isNull(), F.lit(None)).otherwise(bin_expr).cast("int"),
+    )
+
+
+def cumulative_target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    order: Sequence[str] = ("ts",),
+    tiebreak: Sequence[str] = (),
+    out_col: str | None = None,
+) -> DataFrame:
+    """Add ``{cat}_te``: mean of ``target_col`` over strictly preceding
+    rows (in ``order``+``tiebreak``) of the same category; NULL for a
+    category's first row (no history — the honest cold-start value,
+    callers coalesce to a prior if they want one)."""
+    out_col = out_col or f"{cat_col}_te"
+    w = (
+        Window.partitionBy(cat_col)
+        .orderBy(*[F.col(c) for c in (*order, *tiebreak)])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = F.sum(F.col(target_col).cast("decimal(18,2)")).over(w)
+    n = F.count(target_col).over(w)
+    return df.withColumn(
+        out_col,
+        F.when(n > 0, F.round(s.cast("double") / n, 6)),
+    )

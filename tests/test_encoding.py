@@ -1,0 +1,59 @@
+"""Feature-encoding operators: equal-frequency binning and leakage-safe
+target encoding (driver gates `quantile_bin` / `target_encode` are the
+oracle-checked twins)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feat_spark.operators.encoding import cumulative_target_encode, quantile_bin
+
+
+def test_quantile_bin_equal_frequency(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, v double"
+    )
+    out = quantile_bin(df, "v", n_bins=4).toPandas()
+    counts = out.groupby("v_bin").size()
+    assert sorted(counts.index) == [0, 1, 2, 3]
+    # equal-frequency on a uniform ramp: 25 per bin (boundary rows
+    # included on the lower side of the half-open rule)
+    assert counts.min() >= 24 and counts.max() <= 26
+    # monotone: higher value -> same or higher bin
+    s = out.sort_values("v")
+    assert s["v_bin"].is_monotonic_increasing
+
+
+def test_quantile_bin_null_and_constant(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, None), (4, 5.0)], "id long, v double"
+    )
+    out = {r["id"]: r["v_bin"] for r in quantile_bin(df, "v", n_bins=4).collect()}
+    assert out[3] is None
+    # constant column: every boundary equals the value, nothing is
+    # strictly above -> everyone lands in bin 0
+    assert out[1] == out[2] == out[4] == 0
+
+
+def test_target_encode_preceding_only(spark):
+    rows = [
+        # (id, ts-order, cat, target)
+        (1, 1, "a", 10.0),
+        (2, 2, "a", 20.0),
+        (3, 3, "a", 30.0),
+        (4, 1, "b", 100.0),
+        (5, 2, "b", None),
+        (6, 3, "b", 200.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, t long, cat string, y double")
+    out = {
+        r["id"]: r["cat_te"]
+        for r in cumulative_target_encode(
+            df, "cat", "y", order=("t",), tiebreak=("id",)
+        ).collect()
+    }
+    assert out[1] is None          # no history
+    assert out[2] == 10.0          # mean of {10}
+    assert out[3] == 15.0          # mean of {10, 20} — never sees 30
+    assert out[4] is None
+    assert out[5] == 100.0
+    assert out[6] == 100.0         # NULL target rows add no information
