@@ -1464,6 +1464,18 @@ def _q_ngram_freq(spark, sf_dir):
     return ngram_doc_freq(d, n=2, min_docs=20)
 
 
+def _q_lm_score(spark, sf_dir):
+    """Bigram-LM quality scoring (operators/keywords.py): per-doc mean
+    log-probability under the corpus MLE bigram model — the CCNet-style
+    perplexity filter. Float sums fold over lexicographically sorted
+    bigram types (never a partial-agg float sum), so DuckDB replays the
+    exact accumulation order; ln() bit-parity with DuckDB on this data
+    is already exercised by the tfidf gate."""
+    from feat_spark.operators.keywords import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum hash sampling (layout-independent,
     replayable: the oracle recomputes the SAMPLED SET, not its size)."""
@@ -1681,13 +1693,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # least-recently-driver-checked first, and any query whose code or
     # oracle was touched this round moves into the window regardless —
     # so no query's newest driver row is ever more than one round old.
-    # Round-3 order: [1-20] the 20 queries whose last driver row is r1
-    # (rotated out of the r2 window); [21-28] rows repaired or touched
-    # this round (partition_lineage oracle cast; star-contraction CC —
-    # new; LSH star cap; 2-table recall; kmeans lineage truncation;
-    # curation default cap; salted default-salt type filter;
-    # lsh_bucketed_topk refactor); [29-50] r2-green refill; [51-71]
-    # r2-green trailers that rotate forward next round.
+    # Round-3 order: first the 20 queries whose last driver row is r1
+    # (rotated out of the r2 window); then every row repaired, touched
+    # or NEW this round (partition_lineage oracle cast; star-contraction
+    # CC; decontamination / packing / mixture / ngram / stream-dedup /
+    # feature-matrix / leakage-audit / encoding gates — all new; LSH
+    # star cap; 2-table recall; kmeans lineage truncation; curation
+    # default cap; salted type filter; lsh_bucketed_topk refactor);
+    # then r2-green refill up to 50; the r2-green remainder trails and
+    # rotates forward next round.
     return {
         # --- last driver row = r1 (stalest first) -------------------
         "feature_extract_union": _q_feature_extract_union,
@@ -1724,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_audit": _q_leakage_audit,
         "quantile_bin": _q_quantile_bin,
         "target_encode": _q_target_encode,
+        "lm_score": _q_lm_score,
         "minhash_lsh_dedup": _q_minhash_lsh,
         "knn_lsh_recall": _q_knn_lsh_recall,
         "knn_cosine_ivf": _q_knn_ivf,
@@ -2590,6 +2605,33 @@ def oracle_sql() -> dict[str, str]:
           select d.doc_id, d.lang
           from documents d join r on d.lang = r.lang
           where {_HX.format(x="'mix:' || cast(d.doc_id as varchar)")} % 10000 < r.bp""",
+        # corpus MLE bigram model + per-doc sorted-fold log-prob sum —
+        # list(lp order by bg) + list_reduce replays the engine's
+        # array_sort + aggregate fold left-to-right
+        "lm_score": f"""
+          with g as (
+            select doc_id,
+                   unnest(list_transform(
+                     generate_series(1, greatest(len({_WS}) - 1, 0)),
+                     i -> array_to_string({_WS}[i:i+1], ' '))) as bg
+            from documents),
+          pd as (select doc_id, bg, split_part(bg, ' ', 1) as w1,
+                        count(*) as k
+                 from g group by 1, 2, 3),
+          c2 as (select bg, cast(sum(k) as bigint) as c2 from pd group by 1),
+          c1 as (select w1, cast(sum(k) as bigint) as c1 from pd group by 1),
+          s as (select pd.doc_id, pd.bg,
+                       pd.k * ln(cast(c2.c2 as double) / cast(c1.c1 as double)) as lp,
+                       pd.k
+                from pd join c2 using (bg) join c1 using (w1)),
+          f as (select doc_id, cast(sum(k) as bigint) as n_bigrams,
+                       list_reduce(list_prepend(0.0, list(lp order by bg)),
+                                   (a, b) -> a + b) as slp
+                from s group by doc_id)
+          select d.doc_id, f.n_bigrams,
+                 round(f.slp / f.n_bigrams, 6) as avg_logp
+          from (select distinct doc_id from documents) d
+          left join f using (doc_id)""",
         "ngram_freq": f"""
           with sh as (select doc_id,
                              unnest(list_distinct(list_transform(

@@ -85,3 +85,65 @@ def ngram_doc_freq(
             "ngram", "n_docs", F.round(F.col("n_docs") / total, 6).alias("doc_share")
         )
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document bigram language-model log-probability — the
+    CCNet-style perplexity quality filter: documents whose word
+    transitions are unusual for the corpus score low and get reviewed
+    or dropped.
+
+    Model: corpus MLE bigram probabilities ``p(w2|w1) = C(w1 w2) /
+    C(w1 ·)`` (no smoothing needed when scoring the training corpus —
+    every scored bigram was counted). Output ``(doc_id, n_bigrams,
+    avg_logp)`` with ``avg_logp = round(sum ln p / n, 6)``; docs with
+    fewer than two words get NULL.
+
+    Determinism discipline: the per-document sum of float log-probs is
+    order-dependent, so it is computed as a fold over the doc's bigram
+    TYPES sorted lexicographically (collect -> array_sort -> aggregate)
+    — the same left-to-right order an external engine reproduces —
+    never a partial-agg float sum. Shapes: two gram-keyed partial-agg
+    group-bys for the model (map-side combinable, the Zipf-hot gram is
+    bounded), one gram-keyed join to attach log-probs, one per-doc
+    fold. All scale-safe; per-doc type lists are document-length
+    bounded.
+    """
+    from feat_spark.functions.text import raw_word_ngrams
+
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(raw_word_ngrams(text_col, 2)).alias("bg"),
+    ).withColumn("w1", F.split(F.col("bg"), " ")[0])
+    per_doc = grams.groupBy("__id", "bg", "w1").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    c_bg = per_doc.groupBy("bg").agg(F.sum("k").alias("c2"))
+    c_w1 = per_doc.groupBy("w1").agg(F.sum("k").alias("c1"))
+    scored = (
+        per_doc.join(c_bg, "bg")
+        .join(c_w1, "w1")
+        .withColumn("lp", F.col("k") * F.log(F.col("c2") / F.col("c1")))
+    )
+    folded = scored.groupBy("__id").agg(
+        F.sum("k").alias("n_bigrams"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bg", "lp"))),
+                lambda s: s["lp"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("__sum_lp"),
+    )
+    out = folded.select(
+        F.col("__id").alias(id_col),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round(F.col("__sum_lp") / F.col("n_bigrams"), 6).alias("avg_logp"),
+    )
+    ids = df.select(F.col(id_col)).distinct()
+    return ids.join(out, id_col, "left")

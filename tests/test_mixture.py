@@ -82,3 +82,34 @@ def test_ngram_doc_freq_dedups_within_doc(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["ngram"]: r["n_docs"] for r in ngram_doc_freq(df, n=2, min_docs=2).collect()}
     assert out == {"a b": 2}
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """Tiny corpus with hand-computable MLE bigram probabilities, plus
+    the filter's point: a doc with corpus-unusual transitions scores
+    lower than a doc made of common ones."""
+    import math
+
+    from feat_spark.operators.keywords import bigram_lm_scores
+
+    rows = [
+        (1, "a b c"),   # bigrams: "a b", "b c"
+        (2, "a b d"),   # bigrams: "a b", "b d"
+        (3, "a"),       # too short: NULL score
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    # model: C(a b)=2, C(b c)=1, C(b d)=1; C(a ·)=2, C(b ·)=2
+    # doc1: ln(2/2) + ln(1/2) over 2 bigrams
+    want1 = round((math.log(1.0) + math.log(0.5)) / 2, 6)
+    assert out[1]["n_bigrams"] == 2 and abs(out[1]["avg_logp"] - want1) < 1e-9
+    assert out[2]["avg_logp"] == out[1]["avg_logp"]  # symmetric corpus
+    assert out[3]["avg_logp"] is None and out[3]["n_bigrams"] is None
+
+    common = " ".join(["x y"] * 10)        # only common transitions
+    rare = "x q y x z y"                   # transitions seen once each
+    df2 = spark.createDataFrame(
+        [(1, common), (2, common), (3, rare)], "doc_id long, text string"
+    )
+    sc = {r["doc_id"]: r["avg_logp"] for r in bigram_lm_scores(df2).collect()}
+    assert sc[3] < sc[1]  # unusual doc scores lower
