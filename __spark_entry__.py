@@ -1592,6 +1592,45 @@ def _q_knn_ivf(spark, sf_dir):
     )
 
 
+def _q_knn_label_agreement(spark, sf_dir):
+    """Index-quality metric #2 (beside recall): does the exact top-5
+    neighborhood agree with the query's own label? Per query: neighbor
+    votes for the query's label and the majority-vote hit (ties break
+    toward agreement iff the query label is among the max-vote labels
+    with the smallest label value — fully deterministic). Uses the
+    embeddings table's `label` column; the oracle replays the vote."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = S.cosine_topk(e, queries, k=5, id_col="vec_id", vec_col="embedding")
+    labels = e.select("vec_id", "label")
+    votes = (
+        topk.join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    top_vote = votes.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.col("v").desc(), F.col("label").asc())
+        ),
+    ).filter(F.col("rn") == 1).select(
+        "query_id", F.col("label").alias("maj_label"), F.col("v").alias("maj_votes")
+    )
+    qlab = labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "query_label"
+    )
+    return (
+        top_vote.join(qlab, "query_id")
+        .select(
+            "query_id", "query_label", "maj_label",
+            F.col("maj_votes").cast("long").alias("maj_votes"),
+            (F.col("maj_label") == F.col("query_label")).alias("agree"),
+        )
+    )
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return S.embedding_near_dup_pairs(
@@ -1739,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bin": _q_quantile_bin,
         "target_encode": _q_target_encode,
         "lm_score": _q_lm_score,
+        "knn_label_agreement": _q_knn_label_agreement,
         "minhash_lsh_dedup": _q_minhash_lsh,
         "knn_lsh_recall": _q_knn_lsh_recall,
         "knn_cosine_ivf": _q_knn_ivf,
@@ -2661,6 +2701,29 @@ def oracle_sql() -> dict[str, str]:
                                          order by cs desc, neighbor_id) as bigint) as rank
           from scored
           qualify rank <= 5""",
+        "knn_label_agreement": f"""
+          with v as (select vec_id, embedding::DOUBLE[] as v, label
+                     from embeddings),
+          q as (select vec_id as query_id, v, label as query_label
+                from v where vec_id < 50),
+          scored as (
+            select q.query_id, b.vec_id as neighbor_id, b.label,
+                   {_c('q.v', 'b.v')} as cs
+            from q join v b on q.query_id != b.vec_id),
+          topk as (
+            select query_id, neighbor_id, label from scored
+            qualify row_number() over (partition by query_id
+                                       order by cs desc, neighbor_id) <= 5),
+          votes as (select query_id, label, count(*) as v
+                    from topk group by 1, 2),
+          tv as (select query_id, label as maj_label,
+                        cast(v as bigint) as maj_votes
+                 from votes
+                 qualify row_number() over (partition by query_id
+                                            order by v desc, label) = 1)
+          select tv.query_id, q.query_label, tv.maj_label, tv.maj_votes,
+                 tv.maj_label = q.query_label as agree
+          from tv join q on tv.query_id = q.query_id""",
         "knn_cosine_lsh": knn_lsh_sql,
         "knn_lsh_recall": knn_lsh_recall_sql,
         "knn_cosine_ivf": ivf_sql,

@@ -34,7 +34,9 @@ NL_EXEMPT = {"knn_cosine", "embedding_near_dup", "knn_cosine_ivf",
              # recall metric joins the exact kNN (broadcast NL by
              # contract) against the LSH result; kmeans training also
              # crosses the tiny broadcast centroid set
-             "knn_lsh_recall"}
+             "knn_lsh_recall",
+             # label-agreement metric is built on the exact kNN
+             "knn_label_agreement"}
 
 #: max Exchange nodes allowed (shuffles; BroadcastExchange excluded).
 #: window/sessionize pipelines must reuse ONE exchange.
