@@ -76,6 +76,12 @@ BENCH_QUERIES = (
     "knn_cosine_ivf",
     "knn_cosine_lsh",
     "knn_lsh_recall",
+    "decontamination",
+    "pack_sequences",
+    "lm_score",
+    "feature_matrix",
+    "target_encode",
+    "quantile_bin",
 )
 
 
