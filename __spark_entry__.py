@@ -2290,7 +2290,7 @@ def oracle_sql() -> dict[str, str]:
         "target_encode": """
           select event_id, event_type,
                  case when count(value) over w > 0 then
-                   round(cast(sum(cast(value as decimal(18,2))) over w as double)
+                   round(cast(sum(cast(value as decimal(27,12))) over w as double)
                          / count(value) over w, 6)
                  end as event_type_te
           from events

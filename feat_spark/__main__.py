@@ -54,6 +54,14 @@ def _featurize(args) -> None:
             AsofSource, build_feature_matrix, spec_from_dict,
         )
 
+        # --gap belongs to the built-in pipeline; with --spec the gap
+        # lives in the spec's session_gap. A silently-dead flag is the
+        # typo failure mode spec_from_dict exists to prevent.
+        if args.gap is not None:
+            raise SystemExit(
+                "--gap is ignored when --spec is given: set session_gap "
+                "inside the spec JSON instead"
+            )
         with open(args.spec) as fh:
             spec_dict = json.load(fh)
         src = AsofSource(
@@ -85,8 +93,8 @@ def _featurize(args) -> None:
                                       leads=False, tiebreak=("ts",))
             feats = cumulative_features(feats, {"payload_hash": ["count"]},
                                         tiebreak=("ts",))
-            return sessionize(feats, gap=args.gap, order_col="turn_idx",
-                              tiebreak=("ts",))
+            return sessionize(feats, gap=args.gap or "30 minutes",
+                              order_col="turn_idx", tiebreak=("ts",))
 
     manifest = CheckpointManifest(args.manifest)
     metrics = run_with_resume(
@@ -125,7 +133,9 @@ def main(argv=None) -> None:
     f.add_argument("--attrs", required=True)
     f.add_argument("--output", required=True)
     f.add_argument("--manifest", required=True)
-    f.add_argument("--gap", default="30 minutes")
+    f.add_argument("--gap", default=None,
+                   help="session gap for the built-in pipeline "
+                        "(default '30 minutes'; invalid with --spec)")
     f.add_argument("--buckets", type=int, default=256)
     f.add_argument("--asof-strategy", default="union_window",
                    choices=["union_window", "broadcast", "skew_aware", "cogroup_pandas"])

@@ -429,6 +429,15 @@ def _cc_star(
     all, so a round is two shuffles keyed by the center vertex. At the
     fixpoint every edge is (vertex, component_min) directly.
     """
+    # vertex universe BEFORE the self-loop filter: a degenerate (x, x)
+    # pair still names x as a vertex, and hashmin labels it — the
+    # bit-equality contract requires star to as well
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .unionByName(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     e = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(
@@ -505,10 +514,28 @@ def _cc_star(
             RuntimeWarning,
             stacklevel=3,
         )
-    # fixpoint: e = {(vertex, component_min)}; component mins label themselves
-    return e.select(F.col("src").alias("doc_id"), F.col("dst").alias("component")).unionByName(
-        e.select(F.col("dst").alias("doc_id"), F.col("dst").alias("component")).distinct()
+    # fixpoint: e = {(vertex, component_min)}; component mins label
+    # themselves. groupBy-min (identity at the fixpoint) guarantees ONE
+    # row per vertex even on a non-converged early exit — partial labels
+    # are still wrong then (the warning above stands) but they never fan
+    # out a downstream join. Vertices with no surviving edge (self-pair
+    # only) label themselves, matching hashmin.
+    labeled = (
+        e.groupBy("src")
+        .agg(F.min("dst").alias("component"))
+        .select(F.col("src").alias("doc_id"), "component")
+        .unionByName(
+            e.select(F.col("dst").alias("doc_id"), F.col("dst").alias("component"))
+            .distinct()
+        )
+        .groupBy("doc_id")
+        .agg(F.min("component").alias("component"))
     )
+    singles = (
+        verts.join(labeled.select(F.col("doc_id").alias("vertex")), "vertex", "left_anti")
+        .select(F.col("vertex").alias("doc_id"), F.col("vertex").alias("component"))
+    )
+    return labeled.unionByName(singles)
 
 
 def components_with_singletons(

@@ -72,7 +72,12 @@ def cumulative_target_encode(
         .orderBy(*[F.col(c) for c in (*order, *tiebreak)])
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    s = F.sum(F.col(target_col).cast("decimal(18,2)")).over(w)
+    # decimal(27,12), not (18,2): the sum must be order-free for the
+    # oracle AND must not quantize small-magnitude targets (CTR-style
+    # labels like 0.003 round to 0.00 at scale 2 — review finding r3).
+    # double-first so the decimal sees the full double, same rule as
+    # kmeans_centroids
+    s = F.sum(F.col(target_col).cast("double").cast("decimal(27,12)")).over(w)
     n = F.count(target_col).over(w)
     return df.withColumn(
         out_col,

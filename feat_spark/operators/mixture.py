@@ -104,7 +104,17 @@ def mixture_sample(
     cnt_rows = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("n")).collect()
     counts = {tuple(r[s] for s in strata): r["n"] for r in cnt_rows}
     tkeys = {k if isinstance(k, tuple) else (k,): v for k, v in targets.items()}
-    rates = mixture_rates({k: counts.get(k, 0) for k in tkeys}, tkeys)
+    # a target stratum absent from the data means t_max = 0 and EVERY
+    # rate collapses to zero — a typo'd stratum value would silently
+    # return an empty corpus; fail loudly instead (same stance as
+    # plans/features.spec_from_dict)
+    absent = sorted(k for k in tkeys if counts.get(k, 0) == 0)
+    if absent:
+        raise ValueError(
+            f"target strata absent from the corpus: {absent} "
+            f"(present: {sorted(counts)[:20]})"
+        )
+    rates = mixture_rates({k: counts[k] for k in tkeys}, tkeys)
 
     gate = F.pmod(
         md5_long32(F.concat_ws(":", F.lit(salt), F.col(key).cast("string"))),

@@ -75,9 +75,9 @@ def salted_group_agg(
     key (a flag, a repeated price): any timestamp/id column in the
     frame restores the entropy. Columns ``xxhash64`` rejects (MAP, and
     any array/struct containing one — DATATYPE_MISMATCH.HASH_MAP_TYPE)
-    are excluded from the default salt; if nothing hashable remains the
-    salt falls back to the aggregated columns themselves (always
-    hashable: they must be numeric/orderable to aggregate). Any spread
+    are excluded from the default salt; the aggregated columns are
+    always present and hashable (numeric/orderable by construction), so
+    the hashable set is never empty. Any spread
     is correct because the aggregate is commutative. If EVERY non-key
     column is low-cardinality, pass ``salt_col`` explicitly — the
     degenerate single-salt case silently reverts to the unsalted
@@ -96,14 +96,15 @@ def salted_group_agg(
                 raise ValueError(f"{f!r} is not salt-mergeable (use chunked/plain)")
         plan[c] = out
 
+    # the aggregated columns are themselves hashable non-key columns
+    # (they must be numeric/orderable to aggregate), so entropy_cols is
+    # never empty here — no fallback branch needed
     by_name = {f.name: f.dataType for f in df.schema.fields}
     entropy_cols = [
         c
         for c in df.columns
         if c not in keys and c != _SALT and _xxhash64_hashable(by_name[c])
     ]
-    if not entropy_cols:
-        entropy_cols = list(plan)
     salt = (
         F.col(salt_col)
         if salt_col

@@ -280,3 +280,34 @@ def test_star_contraction_random_graphs_property(spark):
             for r in connected_components(pairs, algorithm="star").collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_star_handles_self_pairs_and_single_labels(spark):
+    """Review findings r3: a degenerate self-pair's vertex must still
+    be labeled (hashmin bit-equality), and even a non-converged early
+    exit must emit exactly ONE label row per vertex."""
+    from feat_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(7, 7), (1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    hashmin = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(pairs, algorithm="hashmin").collect()
+    }
+    star = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    assert star == hashmin
+    assert (7, 7) in star
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.warns(RuntimeWarning):
+        rows = connected_components(
+            chain, algorithm="star", max_iters=1
+        ).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))  # one row per vertex, even partial

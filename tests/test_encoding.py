@@ -57,3 +57,18 @@ def test_target_encode_preceding_only(spark):
     assert out[4] is None
     assert out[5] == 100.0
     assert out[6] == 100.0         # NULL target rows add no information
+
+
+def test_target_encode_small_magnitude_targets(spark):
+    """Review finding r3: CTR-scale targets (0.003, 0.007) must not be
+    quantized away by the decimal sum."""
+    rows = [(1, 1, "a", 0.003), (2, 2, "a", 0.007), (3, 3, "a", 0.005)]
+    df = spark.createDataFrame(rows, "id long, t long, cat string, y double")
+    out = {
+        r["id"]: r["cat_te"]
+        for r in cumulative_target_encode(
+            df, "cat", "y", order=("t",), tiebreak=("id",)
+        ).collect()
+    }
+    assert out[2] == 0.003
+    assert out[3] == 0.005  # mean of {0.003, 0.007}

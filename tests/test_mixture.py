@@ -113,3 +113,11 @@ def test_bigram_lm_scores_hand_computed(spark):
     )
     sc = {r["doc_id"]: r["avg_logp"] for r in bigram_lm_scores(df2).collect()}
     assert sc[3] < sc[1]  # unusual doc scores lower
+
+
+def test_mixture_sample_rejects_absent_stratum(spark):
+    """Review finding r3: a typo'd target stratum must raise, not
+    silently return an empty corpus (t_max would be 0)."""
+    df = _docs(spark, {"en": 20, "de": 10})
+    with pytest.raises(ValueError, match="absent from the corpus.*EN"):
+        mixture_sample(df, targets={"EN": 1, "de": 1}, strata="lang")
