@@ -1476,6 +1476,56 @@ def _q_lm_score(spark, sf_dir):
     return bigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
+def _q_chunk_documents(spark, sf_dir):
+    """Sliding-window chunking (operators/packing.py): overlapping
+    32-token chunks every 16 tokens, content-addressed by md5 — pure
+    integer arithmetic + array slicing, replayed exactly in SQL."""
+    from feat_spark.operators.packing import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(d, chunk_tokens=32, stride=16)
+
+
+def _q_span_dup_stats(spark, sf_dir):
+    """Duplicated-span statistics (operators/dedup.py): fraction of
+    each doc's positional 8-gram windows whose text occurs more than
+    once corpus-wide — the relational stand-in for suffix-array
+    substring dedup, over documents + truncated near-copies so copied
+    spans genuinely exist."""
+    from feat_spark.operators.dedup import span_dup_stats
+
+    return span_dup_stats(_augmented_docs(spark, sf_dir), n=8)
+
+
+def _q_session_funnel(spark, sf_dir):
+    """Sessionized funnel (operators/funnel.py): view -> click ->
+    purchase with first-conversion semantics (each stage = earliest
+    candidate at-or-after the previous stage's time) per (user,
+    session). Stage times leave as epoch-us BIGINTs."""
+    from feat_spark.operators.funnel import session_funnel
+    from feat_spark.operators.sessionize import sessionize
+
+    e = _events(spark, sf_dir)
+    s = sessionize(
+        e, gap="30 minutes", partition="user_id", ts="ts",
+        tiebreak=("event_id",),
+    )
+    f = session_funnel(
+        s, stages=("view", "click", "purchase"),
+        keys=("user_id", "session_id"), type_col="event_type", ts_col="ts",
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    return f.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        us("t_0").alias("t0_us"),
+        us("t_1").alias("t1_us"),
+        us("t_2").alias("t2_us"),
+        "reached_click",
+        "reached_purchase",
+    )
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum hash sampling (layout-independent,
     replayable: the oracle recomputes the SAMPLED SET, not its size)."""
@@ -1779,6 +1829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": _q_target_encode,
         "lm_score": _q_lm_score,
         "knn_label_agreement": _q_knn_label_agreement,
+        "chunk_documents": _q_chunk_documents,
+        "span_dup_stats": _q_span_dup_stats,
+        "session_funnel": _q_session_funnel,
         "minhash_lsh_dedup": _q_minhash_lsh,
         "knn_lsh_recall": _q_knn_lsh_recall,
         "knn_cosine_ivf": _q_knn_ivf,
@@ -2296,6 +2349,60 @@ def oracle_sql() -> dict[str, str]:
           from events
           window w as (partition by event_type order by ts, event_id
                        rows between unbounded preceding and 1 preceding)""",
+        "chunk_documents": f"""
+          with t as (select doc_id, {_WS} as w, len({_WS}) as n from documents),
+          s as (select doc_id, w, n,
+                       unnest(generate_series(0,
+                         cast(floor((greatest(n - 32, 0) + 15) / 16.0) as bigint)
+                       )) as chunk_idx
+                from t)
+          select doc_id, cast(chunk_idx as int) as chunk_idx,
+                 cast(chunk_idx * 16 as bigint) as start_tok,
+                 cast(least(chunk_idx * 16 + 32, n) as bigint) as end_tok,
+                 cast(least(chunk_idx * 16 + 32, n) - chunk_idx * 16 as bigint)
+                   as n_chunk_tokens,
+                 md5(array_to_string(
+                   w[chunk_idx * 16 + 1 : least(chunk_idx * 16 + 32, n)], ' '))
+                   as chunk_md5
+          from s""",
+        "span_dup_stats": f"""
+          with base as (select doc_id, {_WS} as w from ({_AUG_DOCS_SQL})),
+          g as (select doc_id,
+                       unnest(list_transform(
+                         generate_series(1, greatest(len(w) - 7, 0)),
+                         i -> array_to_string(w[i:i+7], ' '))) as g
+                from base),
+          tot as (select g, count(*) as t from g group by 1),
+          pd as (select doc_id, count(*) as n_spans,
+                        sum(case when t > 1 then 1 else 0 end) as n_dup
+                 from g join tot using (g) group by 1)
+          select d.doc_id,
+                 cast(coalesce(pd.n_spans, 0) as bigint) as n_spans,
+                 cast(coalesce(pd.n_dup, 0) as bigint) as n_dup_spans,
+                 case when coalesce(pd.n_spans, 0) > 0
+                      then round(pd.n_dup / pd.n_spans, 6) end as dup_fraction
+          from (select distinct doc_id from ({_AUG_DOCS_SQL})) d
+          left join pd using (doc_id)""",
+        "session_funnel": f"""
+          with s as ({_SESSION_IDS_SQL}),
+          f0 as (select user_id, session_id, min(ts) as t0 from s
+                 where event_type = 'view' group by 1, 2),
+          f1 as (select s.user_id, s.session_id, min(s.ts) as t1
+                 from s join f0 using (user_id, session_id)
+                 where s.event_type = 'click' and s.ts >= f0.t0
+                 group by 1, 2),
+          f2 as (select s.user_id, s.session_id, min(s.ts) as t2
+                 from s join f1 using (user_id, session_id)
+                 where s.event_type = 'purchase' and s.ts >= f1.t1
+                 group by 1, 2)
+          select f0.user_id, f0.session_id,
+                 epoch_us(f0.t0) as t0_us, epoch_us(f1.t1) as t1_us,
+                 epoch_us(f2.t2) as t2_us,
+                 f1.t1 is not null as reached_click,
+                 f2.t2 is not null as reached_purchase
+          from f0
+          left join f1 using (user_id, session_id)
+          left join f2 using (user_id, session_id)""",
         # the audit's theorem (no future reads) recomputed independently:
         # DuckDB's own ASOF join must also find zero
         "leakage_audit": f"""

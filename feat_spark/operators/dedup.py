@@ -643,3 +643,53 @@ def simhash_near_pairs(
     return pairs.select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def span_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-span statistics — the lightweight
+    relational stand-in for suffix-array substring dedup: how much of a
+    document is text that occurs elsewhere (corpus-wide n-gram
+    occurrence count > 1, which catches both cross-document copies and
+    within-document repetition; position-aware, so every copied token
+    window counts, unlike the distinct-shingle ops).
+
+    Output: ``(doc_id, n_spans, n_dup_spans, dup_fraction)`` over the
+    doc's positional ``n``-gram windows; docs shorter than ``n`` words
+    get 0 spans and a NULL fraction. Shape: one explode + one
+    gram-keyed count + one gram-keyed join back + per-doc agg — all
+    partial-agg/equi-join, the Zipf-hot gram bounded by map-side
+    combine.
+    """
+    from feat_spark.functions.text import raw_word_ngrams
+
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(raw_word_ngrams(text_col, n)).alias("__g"),
+    )
+    totals = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__tot"))
+    per_doc = (
+        grams.join(totals, "__g")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("__tot") > 1, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+    )
+    ids = df.select(F.col(id_col)).distinct()
+    return (
+        ids.join(per_doc.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.when(
+                F.coalesce("n_spans", F.lit(0)) > 0,
+                F.round(F.col("n_dup_spans") / F.col("n_spans"), 6),
+            ).alias("dup_fraction"),
+        )
+    )

@@ -1,0 +1,81 @@
+"""Sessionized funnel analysis — ordered-stage conversion over event
+streams (the classic product-analytics operator, here with the
+point-in-time discipline the rest of the engine uses).
+
+A funnel ``(s_0, s_1, …, s_k)`` matches when the session contains an
+event of type ``s_0``, then an event of type ``s_1`` at-or-after it,
+and so on — each stage time is the EARLIEST candidate at-or-after the
+previous stage (the standard "first conversion" semantics; re-orderings
+like purchase-before-view do not count).
+
+Shape: one conditional aggregate per stage over the (entity, session)
+key — stage i+1's aggregate is a filtered min against stage i's time,
+carried by an equi-join on the session key. k stages = k hash
+aggregates + k-1 broadcast-or-shuffled joins on an already-aggregated
+(sessions-sized, not events-sized) frame; the event table is scanned
+once per stage but never self-joined row-to-row. All mins are
+timestamps (order-free), so the whole funnel replays in SQL.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def session_funnel(
+    df: DataFrame,
+    stages: Sequence[str],
+    keys: Sequence[str] = ("user_id", "session_id"),
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-session funnel times: one row per (entity, session) that
+    reached stage 0, with ``t_{i}`` = the first time stage ``i``
+    completed (NULL once the funnel stalls) and ``reached_{stage}``
+    booleans. Input must already carry the session key (use
+    ``operators.sessionize``)."""
+    if len(stages) < 2:
+        raise ValueError("a funnel needs at least two stages")
+    keys = list(keys)
+    cur = (
+        df.filter(F.col(type_col) == stages[0])
+        .groupBy(*keys)
+        .agg(F.min(ts_col).alias("t_0"))
+    )
+    for i, s in enumerate(stages[1:], start=1):
+        nxt = (
+            df.filter(F.col(type_col) == s)
+            .join(cur.select(*keys, f"t_{i-1}"), keys)
+            .filter(F.col(ts_col) >= F.col(f"t_{i-1}"))
+            .groupBy(*keys)
+            .agg(F.min(ts_col).alias(f"t_{i}"))
+        )
+        cur = cur.join(nxt, keys, "left")
+    out = cur
+    for i, s in enumerate(stages):
+        out = out.withColumn(f"reached_{s}", F.col(f"t_{i}").isNotNull())
+    return out
+
+
+def funnel_summary(funnel: DataFrame, stages: Sequence[str]) -> DataFrame:
+    """Corpus-level conversion counts: sessions reaching each stage and
+    the step conversion rate vs the previous stage (round 6dp)."""
+    aggs = [
+        F.sum(F.col(f"reached_{s}").cast("long")).alias(f"n_{s}") for s in stages
+    ]
+    row = funnel.agg(*aggs)
+    out = row.select(
+        *[F.col(f"n_{s}").cast("long").alias(f"n_{s}") for s in stages],
+        *[
+            F.round(
+                F.col(f"n_{stages[i]}")
+                / F.nullif(F.col(f"n_{stages[i-1]}"), F.lit(0)),
+                6,
+            ).alias(f"rate_{stages[i]}")
+            for i in range(1, len(stages))
+        ],
+    )
+    return out

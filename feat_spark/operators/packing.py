@@ -117,3 +117,50 @@ def packing_stats(packed: DataFrame, ctx_len: int) -> DataFrame:
             ).alias("fill_ratio"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG/long-context
+    companion to :func:`pack_sequences`: each document becomes
+    overlapping chunks of ``chunk_tokens`` words starting every
+    ``stride`` words (``stride <= chunk_tokens`` covers every token;
+    the final chunk is clamped to the document end).
+
+    Output one row per chunk: ``(doc_id, chunk_idx, start_tok,
+    end_tok, n_chunk_tokens, chunk_md5)`` — the md5 of the chunk text
+    keeps the frame narrow while still content-addressing each chunk
+    (dedup chunks across docs by grouping on it). Pure integer
+    arithmetic + array slicing, fully oracle-replayable; the explode is
+    the only row multiplier (ceil(n/stride) chunks per doc).
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    ws = words(text_col)
+    n = F.size(ws)
+    k = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+    # integer ceil(k / stride) + 1 starts; doc lengths are far below
+    # double-precision integer limits so the float division is exact
+    n_starts = (F.floor((k + F.lit(stride - 1)) / F.lit(stride)) + 1).cast("int")
+    base = df.select(
+        F.col(id_col),
+        ws.alias("__ws"),
+        n.alias("__n"),
+        F.explode(F.sequence(F.lit(0), n_starts - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride
+    end = F.least(start + chunk_tokens, F.col("__n"))
+    chunk_text = F.concat_ws(" ", F.slice(F.col("__ws"), start + 1, end - start))
+    return base.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("long").alias("start_tok"),
+        end.cast("long").alias("end_tok"),
+        (end - start).cast("long").alias("n_chunk_tokens"),
+        F.md5(chunk_text).alias("chunk_md5"),
+    )

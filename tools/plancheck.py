@@ -112,6 +112,15 @@ MAX_EXCHANGES = {
     # the WHOLE composed matrix = rhs dedup window + the as-of
     # union-window exchange; every feature window reuses that exchange
     "feature_matrix": 2,
+    # pure explode over the scan
+    "chunk_documents": 0,
+    # gram totals agg + gram join + per-doc agg
+    "span_dup_stats": 3,
+    # 3 stage aggregates + stage joins over the sessionized frame; the
+    # gate recomputes the session window per stage branch (at scale the
+    # sessionized table is materialized once upstream and the funnel
+    # runs over it — 3 session-keyed aggs + 2 joins)
+    "session_funnel": 7,
 }
 
 #: queries whose scan must show a pushed filter
