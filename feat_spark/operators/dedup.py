@@ -431,13 +431,13 @@ def _cc_star(
     """
     # vertex universe BEFORE the self-loop filter: a degenerate (x, x)
     # pair still names x as a vertex, and hashmin labels it — the
-    # bit-equality contract requires star to as well
-    verts = (
-        edges.select(F.col("src").alias("vertex"))
-        .unionByName(edges.select(F.col("dst").alias("vertex")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # bit-equality contract requires star to as well. Kept LAZY: it is
+    # consumed exactly once (the final anti-join) and is not part of
+    # the iterative lineage, so an eager checkpoint would just add a
+    # full up-front pass over the pair set.
+    verts = edges.select(F.col("src").alias("vertex")).unionByName(
+        edges.select(F.col("dst").alias("vertex"))
+    ).distinct()
     e = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(

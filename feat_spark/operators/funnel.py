@@ -64,7 +64,12 @@ def funnel_summary(funnel: DataFrame, stages: Sequence[str]) -> DataFrame:
     """Corpus-level conversion counts: sessions reaching each stage and
     the step conversion rate vs the previous stage (round 6dp)."""
     aggs = [
-        F.sum(F.col(f"reached_{s}").cast("long")).alias(f"n_{s}") for s in stages
+        # coalesce: an EMPTY funnel frame (no stage-0 sessions at all)
+        # must summarize as zeros, not NULLs
+        F.coalesce(F.sum(F.col(f"reached_{s}").cast("long")), F.lit(0)).alias(
+            f"n_{s}"
+        )
+        for s in stages
     ]
     row = funnel.agg(*aggs)
     out = row.select(

@@ -72,7 +72,19 @@ def mixture_rates(
     for replaying the computation in an external engine."""
     missing = set(targets) - set(counts)
     if missing:
-        raise ValueError(f"targets name absent strata: {sorted(missing)}")
+        raise ValueError(
+            f"targets name absent strata: {sorted(missing, key=repr)}"
+        )
+    # a zero-count stratum with POSITIVE weight forces t_max = 0 and
+    # every rate to zero — fail loudly here too (not only in
+    # mixture_sample) so direct callers can't get the silent collapse.
+    # Weight-0 strata are an explicit exclude and are exempt.
+    empty = sorted(
+        (k for k, w in targets.items() if w > 0 and counts.get(k, 0) == 0),
+        key=repr,
+    )
+    if empty:
+        raise ValueError(f"positive-weight strata have zero rows: {empty}")
     wsum = float(sum(targets.values()))
     norm = {k: v / wsum for k, v in targets.items()}
     t_max = min(counts[s] / w for s, w in norm.items() if w > 0)
@@ -104,17 +116,23 @@ def mixture_sample(
     cnt_rows = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("n")).collect()
     counts = {tuple(r[s] for s in strata): r["n"] for r in cnt_rows}
     tkeys = {k if isinstance(k, tuple) else (k,): v for k, v in targets.items()}
-    # a target stratum absent from the data means t_max = 0 and EVERY
-    # rate collapses to zero — a typo'd stratum value would silently
-    # return an empty corpus; fail loudly instead (same stance as
-    # plans/features.spec_from_dict)
-    absent = sorted(k for k in tkeys if counts.get(k, 0) == 0)
+    # a POSITIVE-weight target stratum absent from the data means
+    # t_max = 0 and EVERY rate collapses to zero — a typo'd stratum
+    # value would silently return an empty corpus; fail loudly instead
+    # (same stance as plans/features.spec_from_dict). Weight-0 targets
+    # are an explicit exclude and may legitimately match nothing.
+    # key=repr: stratum values can include None (dirty data) and would
+    # break a plain sort inside the error path.
+    absent = sorted(
+        (k for k, w in tkeys.items() if w > 0 and counts.get(k, 0) == 0),
+        key=repr,
+    )
     if absent:
         raise ValueError(
-            f"target strata absent from the corpus: {absent} "
-            f"(present: {sorted(counts)[:20]})"
+            f"positive-weight target strata absent from the corpus: {absent} "
+            f"(present: {sorted(counts, key=repr)[:20]})"
         )
-    rates = mixture_rates({k: counts[k] for k in tkeys}, tkeys)
+    rates = mixture_rates({k: counts.get(k, 0) for k in tkeys}, tkeys)
 
     gate = F.pmod(
         md5_long32(F.concat_ws(":", F.lit(salt), F.col(key).cast("string"))),

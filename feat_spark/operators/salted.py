@@ -96,15 +96,23 @@ def salted_group_agg(
                 raise ValueError(f"{f!r} is not salt-mergeable (use chunked/plain)")
         plan[c] = out
 
-    # the aggregated columns are themselves hashable non-key columns
-    # (they must be numeric/orderable to aggregate), so entropy_cols is
-    # never empty here — no fallback branch needed
+    # the aggregated columns are usually hashable non-key columns, but
+    # not always: count() is salt-mergeable over ANY type, so a frame
+    # whose only non-key column is a counted MAP leaves nothing to
+    # hash. xxhash64() with zero args fails analysis with an opaque
+    # error — raise the actionable one instead.
     by_name = {f.name: f.dataType for f in df.schema.fields}
     entropy_cols = [
         c
         for c in df.columns
         if c not in keys and c != _SALT and _xxhash64_hashable(by_name[c])
     ]
+    if not salt_col and not entropy_cols:
+        raise ValueError(
+            "no xxhash64-hashable non-key column to build the default salt "
+            "from (only MAP/VARIANT columns remain) — pass salt_col= with a "
+            "precomputed deterministic salt"
+        )
     salt = (
         F.col(salt_col)
         if salt_col

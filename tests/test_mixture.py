@@ -121,3 +121,41 @@ def test_mixture_sample_rejects_absent_stratum(spark):
     df = _docs(spark, {"en": 20, "de": 10})
     with pytest.raises(ValueError, match="absent from the corpus.*EN"):
         mixture_sample(df, targets={"EN": 1, "de": 1}, strata="lang")
+
+
+def test_mixture_weight_zero_is_explicit_exclude(spark):
+    """A weight-0 target is an explicit exclude and must NOT trip the
+    absent-stratum guard even when the stratum has no rows."""
+    df = _docs(spark, {"en": 20, "de": 10})
+    out = mixture_sample(
+        df, targets={"en": 1.0, "fr": 0.0}, strata="lang"
+    ).toPandas()
+    assert set(out["lang"].unique()) == {"en"}
+    assert len(out) == 20  # en is the only positive stratum: keep all
+
+    # direct mixture_rates callers get the loud failure too
+    with pytest.raises(ValueError, match="zero rows"):
+        mixture_rates({("en",): 10, ("fr",): 0}, {("en",): 1, ("fr",): 1})
+
+
+def test_funnel_summary_empty_frame_is_zero(spark):
+    from feat_spark.operators.funnel import funnel_summary, session_funnel
+
+    df = spark.createDataFrame(
+        [(1, 0, "click", 1.0)],
+        "user_id long, session_id long, event_type string, ts double",
+    )
+    f = session_funnel(df, stages=("view", "click"))
+    s = funnel_summary(f, stages=("view", "click")).collect()[0]
+    assert s["n_view"] == 0 and s["n_click"] == 0
+    assert s["rate_click"] is None  # 0/0 stays NULL, counts stay 0
+
+
+def test_salted_only_map_non_key_raises_actionable(spark):
+    from feat_spark.operators.salted import salted_group_agg
+
+    df = spark.createDataFrame(
+        [(1, {"a": 1}), (1, {"b": 2})], "k long, m map<string,long>"
+    )
+    with pytest.raises(ValueError, match="salt_col"):
+        salted_group_agg(df, "k", {"m": ["count"]})
