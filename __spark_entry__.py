@@ -1476,6 +1476,60 @@ def _q_lm_score(spark, sf_dir):
     return bigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
+def _q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (operators/sampling.py):
+    one hash gate partitioned into contiguous ranges — disjoint and
+    exhaustive by construction, stable under corpus growth. The oracle
+    recomputes every row's assignment."""
+    from feat_spark.operators.sampling import assign_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return assign_split(d, key="doc_id")
+
+
+def _q_dedup_exact_canonical(spark, sf_dir):
+    """Exact dedup over the CANONICAL text form (functions/text.py
+    canonical_text: lower/strip-punct/collapse-ws): case, punctuation
+    and spacing variants — planted here as upper-cased and
+    punct-noised copies — land in one hash group raw md5 would split
+    three ways."""
+    from feat_spark.functions.text import canonical_text
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = (
+        d.unionByName(
+            d.select((F.col("doc_id") + 200000).alias("doc_id"),
+                     F.upper("text").alias("text"))
+        )
+        .unionByName(
+            d.select((F.col("doc_id") + 400000).alias("doc_id"),
+                     F.concat(F.col("text"), F.lit(" !!!")).alias("text"))
+        )
+    )
+    canon = corpus.withColumn("ctext", canonical_text("text"))
+    return D.exact_dedup(canon, id_col="doc_id", cols=("ctext",))
+
+
+def _q_incremental_dedup(spark, sf_dir):
+    """Incremental near-dup (operators/dedup.py incremental_lsh_pairs):
+    a NEW batch (the truncated near-copies, ids +100000) banded against
+    the stored signature INDEX (the originals) — candidates are strictly
+    index x new, then exact-Jaccard verified. The daily-ingest pattern;
+    the oracle replays both signature sets and the cross-join band
+    bucketing."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = TXT.words("text")
+    trunc = F.concat_ws(" ", F.slice(ws, 1, F.greatest(F.size(ws) - 3, F.lit(1))))
+    new = d.select((F.col("doc_id") + 100000).alias("doc_id"), trunc.alias("text"))
+    idx_sigs = D.minhash_signatures(d, k=16, n=3)
+    new_sigs = D.minhash_signatures(new, k=16, n=3)
+    cand = D.incremental_lsh_pairs(new_sigs, idx_sigs, k=16, bands=8)
+    combined = d.unionByName(new)
+    return D.shingle_jaccard_pairs(
+        combined, n=3, threshold=0.6, candidates=cand
+    )
+
+
 def _q_chunk_documents(spark, sf_dir):
     """Sliding-window chunking (operators/packing.py): overlapping
     32-token chunks every 16 tokens, content-addressed by md5 — pure
@@ -1832,6 +1886,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "span_dup_stats": _q_span_dup_stats,
         "session_funnel": _q_session_funnel,
+        "split_assign": _q_split_assign,
+        "dedup_exact_canonical": _q_dedup_exact_canonical,
+        "incremental_dedup": _q_incremental_dedup,
         "minhash_lsh_dedup": _q_minhash_lsh,
         "knn_lsh_recall": _q_knn_lsh_recall,
         "knn_cosine_ivf": _q_knn_ivf,
@@ -2002,6 +2059,33 @@ def oracle_sql() -> dict[str, str]:
         from bands a
         join bsz z on z.band = a.band and z.bhash = a.bhash
         where z.n > 4 and a.doc_id != z.hub),
+      shr as (select doc_id, unnest(shingles) as s from shl),
+      sz as (select doc_id, count(*) as n from shr group by 1),
+      inter as (
+        select c.id_a, c.id_b, count(*) i
+        from cand c
+        join shr a on a.doc_id = c.id_a
+        join shr b on b.doc_id = c.id_b and b.s = a.s
+        group by 1, 2)
+      select id_a, id_b, round(i * 1.0 / (sa.n + sb.n - i), 6) as jaccard
+      from inter
+      join sz sa on inter.id_a = sa.doc_id
+      join sz sb on inter.id_b = sb.doc_id
+      where round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.6
+    """
+    # incremental (index x new) variant of the LSH pipeline: same
+    # signatures, candidates restricted to originals (< 100000) vs the
+    # truncated near-copies (>= 100000)
+    incremental_sql = f"""
+      with corpus as ({_AUG_DOCS_SQL}),
+      shl as (select doc_id, {sh} as shingles from corpus),
+      sigs as (select doc_id, {sig16} from shl),
+      bands as ({band_rows}),
+      cand as (
+        select a.doc_id id_a, b.doc_id id_b
+        from bands a join bands b on a.band = b.band and a.bhash = b.bhash
+        where a.doc_id < 100000 and b.doc_id >= 100000
+        group by 1, 2),
       shr as (select doc_id, unnest(shingles) as s from shl),
       sz as (select doc_id, count(*) as n from shr group by 1),
       inter as (
@@ -2660,7 +2744,31 @@ def oracle_sql() -> dict[str, str]:
         # bit-for-bit including any recall misses of the banding scheme.
         # `jaccard_pairs` above is the exact ground-truth twin.
         "minhash_lsh_dedup": minhash_lsh_sql,
+        "incremental_dedup": incremental_sql,
         "curation_pipeline": curation_sql,
+        "split_assign": f"""
+          select doc_id,
+                 case when g < 90 then 'train'
+                      when g < 95 then 'val'
+                      else 'test' end as split
+          from (select doc_id,
+                       {_HX.format(x="'split:' || cast(doc_id as varchar)")} % 100 as g
+                from documents)""",
+        "dedup_exact_canonical": """
+          with corpus as (
+            select doc_id, text from documents
+            union all
+            select doc_id + 200000, upper(text) from documents
+            union all
+            select doc_id + 400000, text || ' !!!' from documents),
+          c as (select doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) as ct
+                from corpus)
+          select md5(ct) as content_hash,
+                 cast(min(doc_id) as bigint) as rep_id,
+                 cast(count(*) as bigint) as n_dups
+          from c group by 1""",
         "simhash": f"""
           with h as (select doc_id,
                             list_transform({_WS}, w -> {_HXW}) as hs

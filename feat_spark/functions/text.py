@@ -176,3 +176,17 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(sh)
+
+
+def canonical_text(col: Column | str) -> Column:
+    """Dedup-canonical form: lowercase, strip everything but
+    ``[a-z0-9]`` and whitespace, collapse whitespace runs, trim. Case,
+    punctuation and spacing variants of the same text hash identically
+    — feed this to ``dedup.exact_dedup`` (or any hash) to catch the
+    near-exact duplicates raw md5 misses. Both regexes are
+    lookaround-free, so Spark (java.util.regex) and DuckDB (RE2 with
+    the 'g' flag) produce identical strings."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    c = F.regexp_replace(c, "[^a-z0-9\\s]", "")
+    c = F.regexp_replace(c, "\\s+", " ")
+    return F.trim(c)

@@ -693,3 +693,59 @@ def span_dup_stats(
             ).alias("dup_fraction"),
         )
     )
+
+
+def incremental_lsh_pairs(
+    new_sigs: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental near-dup candidates: NEW documents' MinHash
+    signatures banded against a STORED signature index — the
+    daily-ingest pattern (dedupe today's crawl against the corpus
+    without re-pairing the corpus with itself). Output ``(id_a, id_b)``
+    with ``id_a`` from the index and ``id_b`` from the new batch;
+    verify with ``shingle_jaccard_pairs(candidates=...)`` exactly like
+    the self-dedup pipeline. New-vs-new pairs are NOT emitted — run the
+    ordinary self pipeline on the batch for those.
+
+    Shape: both sides explode to (id, band, bhash) and meet in ONE
+    equi-join on (band, bhash) — at 10^12-doc scale the index side is
+    the stored, bucketed-by-band-hash signature table, so the join
+    prunes to the new batch's buckets; nothing is ever all-pairs.
+    """
+    rows_per_band = k // bands
+
+    def banded(sigs: DataFrame, out: str) -> DataFrame:
+        return sigs.select(
+            F.col(id_col).alias(out),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.md5(
+                                F.concat_ws(
+                                    ":",
+                                    *[
+                                        F.col(f"sig_{b * rows_per_band + r}").cast("string")
+                                        for r in range(rows_per_band)
+                                    ],
+                                )
+                            ).alias("bhash"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bh"),
+        ).select(out, "bh.band", "bh.bhash")
+
+    idx = banded(index_sigs, "id_a")
+    new = banded(new_sigs, "id_b")
+    return (
+        idx.join(new, ["band", "bhash"])
+        .select("id_a", "id_b")
+        .distinct()
+    )

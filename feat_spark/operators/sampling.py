@@ -53,3 +53,35 @@ def stratified_hash_sample(
     for value, pct in sorted(rates.items()):
         rate = F.when(F.col(strata) == value, F.lit(pct)).otherwise(rate)
     return df.filter(_gate(F.col(key), salt) < rate)
+
+
+def assign_split(
+    df: DataFrame,
+    key: str,
+    splits: Mapping[str, int] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: ONE hash gate value
+    partitioned into contiguous ranges, so the splits are disjoint and
+    exhaustive BY CONSTRUCTION (a row is in exactly one split — unlike
+    stacking independent ``hash_sample`` calls, where gates overlap).
+
+    ``splits`` maps name -> percent and must sum to 100 (default
+    ``{"train": 90, "val": 5, "test": 5}``). Assignment is stable under
+    repartitioning, file order, and corpus growth: a doc's split never
+    changes when other docs arrive — the property that keeps eval sets
+    uncontaminated across corpus versions. Iteration order of the dict
+    fixes the range layout, so pass the same dict (same order) to
+    reproduce an existing assignment.
+    """
+    splits = splits or {"train": 90, "val": 5, "test": 5}
+    if sum(splits.values()) != 100:
+        raise ValueError(f"split percents must sum to 100: {splits}")
+    g = _gate(F.col(key), salt)
+    expr = F.lit(None).cast("string")
+    lo = 0
+    for name, pct in splits.items():
+        expr = F.when((g >= lo) & (g < lo + pct), F.lit(name)).otherwise(expr)
+        lo += pct
+    return df.withColumn(out_col, expr)

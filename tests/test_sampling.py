@@ -1,5 +1,6 @@
 """Deterministic hash sampling: layout-independence, stratum rates."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from feat_spark.operators.sampling import hash_sample, stratified_hash_sample
@@ -34,3 +35,71 @@ def test_stratified_rates(spark):
     assert "click" not in got  # rate 0: keep none
     for t in ("view", "signup", "error"):
         assert 0.35 * want_all[t] <= got[t] <= 0.65 * want_all[t]  # ~50%
+
+
+def test_assign_split_disjoint_exhaustive_stable(spark):
+    from feat_spark.operators.sampling import assign_split
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = assign_split(df, key="doc_id").toPandas()
+    assert out["split"].notna().all()  # exhaustive
+    counts = out.groupby("split").size().to_dict()
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+    # growth stability: adding docs never changes existing assignments
+    bigger = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    out2 = assign_split(bigger, key="doc_id").toPandas().set_index("doc_id")
+    for _, r in out.iterrows():
+        assert out2.loc[r["doc_id"], "split"] == r["split"]
+
+    with pytest.raises(ValueError, match="sum to 100"):
+        assign_split(df, key="doc_id", splits={"train": 80, "val": 10})
+
+
+def test_canonical_text_variants_collapse(spark):
+    from feat_spark.functions.text import canonical_text
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "Hello,   World! 42"),
+        (2, "hello world 42"),
+        (3, "HELLO WORLD 42!!!"),
+        (4, "different text entirely"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r["c"] for r in df.select("id", canonical_text("text").alias("c")).collect()}
+    assert out[1] == out[2] == out[3] == "hello world 42"
+    assert out[4] != out[1]
+
+
+def test_incremental_lsh_pairs_cross_only(spark):
+    from feat_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        minhash_signatures,
+        shingle_jaccard_pairs,
+    )
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    index = spark.createDataFrame(
+        [(1, base), (2, "totally unrelated words nothing shared here at all ok")],
+        "doc_id long, text string",
+    )
+    # new batch: a near-copy of doc 1, an exact copy of ANOTHER new doc
+    # (new-vs-new must NOT pair), and an unrelated doc
+    new = spark.createDataFrame(
+        [(101, base + " extra"), (102, "clone text here for the new batch x y z"),
+         (103, "clone text here for the new batch x y z")],
+        "doc_id long, text string",
+    )
+    cand = incremental_lsh_pairs(
+        minhash_signatures(new), minhash_signatures(index), k=16, bands=8
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert (1, 101) in pairs
+    assert all(a <= 2 and b >= 101 for a, b in pairs)  # strictly index x new
+
+    verified = shingle_jaccard_pairs(
+        index.unionByName(new), threshold=0.6, candidates=cand
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in verified} == {(1, 101)}
