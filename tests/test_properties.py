@@ -188,3 +188,118 @@ def test_pii_scrub_removes_all_matches(spark):
     assert all(v == 0 for v in leftover)
     row1 = scrubbed.filter("doc_id = 1").collect()[0]["text"]
     assert "<EMAIL>" in row1 and "<IP>" in row1 and "<PHONE>" in row1
+
+
+# ---------------------------------------------------------- round-3 ops
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.integers(min_value=1, max_value=10_000),
+        min_size=2,
+        max_size=5,
+    ),
+    st.data(),
+)
+def test_mixture_rates_properties(counts, data):
+    """For any counts and positive weights: rates are valid basis
+    points, the limiting stratum saturates (within 1bp of floor
+    arithmetic), and expected keeps never exceed availability."""
+    from feat_spark.operators.mixture import mixture_rates
+
+    keys = sorted(counts)
+    weights = {
+        k: data.draw(st.integers(min_value=1, max_value=9), label=f"w_{k}")
+        for k in keys
+    }
+    ckeys = {(k,): v for k, v in counts.items()}
+    wkeys = {(k,): v for k, v in weights.items()}
+    rates = mixture_rates(ckeys, wkeys)
+    assert set(rates) == set(wkeys)
+    assert all(0 <= bp <= 10000 for bp in rates.values())
+    # keeps never exceed availability (floor can only shrink)
+    for k, bp in rates.items():
+        assert bp * ckeys[k] <= 10000 * ckeys[k]
+    # the limiting stratum is kept (nearly) whole
+    wsum = sum(wkeys.values())
+    limiting = min(ckeys, key=lambda s: ckeys[s] / (wkeys[s] / wsum))
+    assert rates[limiting] >= 9999
+
+
+def test_canonical_text_idempotent_and_noise_invariant(spark):
+    """canonical_text is a projection: applying it twice equals once,
+    and case/punct/whitespace noise never changes the canonical form —
+    checked over a batch of adversarial strings in one Spark job."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from feat_spark.functions.text import canonical_text
+
+    rng = _random.Random(13)
+    base_rows = []
+    for i in range(60):
+        words = [
+            "".join(rng.choice("abcxyz019") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(0, 8))
+        ]
+        text = " ".join(words)
+        noisy = "  ".join(
+            w.upper() if rng.random() < 0.5 else w + rng.choice("!,.;?")
+            for w in words
+        )
+        base_rows.append((i, text, " " + noisy + "!! "))
+    df = spark.createDataFrame(base_rows, "id long, text string, noisy string")
+    out = df.select(
+        "id",
+        canonical_text("text").alias("c1"),
+        canonical_text(canonical_text("text")).alias("c2"),
+        canonical_text("noisy").alias("cn"),
+    ).collect()
+    for r in out:
+        assert r["c1"] == r["c2"], "not idempotent"
+        assert r["c1"] == r["cn"], f"noise changed canonical form: {r}"
+
+
+def test_session_funnel_matches_python_reference(spark):
+    """Random event sequences: the operator's stage times must match a
+    direct Python simulation of first-conversion semantics."""
+    import random as _random
+
+    from feat_spark.operators.funnel import session_funnel
+
+    rng = _random.Random(29)
+    stages = ("view", "click", "purchase")
+    rows = []
+    for sess in range(80):
+        n = rng.randint(1, 8)
+        for i in range(n):
+            rows.append(
+                (sess, 0, rng.choice(stages), float(rng.randint(1, 20)))
+            )
+    df = spark.createDataFrame(
+        rows, "user_id long, session_id long, event_type string, ts double"
+    )
+    got = {
+        r["user_id"]: (r["t_0"], r["t_1"], r["t_2"])
+        for r in session_funnel(df, stages=stages).collect()
+    }
+
+    # python reference
+    by_sess = {}
+    for u, s, t, ts in rows:
+        by_sess.setdefault(u, []).append((t, ts))
+    want = {}
+    for u, evs in by_sess.items():
+        t0 = min((ts for t, ts in evs if t == "view"), default=None)
+        if t0 is None:
+            continue
+        t1 = min((ts for t, ts in evs if t == "click" and ts >= t0), default=None)
+        t2 = (
+            min((ts for t, ts in evs if t == "purchase" and ts >= t1), default=None)
+            if t1 is not None
+            else None
+        )
+        want[u] = (t0, t1, t2)
+    assert got == want
