@@ -1696,6 +1696,24 @@ def _q_knn_ivf(spark, sf_dir):
     )
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (cluster-then-dedup, arXiv:2303.09540): the SAME
+    deterministic k-means quantizer as `knn_cosine_ivf` partitions the
+    corpus; within each cluster, any vector whose cosine to a lower-id
+    clustermate exceeds 0.35 is flagged a semantic duplicate.
+    Assignment is a pure projection (zero shuffle — see
+    similarity.assign_clusters); the oracle replays training,
+    assignment, and the within-cluster pair scan bit-for-bit."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = S.kmeans_centroids(
+        e.filter(F.col("vec_id") < 2000),
+        n_centroids=16, iters=2, id_col="vec_id", vec_col="embedding",
+    )
+    return S.semantic_dedup(
+        e, centroids=cents, threshold=0.35, id_col="vec_id", vec_col="embedding"
+    )
+
+
 def _q_knn_label_agreement(spark, sf_dir):
     """Index-quality metric #2 (beside recall): does the exact top-5
     neighborhood agree with the query's own label? Per query: neighbor
@@ -1895,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _q_curation_pipeline,
         "dedup_components": _q_dedup_components,
         "knn_cosine_lsh": _q_knn_lsh,
+        "semantic_dedup": _q_semantic_dedup,
         # --- r2-green refill ----------------------------------------
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_signatures": _q_minhash_sigs,
@@ -2311,6 +2330,28 @@ def oracle_sql() -> dict[str, str]:
                                      order by cs desc, neighbor_id) as bigint) as rank
       from scored
       qualify rank <= 5
+    """
+    # SemDeDup twin: same Lloyd training + assignment CTEs, then the
+    # within-cluster lower-id-wins pair scan
+    semantic_dedup_sql = f"""
+      with v as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+      {lloyd_ctes},
+      cent as (select cid, cv from cent2),
+      assign as (
+        select vec_id, v, cid from (
+          select v.vec_id, v.v, cent.cid,
+                 row_number() over (partition by v.vec_id
+                                    order by {_c('v.v', 'cent.cv')} desc, cent.cid) as rn
+          from v cross join cent)
+        where rn = 1),
+      dups as (
+        select b.vec_id
+        from assign a join assign b using (cid)
+        where a.vec_id < b.vec_id and {_c('a.v', 'b.v')} > 0.35
+        group by b.vec_id)
+      select a.vec_id, cast(a.cid as bigint) as cluster_id,
+             (d.vec_id is not null) as semantic_dup
+      from assign a left join dups d on a.vec_id = d.vec_id
     """
     return {
         "asof_join": _ASOF_SQL,
@@ -2942,6 +2983,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_lsh": knn_lsh_sql,
         "knn_lsh_recall": knn_lsh_recall_sql,
         "knn_cosine_ivf": ivf_sql,
+        "semantic_dedup": semantic_dedup_sql,
         "media_features": _MEDIA_SQL,
         "embedding_near_dup": f"""
           with v as (select vec_id, embedding::DOUBLE[] as v from embeddings)

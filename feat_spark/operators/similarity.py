@@ -403,3 +403,90 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """Nearest-centroid assignment as a PURE PROJECTION — zero shuffle.
+
+    ``centroids`` is a materialized ``(__cid, __cent)`` frame from
+    ``kmeans_centroids`` (driver-small by construction). Instead of a
+    cross join + per-id window (one shuffle per assignment), the
+    centroid list is folded into the projection itself: per row,
+    ``greatest`` over 16 ``struct(cos, -cid)`` candidates picks the
+    best cluster (ties -> smallest cid, matching the oracle's
+    ``order by cos desc, cid asc``). At 100 TB this is the difference
+    between a map-only stage and a full-corpus shuffle.
+    """
+    best = None
+    for r in centroids.collect():
+        cent = F.array(*[F.lit(float(x)) for x in r["__cent"]])
+        cand = F.struct(
+            cosine(F.col(vec_col), cent).alias("c"),
+            F.lit(-int(r["__cid"])).cast("long").alias("n"),
+        )
+        best = cand if best is None else F.greatest(best, cand)
+    return df.withColumn(out_col, (-best["n"]).cast("long"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame | None = None,
+    threshold: float = 0.97,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with the deterministic
+    k-means coarse quantizer, then flag every vector whose cosine
+    similarity to a LOWER-id vector in the SAME cluster exceeds
+    ``threshold``. Lower-id-wins makes the kept set deterministic and
+    fully SQL-replayable (no greedy iteration).
+
+    Returns one row per input row: ``(id_col, cluster_id,
+    semantic_dup)`` — callers drop ``semantic_dup`` rows to dedup.
+
+    Scale shape: assignment is shuffle-free (``assign_clusters``);
+    the pairwise step is a self-join keyed on ``cluster_id``, so the
+    quadratic blowup is bounded per cluster — ``n_centroids`` is the
+    knob (the paper uses ~100k clusters at web scale so clusters stay
+    ~1e4 rows; here 16 fits the test corpus). Training reads only the
+    frame passed to ``kmeans_centroids`` (callers pass a bounded
+    sample at scale).
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(
+            df, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    assigned = assign_clusters(df, centroids, id_col, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("cluster_id")
+    )
+    a = assigned.select(
+        F.col(id_col).alias("__aid"), "cluster_id", F.col(vec_col).alias("__av")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__bid"), "cluster_id", F.col(vec_col).alias("__bv")
+    )
+    dup_ids = (
+        a.join(b, "cluster_id")
+        .filter(F.col("__aid") < F.col("__bid"))
+        .filter(cosine(F.col("__av"), F.col("__bv")) > threshold)
+        .select(F.col("__bid").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        assigned.join(dup_ids, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.coalesce("__dup", F.lit(False)).alias("semantic_dup"),
+        )
+    )

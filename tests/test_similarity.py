@@ -164,3 +164,48 @@ def test_kmeans_iters_scale_linearly(spark, vectors):
     # against measured 10-100x per extra round; 8x + slack keeps the
     # assertion meaningful while tolerating CI noise/GC pauses
     assert t8 <= 8 * t2 + 5.0, f"iters=8 took {t8:.1f}s vs iters=2 {t2:.1f}s"
+
+
+def test_semantic_dedup_matches_bruteforce(spark, vectors):
+    """SemDeDup flags exactly the vectors with a lower-id clustermate
+    above threshold — verified against a driver-side brute force over
+    the same assignment."""
+    import numpy as np
+
+    from feat_spark.operators.similarity import (
+        assign_clusters,
+        kmeans_centroids,
+        semantic_dedup,
+    )
+
+    e, _ = vectors
+    cents = kmeans_centroids(e, n_centroids=8, iters=2)
+    out = semantic_dedup(e, centroids=cents, threshold=0.35).toPandas()
+    assert len(out) == e.count()
+    assert out["vec_id"].is_unique
+
+    rows = assign_clusters(e, cents).select(
+        "vec_id", "cluster_id", "embedding"
+    ).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(
+            (r.vec_id, np.array(r.embedding, dtype=np.float64))
+        )
+    expect_dup = set()
+    for members in by_cluster.values():
+        members.sort()
+        for i, (ida, va) in enumerate(members):
+            for idb, vb in members[i + 1:]:
+                cos = float(
+                    va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+                )
+                if cos > 0.35:
+                    expect_dup.add(idb)
+    got_dup = set(out.loc[out["semantic_dup"], "vec_id"])
+    assert got_dup == expect_dup
+    assert got_dup  # threshold chosen so the corpus has real dups
+
+    # threshold above max cosine -> nothing flagged
+    none = semantic_dedup(e, centroids=cents, threshold=1.0)
+    assert none.filter("semantic_dup").count() == 0
