@@ -1487,6 +1487,18 @@ def _q_split_assign(spark, sf_dir):
     return assign_split(d, key="doc_id")
 
 
+def _q_cap_per_group(spark, sf_dir):
+    """Per-group quota cap (RefinedWeb-style per-domain limits): keep
+    at most 70 docs per lang, chosen by a stable hash of doc_id. The
+    under-cap/over-cap two-phase split (operators/sampling.py) is
+    exercised for real here — at sf0.01 three langs exceed the cap and
+    two don't — and the oracle replays the full ranked selection."""
+    from feat_spark.operators.sampling import cap_per_group
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return cap_per_group(d, group_col="lang", cap=70, key="doc_id")
+
+
 def _q_dedup_exact_canonical(spark, sf_dir):
     """Exact dedup over the CANONICAL text form (functions/text.py
     canonical_text: lower/strip-punct/collapse-ws): case, punctuation
@@ -1914,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "knn_cosine_lsh": _q_knn_lsh,
         "semantic_dedup": _q_semantic_dedup,
+        "cap_per_group": _q_cap_per_group,
         # --- r2-green refill ----------------------------------------
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_signatures": _q_minhash_sigs,
@@ -2795,6 +2808,12 @@ def oracle_sql() -> dict[str, str]:
           from (select doc_id,
                        {_HX.format(x="'split:' || cast(doc_id as varchar)")} % 100 as g
                 from documents)""",
+        "cap_per_group": f"""
+          select doc_id, lang,
+                 (row_number() over (partition by lang
+                    order by {_HX.format(x="'cap:' || cast(doc_id as varchar)")},
+                             doc_id) <= 70) as kept
+          from documents""",
         "dedup_exact_canonical": """
           with corpus as (
             select doc_id, text from documents

@@ -85,3 +85,44 @@ def assign_split(
         expr = F.when((g >= lo) & (g < lo + pct), F.lit(name)).otherwise(expr)
         lo += pct
     return df.withColumn(out_col, expr)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    key: str,
+    salt: str = "cap",
+    out_col: str = "kept",
+) -> DataFrame:
+    """Per-group quota cap (RefinedWeb-style per-domain limits): keep
+    at most ``cap`` rows per ``group_col``, chosen by a stable hash of
+    ``key`` (then ``key`` itself as tiebreak) — so the kept subset is
+    deterministic, layout-independent, and replayable by any engine.
+
+    Returns every input row plus a boolean ``out_col``; callers filter
+    on it. Selection is equivalent to ``row_number() over (partition
+    by group order by h, key) <= cap``, but executes in two phases so
+    the common case never sorts: a per-group count (partial-agg
+    shuffle, one long per group) splits the corpus into under-cap
+    groups — kept outright with NO window — and over-cap groups, which
+    alone pay the per-group rank. At web scale most domains sit far
+    under any sane cap, so the sort touches a small residue; a single
+    pathological mega-domain is one sorted partition of its own rows
+    (bound it upstream with ``hash_sample`` if a domain can exceed
+    executor memory).
+    """
+    from pyspark.sql import Window
+
+    h = md5_long32(
+        F.concat_ws(":", F.lit(salt), F.col(key).cast("string"))
+    ).alias("__h")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__gn"))
+    with_n = df.join(counts, group_col).withColumn("__h", h)
+    under = with_n.filter(F.col("__gn") <= cap).withColumn(out_col, F.lit(True))
+    w = Window.partitionBy(group_col).orderBy(F.col("__h").asc(), F.col(key).asc())
+    over = (
+        with_n.filter(F.col("__gn") > cap)
+        .withColumn(out_col, F.row_number().over(w) <= cap)
+    )
+    return under.unionByName(over).drop("__gn", "__h")

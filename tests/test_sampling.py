@@ -103,3 +103,42 @@ def test_incremental_lsh_pairs_cross_only(spark):
         index.unionByName(new), threshold=0.6, candidates=cand
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in verified} == {(1, 101)}
+
+
+def test_cap_per_group_quota_and_layout_independence(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from feat_spark.functions.text import md5_long32
+    from feat_spark.operators.sampling import cap_per_group
+
+    # 3 groups: far over cap, exactly at cap, under cap
+    rows = (
+        [("big", i) for i in range(40)]
+        + [("edge", i + 100) for i in range(10)]
+        + [("small", i + 200) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "grp string, id long")
+    out = cap_per_group(df, group_col="grp", cap=10, key="id").toPandas()
+    kept = out[out["kept"]].groupby("grp")["id"].count().to_dict()
+    assert kept == {"big": 10, "edge": 10, "small": 3}
+    assert len(out) == len(rows)  # every input row comes back, flagged
+
+    # two-phase result == the plain one-window reference selection
+    w = Window.partitionBy("grp").orderBy(
+        md5_long32(F.concat_ws(":", F.lit("cap"), F.col("id").cast("string"))),
+        F.col("id"),
+    )
+    ref = (
+        df.withColumn("kept", F.row_number().over(w) <= 10)
+        .toPandas()
+        .set_index("id")["kept"]
+    )
+    got = out.set_index("id")["kept"]
+    assert got.sort_index().equals(ref.sort_index())
+
+    # layout-independent: a reshuffled input keeps the same ids
+    out2 = cap_per_group(
+        df.repartition(13, "id"), group_col="grp", cap=10, key="id"
+    ).toPandas()
+    assert set(out2[out2["kept"]]["id"]) == set(out[out["kept"]]["id"])
