@@ -564,6 +564,36 @@ def _q_target_encode(spark, sf_dir):
     return out.select("event_id", "event_type", "event_type_te")
 
 
+def _q_winsorize(spark, sf_dir):
+    """Group-wise winsorization (operators/encoding.py): value clipped
+    to event_type's exact [p05, p95]. One percentile aggregate keyed
+    by the group; bounds broadcast back — the fact rows never
+    reshuffle. Oracle recomputes bounds with quantile_cont and the
+    same least/greatest clip."""
+    from feat_spark.operators.encoding import winsorize
+
+    e = _events(spark, sf_dir)
+    out = winsorize(e, "value", group_col="event_type", lo=0.05, hi=0.95)
+    return out.select("event_id", "event_type", "value", "value_wins")
+
+
+def _q_rolling_zscore(spark, sf_dir):
+    """Leakage-safe rolling z-score anomaly flag (operators/windows.py):
+    each event scored against the 20 strictly-preceding observations
+    of its user (decimal sum/sum-of-squares -> one-pass variance).
+    The oracle replays the identical window and arithmetic."""
+    from feat_spark.operators.windows import rolling_zscore
+
+    e = _events(spark, sf_dir)
+    out = rolling_zscore(
+        e, value_col="value", keys="user_id", order=("ts", "event_id"),
+        n=20, min_periods=5, sigma=3.0,
+    )
+    return out.select(
+        "event_id", "roll_mean", "roll_std", "zscore", "is_anomaly"
+    )
+
+
 def _q_topk(spark, sf_dir):
     out = top_k_per_group(
         _events(spark, sf_dir), k=3, partition="user_id",
@@ -1927,6 +1957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine_lsh": _q_knn_lsh,
         "semantic_dedup": _q_semantic_dedup,
         "cap_per_group": _q_cap_per_group,
+        "winsorize": _q_winsorize,
+        "rolling_zscore": _q_rolling_zscore,
         # --- r2-green refill ----------------------------------------
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_signatures": _q_minhash_sigs,
@@ -2487,6 +2519,41 @@ def oracle_sql() -> dict[str, str]:
           from events
           window w as (partition by event_type order by ts, event_id
                        rows between unbounded preceding and 1 preceding)""",
+        "winsorize": """
+          with b as (
+            select event_type,
+                   quantile_cont(value, 0.05) as lo,
+                   quantile_cont(value, 0.95) as hi
+            from events group by event_type)
+          select e.event_id, e.event_type, e.value,
+                 case when e.value is null then null
+                      else round(least(greatest(e.value, b.lo), b.hi), 6)
+                 end as value_wins
+          from events e join b using (event_type)""",
+        "rolling_zscore": """
+          with base as (
+            select event_id, value,
+                   cast(sum(cast(value as decimal(18,2))) over w as double) as s,
+                   cast(sum(cast(value as decimal(18,2))
+                            * cast(value as decimal(18,2))) over w as double) as sq,
+                   count(value) over w as n
+            from events
+            window w as (partition by user_id order by ts, event_id
+                         rows between 20 preceding and 1 preceding)),
+          stats as (
+            select event_id, value, n, s / n as m,
+                   sqrt(greatest((sq - s * s / n) / n, 0.0)) as sd
+            from base),
+          z as (
+            select event_id, n, m, sd,
+                   case when n >= 5 and sd > 0 then (value - m) / sd end as z
+            from stats)
+          select event_id,
+                 case when n >= 5 then round(m, 6) end as roll_mean,
+                 case when n >= 5 then round(sd, 6) end as roll_std,
+                 round(z, 6) as zscore,
+                 coalesce(abs(z) > 3.0, false) as is_anomaly
+          from z""",
         "chunk_documents": f"""
           with t as (select doc_id, {_WS} as w, len({_WS}) as n from documents),
           s as (select doc_id, w, n,

@@ -83,3 +83,42 @@ def cumulative_target_encode(
         out_col,
         F.when(n > 0, F.round(s.cast("double") / n, 6)),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Group-wise winsorization: clip ``col`` to its group's exact
+    [lo, hi] continuous percentiles — the standard robust-feature
+    guard against fat-tailed numeric columns.
+
+    Execution shape: ONE sort-based percentile aggregate keyed by the
+    group (the only shuffle), bounds broadcast back onto the fact rows
+    as a map-side join — the fact table itself never reshuffles. Exact
+    percentiles replay bit-for-bit in the oracle (Spark ``percentile``
+    == DuckDB ``quantile_cont``); at 100 TB swap in
+    ``approx_percentile`` or training-snapshot-frozen bounds, keeping
+    the clip expression unchanged.
+    """
+    out_col = out_col or f"{col}_wins"
+    bounds = df.groupBy(group_col).agg(
+        F.percentile(F.col(col), F.lit(lo)).alias("__lo"),
+        F.percentile(F.col(col), F.lit(hi)).alias("__hi"),
+    )
+    clipped = F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi"))
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .withColumn(
+            out_col,
+            # explicit NULL guard: greatest/least SKIP nulls (both
+            # engines), which would clip a NULL value to the bound
+            F.when(F.col(col).isNull(), F.lit(None).cast("double"))
+            .otherwise(F.round(clipped, 6)),
+        )
+        .drop("__lo", "__hi")
+    )

@@ -232,3 +232,54 @@ def top_k_per_group(
     )
     out = df.withColumn(out_col, F.row_number().over(w)).filter(F.col(out_col) <= k)
     return out if keep_rank else out.drop(out_col)
+
+
+def rolling_zscore(
+    df: DataFrame,
+    value_col: str = "value",
+    keys: str | Sequence[str] = "user_id",
+    order: Sequence[str] = ("ts", "event_id"),
+    n: int = 20,
+    min_periods: int = 5,
+    sigma: float = 3.0,
+) -> DataFrame:
+    """Leakage-safe rolling z-score anomaly flag: each row is scored
+    against the mean/std of the ``n`` STRICTLY PRECEDING observations
+    (``rows between n preceding and 1 preceding`` — the current row
+    never sees itself or the future, same discipline as
+    ``cumulative_features``).
+
+    Mean and variance come from decimal-summed sum / sum-of-squares
+    (order-free partial aggregation => bit-replayable by the oracle),
+    combined in double via the one-pass identity
+    ``var = (sumsq - sum^2/n) / n`` with a zero clamp for float dust.
+    Rows with fewer than ``min_periods`` observations get NULL stats
+    and ``is_anomaly = false`` (no evidence != anomalous).
+
+    Adds: roll_mean, roll_std, zscore (6dp), is_anomaly
+    (|z| > sigma). One window = one shuffle; Zipf-hot keys bound via
+    ``operators/chunked.py`` as usual.
+    """
+    keys = _cols(keys)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(-n, -1)
+    )
+    dec = F.col(value_col).cast("double").cast("decimal(18,2)")
+    s = F.sum(dec).over(w).cast("double")
+    sq = F.sum(dec * dec).over(w).cast("double")
+    cnt = F.count(value_col).over(w)
+    mean = s / cnt
+    var = F.greatest((sq - s * s / cnt) / cnt, F.lit(0.0))
+    std = F.sqrt(var)
+    ok = (cnt >= min_periods) & (std > 0)
+    z = F.when(ok, (F.col(value_col) - mean) / std)
+    return (
+        df.withColumn("__n_obs", cnt)
+        .withColumn("roll_mean", F.when(cnt >= min_periods, F.round(mean, 6)))
+        .withColumn("roll_std", F.when(cnt >= min_periods, F.round(std, 6)))
+        .withColumn("zscore", F.round(z, 6))
+        .withColumn("is_anomaly", F.coalesce(F.abs(z) > sigma, F.lit(False)))
+        .drop("__n_obs")
+    )

@@ -72,3 +72,30 @@ def test_target_encode_small_magnitude_targets(spark):
     }
     assert out[2] == 0.003
     assert out[3] == 0.005  # mean of {0.003, 0.007}
+
+
+def test_winsorize_clips_to_group_bounds(spark):
+    from feat_spark.operators.encoding import winsorize
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [
+        ("b", 0.0), ("b", 1000.0), ("b", 10.0), ("b", 20.0), ("b", 30.0),
+        ("a", None),
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = winsorize(df, "v", group_col="grp", lo=0.05, hi=0.95).toPandas()
+
+    import numpy as np
+
+    a_vals = np.arange(1, 101, dtype=float)
+    lo, hi = np.quantile(a_vals, 0.05), np.quantile(a_vals, 0.95)
+    a = out[(out["grp"] == "a") & out["v"].notna()]
+    assert (a["v_wins"] >= round(lo, 6) - 1e-9).all()
+    assert (a["v_wins"] <= round(hi, 6) + 1e-9).all()
+    # interior values untouched
+    mid = a[(a["v"] > lo) & (a["v"] < hi)]
+    assert (mid["v_wins"] == mid["v"]).all()
+    # group b's outlier clipped to ITS OWN bounds, not group a's
+    b_out = out[(out["grp"] == "b") & (out["v"] == 1000.0)]["v_wins"].iloc[0]
+    assert b_out < 1000.0 and b_out > hi
+    # NULL stays NULL (greatest/least null-skip guarded)
+    assert out[out["v"].isna()]["v_wins"].isna().all()

@@ -225,3 +225,40 @@ def test_sketch_accuracy(spark, tdata):
     # percentile_approx returns an actual element; exact percentile
     # interpolates between order statistics — allow one element gap
     assert abs(row.p50a - row.p50) <= 2.0
+
+
+def test_rolling_zscore_leakage_safe_and_flags_outlier(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from feat_spark.operators.windows import rolling_zscore
+
+    # stable history then a spike; a second user interleaved
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 9.8, 100.0, 10.1, 9.9]
+    rows = [(1, i, float(i), v) for i, v in enumerate(vals)]
+    rows += [(2, 100 + i, float(i), 5.0) for i in range(8)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, t double, value double")
+    df = df.withColumn("ts", F.timestamp_seconds("t"))
+    out = (
+        rolling_zscore(df, value_col="value", keys="user_id",
+                       order=("ts", "event_id"), n=20, min_periods=5)
+        .toPandas().sort_values("event_id")
+    )
+    u1 = out[out["user_id"] == 1].reset_index(drop=True)
+    # first min_periods rows have no stats (strictly-preceding window)
+    assert u1.loc[:4, "roll_mean"].isna().all()
+    assert not u1.loc[:4, "is_anomaly"].any()
+    # the spike at idx 7 is flagged; its neighbors are not
+    assert bool(u1.loc[7, "is_anomaly"])
+    assert not u1.loc[6, "is_anomaly"] and not u1.loc[8, "is_anomaly"]
+    # stats replicate pandas' shifted rolling population moments
+    s = pd.Series(vals)
+    mean = s.shift(1).rolling(20, min_periods=5).mean()
+    std = s.shift(1).rolling(20, min_periods=5).std(ddof=0)
+    for i in range(5, len(vals)):
+        assert abs(u1.loc[i, "roll_mean"] - mean[i]) < 1e-6
+        assert abs(u1.loc[i, "roll_std"] - std[i]) < 1e-6
+    # constant-history user: std = 0 -> z NULL, never anomalous
+    u2 = out[out["user_id"] == 2]
+    assert u2["zscore"].isna().all()
+    assert not u2["is_anomaly"].any()
