@@ -594,6 +594,22 @@ def _q_rolling_zscore(spark, sf_dir):
     )
 
 
+def _q_profile_columns(spark, sf_dir):
+    """Single-pass column profiler (operators/profile.py): the events
+    table melted into (name, dval, sval, isnull) structs and
+    aggregated by column name — row/null/exact-distinct counts,
+    numeric min/max, string length bounds, ONE scan for all five
+    columns. The oracle recomputes each column's row independently."""
+    from feat_spark.operators.profile import profile_columns
+
+    e = _events(spark, sf_dir)
+    return profile_columns(
+        e,
+        numeric_cols=("event_id", "user_id", "value"),
+        string_cols=("event_type", "props"),
+    )
+
+
 def _q_topk(spark, sf_dir):
     out = top_k_per_group(
         _events(spark, sf_dir), k=3, partition="user_id",
@@ -1959,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_group": _q_cap_per_group,
         "winsorize": _q_winsorize,
         "rolling_zscore": _q_rolling_zscore,
+        "profile_columns": _q_profile_columns,
         # --- r2-green refill ----------------------------------------
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_signatures": _q_minhash_sigs,
@@ -2519,6 +2536,27 @@ def oracle_sql() -> dict[str, str]:
           from events
           window w as (partition by event_type order by ts, event_id
                        rows between unbounded preceding and 1 preceding)""",
+        "profile_columns": """
+          with nums as (
+            select 'event_id' as c, event_id::DOUBLE as d from events
+            union all select 'user_id', user_id::DOUBLE from events
+            union all select 'value', value::DOUBLE from events),
+          strs as (
+            select 'event_type' as c, event_type as s from events
+            union all select 'props', props from events)
+          select c as column_name, count(*) as n,
+                 cast(sum(case when d is null then 1 else 0 end) as bigint) as n_null,
+                 count(distinct d) as n_distinct,
+                 min(d) as min_val, max(d) as max_val,
+                 cast(null as bigint) as min_len, cast(null as bigint) as max_len
+          from nums group by c
+          union all
+          select c, count(*),
+                 cast(sum(case when s is null then 1 else 0 end) as bigint),
+                 count(distinct s),
+                 cast(null as double), cast(null as double),
+                 min(len(s)), max(len(s))
+          from strs group by c""",
         "winsorize": """
           with b as (
             select event_type,

@@ -262,3 +262,26 @@ def test_rolling_zscore_leakage_safe_and_flags_outlier(spark):
     u2 = out[out["user_id"] == 2]
     assert u2["zscore"].isna().all()
     assert not u2["is_anomaly"].any()
+
+
+def test_profile_columns_single_pass_stats(spark):
+    from feat_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "aa"), (2, None, "bbb"), (3, 10.0, None), (4, 7.5, "aa")],
+        "id long, v double, s string",
+    )
+    out = (
+        profile_columns(df, numeric_cols=("id", "v"), string_cols=("s",))
+        .toPandas().set_index("column_name")
+    )
+    assert out.loc["id", "n"] == 4 and out.loc["id", "n_null"] == 0
+    assert out.loc["id", "n_distinct"] == 4
+    assert out.loc["id", "min_val"] == 1.0 and out.loc["id", "max_val"] == 4.0
+    assert out.loc["v", "n_null"] == 1 and out.loc["v", "n_distinct"] == 2
+    assert out.loc["s", "n_null"] == 1 and out.loc["s", "n_distinct"] == 2
+    assert out.loc["s", "min_len"] == 2 and out.loc["s", "max_len"] == 3
+    # numeric stats are NULL for string columns and vice versa
+    import pandas as pd
+
+    assert pd.isna(out.loc["s", "min_val"]) and pd.isna(out.loc["id", "min_len"])
