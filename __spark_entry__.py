@@ -610,6 +610,34 @@ def _q_profile_columns(spark, sf_dir):
     )
 
 
+def _q_decayed_sum(spark, sf_dir):
+    """Half-life-decayed running sum (operators/windows.py): recency-
+    weighted revenue per user over strictly preceding events. Decay
+    steps at absolute 7-day bucket boundaries so every weight is a
+    power of two — exact dyadic scaling, so the prefix-sum trick
+    (0.5^k_row * sum 2^k_i * v_i) replays bit-for-bit in DuckDB."""
+    from feat_spark.operators.windows import decayed_sum
+
+    e = _events(spark, sf_dir)
+    out = decayed_sum(
+        e, value_col="value", keys="user_id", ts="ts",
+        tiebreak=("event_id",), half_life_days=7,
+    )
+    return out.select("event_id", "decayed_sum")
+
+
+def _q_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix of event_type per user
+    (operators/windows.py): lag window -> pair counts -> row-normalized
+    probabilities. The oracle replays lag, counts and normalization."""
+    from feat_spark.operators.windows import transition_matrix
+
+    e = _events(spark, sf_dir)
+    return transition_matrix(
+        e, cat_col="event_type", keys="user_id", order=("ts", "event_id")
+    )
+
+
 def _q_topk(spark, sf_dir):
     out = top_k_per_group(
         _events(spark, sf_dir), k=3, partition="user_id",
@@ -1976,6 +2004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": _q_winsorize,
         "rolling_zscore": _q_rolling_zscore,
         "profile_columns": _q_profile_columns,
+        "decayed_sum": _q_decayed_sum,
+        "transition_matrix": _q_transition_matrix,
         # --- r2-green refill ----------------------------------------
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_signatures": _q_minhash_sigs,
@@ -2536,6 +2566,34 @@ def oracle_sql() -> dict[str, str]:
           from events
           window w as (partition by event_type order by ts, event_id
                        rows between unbounded preceding and 1 preceding)""",
+        "decayed_sum": """
+          with b as (
+            select event_id, user_id, value, ts,
+                   epoch_us(ts) // 604800000000 as k
+            from events),
+          a as (select *, min(k) over (partition by user_id) as k0 from b),
+          c as (
+            select event_id, k, k0,
+                   cast(sum(cast(power(2.0, k - k0) * value as decimal(38,12)))
+                        over (partition by user_id order by ts, event_id
+                              rows between unbounded preceding and 1 preceding)
+                        as double) as cum
+            from a)
+          select event_id, round(power(2.0, k0 - k) * cum, 6) as decayed_sum
+          from c""",
+        "transition_matrix": """
+          with p as (
+            select lag(event_type) over (partition by user_id
+                                         order by ts, event_id) as prev_cat,
+                   event_type as next_cat
+            from events),
+          c as (select prev_cat, next_cat, count(*) as n_trans
+                from p where prev_cat is not null
+                group by 1, 2)
+          select prev_cat, next_cat, n_trans,
+                 round(n_trans / cast(sum(n_trans) over (partition by prev_cat)
+                                      as double), 6) as prob
+          from c""",
         "profile_columns": """
           with nums as (
             select 'event_id' as c, event_id::DOUBLE as d from events

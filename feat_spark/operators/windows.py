@@ -283,3 +283,78 @@ def rolling_zscore(
         .withColumn("is_anomaly", F.coalesce(F.abs(z) > sigma, F.lit(False)))
         .drop("__n_obs")
     )
+
+
+def decayed_sum(
+    df: DataFrame,
+    value_col: str = "value",
+    keys: str | Sequence[str] = "user_id",
+    ts: str = "ts",
+    tiebreak: Sequence[str] = ("event_id",),
+    half_life_days: int = 7,
+    out_col: str = "decayed_sum",
+) -> DataFrame:
+    """Leakage-safe recency-weighted running sum: each row gets
+    ``sum(0.5^(k_row - k_i) * value_i)`` over STRICTLY PRECEDING rows
+    of the same key, where ``k`` is the event's absolute half-life
+    bucket index (``epoch_us div (half_life_days * 86400e6)``).
+
+    Decay steps at bucket BOUNDARIES (staircase aligned to absolute
+    time), not per-row age — deliberately: that makes the weight
+    separable (``0.5^k_row * 2^k_i``), so the whole feature is one
+    prefix sum instead of an O(n^2) per-pair recompute, and every
+    factor is a power of two — EXACT dyadic scaling in double, hence
+    bit-replayable by any engine (no exp()/pow() last-ulp hazard).
+    Continuous-exponent decay is the same plan with ``exp()`` weights
+    if cross-engine bit-equality is not required.
+
+    First row per key (empty preceding window) gets NULL — the honest
+    cold-start, same contract as ``cumulative_target_encode``.
+    One window = one shuffle; anchor ``k0`` (per-key min bucket) keeps
+    the ``2^(k_i - k0)`` scale factors span-bounded.
+    """
+    keys = _cols(keys)
+    micros_per_bucket = half_life_days * 86_400_000_000
+    # cast handles TIMESTAMP_NTZ parquet columns (session tz is UTC so
+    # the bucket index equals the oracle's epoch_us // bucket)
+    k = F.expr(f"unix_micros(cast({ts} as timestamp)) div {micros_per_bucket}")
+    kw = Window.partitionBy(*keys)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts), *[F.col(c) for c in tiebreak])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = df.withColumn("__k", k).withColumn("__k0", F.min("__k").over(kw))
+    up = F.pow(F.lit(2.0), (F.col("__k") - F.col("__k0")).cast("double"))
+    contrib = (up * F.col(value_col)).cast("decimal(38,12)")
+    cum = F.sum(contrib).over(w).cast("double")
+    down = F.pow(F.lit(2.0), (F.col("__k0") - F.col("__k")).cast("double"))
+    return d.withColumn(out_col, F.round(down * cum, 6)).drop("__k", "__k0")
+
+
+def transition_matrix(
+    df: DataFrame,
+    cat_col: str = "event_type",
+    keys: str | Sequence[str] = "user_id",
+    order: Sequence[str] = ("ts", "event_id"),
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key ordered
+    categorical sequences: for every observed (prev, next) pair, the
+    transition count and the row-normalized probability.
+
+    Shape: one lag window (shuffle by key) + one count aggregate +
+    a per-prev normalizing window over the TINY (|categories|^2)
+    result — the corpus is touched once.
+    """
+    keys = _cols(keys)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
+    pairs = (
+        df.withColumn("__prev", F.lag(cat_col).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(F.col("__prev").alias("prev_cat"), F.col(cat_col).alias("next_cat"))
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    norm = Window.partitionBy("prev_cat")
+    return pairs.withColumn(
+        "prob", F.round(F.col("n_trans") / F.sum("n_trans").over(norm), 6)
+    )

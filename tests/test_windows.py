@@ -285,3 +285,52 @@ def test_profile_columns_single_pass_stats(spark):
     import pandas as pd
 
     assert pd.isna(out.loc["s", "min_val"]) and pd.isna(out.loc["id", "min_len"])
+
+
+def test_decayed_sum_halves_across_buckets(spark):
+    from pyspark.sql import functions as F
+
+    from feat_spark.operators.windows import decayed_sum
+
+    # user 1: bucket 0 has 10+20; bucket 1 has an event seeing them
+    # halved; bucket 3 sees them quartered again (2 halvings)
+    day = 86400.0
+    rows = [
+        (1, 1, 0.0 * day, 10.0),
+        (1, 2, 1.0 * day, 20.0),
+        (1, 3, 8.0 * day, 40.0),   # next 7-day bucket
+        (1, 4, 22.0 * day, 1.0),   # bucket 3: two more halvings
+        (2, 5, 0.0 * day, 7.0),    # other user isolated
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, t double, value double")
+    df = df.withColumn("ts", F.timestamp_seconds("t")).drop("t")
+    out = (
+        decayed_sum(df, value_col="value", keys="user_id",
+                    ts="ts", half_life_days=7)
+        .toPandas().set_index("event_id")["decayed_sum"]
+    )
+    assert out[1] != out[1]  # NaN: first row per user has no history
+    assert out[2] == 10.0    # same bucket: undecayed
+    assert out[3] == (10.0 + 20.0) * 0.5        # one boundary crossed
+    assert out[4] == (10.0 + 20.0) * 0.125 + 40.0 * 0.25
+    assert out[5] != out[5]
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    from pyspark.sql import functions as F
+
+    from feat_spark.operators.windows import transition_matrix
+
+    # user 1: a->b->a->c ; user 2: a->b  => from 'a': b:2, c:1
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "c"),
+            (2, 5, "a"), (2, 6, "b")]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, cat string")
+    df = df.withColumn("ts", F.timestamp_seconds(F.col("event_id").cast("double")))
+    out = transition_matrix(df, cat_col="cat", keys="user_id").toPandas()
+    m = {(r.prev_cat, r.next_cat): (r.n_trans, r.prob) for r in out.itertuples()}
+    assert m[("a", "b")] == (2, round(2 / 3, 6))
+    assert m[("a", "c")] == (1, round(1 / 3, 6))
+    assert m[("b", "a")] == (1, 1.0)
+    # no cross-user transition (user2's 'a' never follows user1's 'c')
+    assert ("c", "a") not in m
+    assert sum(n for n, _ in m.values()) == 4
