@@ -638,6 +638,23 @@ def _q_transition_matrix(spark, sf_dir):
     )
 
 
+def _q_pagerank(spark, sf_dir):
+    """Deterministic fixed-iteration PageRank (operators/graph.py)
+    over the customer<->supplier bipartite graph mined from
+    orders x lineitem. Contributions decimal-summed, ranks rounded to
+    12dp per iteration, lineage checkpointed per round — the oracle
+    unrolls all three iterations as CTEs and matches bit-for-bit."""
+    from feat_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return pagerank(edges, iters=3, damping=0.85)
+
+
 def _q_topk(spark, sf_dir):
     out = top_k_per_group(
         _events(spark, sf_dir), k=3, partition="user_id",
@@ -2006,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_columns": _q_profile_columns,
         "decayed_sum": _q_decayed_sum,
         "transition_matrix": _q_transition_matrix,
+        "pagerank": _q_pagerank,
         # --- r2-green refill ----------------------------------------
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_signatures": _q_minhash_sigs,
@@ -2444,6 +2462,42 @@ def oracle_sql() -> dict[str, str]:
       select a.vec_id, cast(a.cid as bigint) as cluster_id,
              (d.vec_id is not null) as semantic_dup
       from assign a left join dups d on a.vec_id = d.vec_id
+    """
+    # PageRank twin: three unrolled iterations, decimal-summed
+    # contributions, 12dp rank rounding — mirrors operators/graph.py.
+    # All float literals forced ::DOUBLE (a bare 0.85 parses as
+    # DECIMAL in DuckDB and would change the arithmetic).
+    pr_iters = []
+    for i in (1, 2, 3):
+        p = f"r{i - 1}"
+        pr_iters += [
+            f"""c{i} as (
+            select e.dst as node, cast(r.r / deg.d as decimal(27,12)) as c
+            from e join {p} r on e.src = r.node join deg on e.src = deg.src)""",
+            f"""s{i} as (select node, sum(c) as c from c{i} group by node)""",
+            f"""r{i} as (
+            select n.node,
+                   round((1.0::DOUBLE - 0.85::DOUBLE) / (select count(*) from nodes)
+                         + 0.85::DOUBLE * coalesce(cast(s.c as double), 0.0::DOUBLE),
+                         12) as r
+            from nodes n left join s{i} s using (node))""",
+        ]
+    pr_iter_ctes = ",\n      ".join(pr_iters)
+    pagerank_sql = f"""
+      with e0 as (
+        select distinct 'c:' || cast(o_custkey as varchar) as src,
+                        's:' || cast(l_suppkey as varchar) as dst
+        from orders join lineitem on l_orderkey = o_orderkey),
+      e as (select distinct src, dst from (
+              select src, dst from e0
+              union all
+              select dst, src from e0)),
+      nodes as (select distinct src as node from e),
+      deg as (select src, count(*) as d from e group by src),
+      r0 as (select node, 1.0::DOUBLE / (select count(*) from nodes) as r
+             from nodes),
+      {pr_iter_ctes}
+      select node, r as pagerank from r3
     """
     return {
         "asof_join": _ASOF_SQL,
@@ -3166,6 +3220,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh_recall": knn_lsh_recall_sql,
         "knn_cosine_ivf": ivf_sql,
         "semantic_dedup": semantic_dedup_sql,
+        "pagerank": pagerank_sql,
         "media_features": _MEDIA_SQL,
         "embedding_near_dup": f"""
           with v as (select vec_id, embedding::DOUBLE[] as v from embeddings)
