@@ -493,6 +493,8 @@ def _q_feature_matrix(spark, sf_dir):
         lags={"value": [1]},
         cumulative={"value": ["count"]},
         rolling={"value_dec": {"duration": "1 hour", "fns": ["sum"]}},
+        decay={"value": {"half_life_days": 7}},
+        zscore={"value": {"n": 20, "min_periods": 5, "sigma": 3.0}},
         session_gap="30 minutes",
     )
     out = build_feature_matrix(e, spec)
@@ -504,6 +506,9 @@ def _q_feature_matrix(spark, sf_dir):
         "value_lag1",
         F.col("value_cum_count").cast("long").alias("value_cum_count"),
         F.col("value_dec_roll_sum").cast("double").alias("value_roll_sum"),
+        "value_decay7d",
+        "value_zscore",
+        "value_is_anomaly",
         F.col("session_id").cast("long").alias("session_id"),
     )
 
@@ -2782,6 +2787,9 @@ def oracle_sql() -> dict[str, str]:
             select e.event_id, e.user_id, e.ts, e.value, rhs.o_totalprice
             from events e
             asof left join rhs on e.user_id = rhs.user_id and e.ts >= rhs.ts),
+          ja as (
+            select *, min(k) over (partition by user_id) as k0
+            from (select *, epoch_us(ts) // 604800000000 as k from j)),
           w as (
             select *,
               cast(row_number() over ({_WIN}) as bigint) as turn_seq,
@@ -2791,14 +2799,36 @@ def oracle_sql() -> dict[str, str]:
                 partition by user_id order by ts
                 range between interval '1 hour' preceding and current row
               ) as double) as value_roll_sum,
+              round(power(2.0, k0 - k) * cast(
+                sum(cast(power(2.0, k - k0) * value as decimal(38,12)))
+                  over ({_WIN} rows between unbounded preceding and 1 preceding)
+                as double), 6) as value_decay7d,
+              cast(sum(cast(value as decimal(18,2)))
+                over ({_WIN} rows between 20 preceding and 1 preceding)
+                as double) as zs,
+              cast(sum(cast(value as decimal(18,2)) * cast(value as decimal(18,2)))
+                over ({_WIN} rows between 20 preceding and 1 preceding)
+                as double) as zsq,
+              count(value)
+                over ({_WIN} rows between 20 preceding and 1 preceding) as zn,
               case when lag(ts) over ({_WIN}) is null
                      or ts - lag(ts) over ({_WIN}) > interval '30 minutes'
                    then 1 else 0 end as new_s
-            from j)
+            from ja),
+          w2 as (
+            select *,
+              case when zn >= 5 and sqrt(greatest((zsq - zs * zs / zn) / zn, 0.0)) > 0
+                   then (value - zs / zn)
+                        / sqrt(greatest((zsq - zs * zs / zn) / zn, 0.0))
+              end as zraw
+            from w)
           select event_id, user_id, epoch_us(ts) as ts_us, o_totalprice,
                  turn_seq, value_lag1, value_cum_count, value_roll_sum,
+                 value_decay7d,
+                 round(zraw, 6) as value_zscore,
+                 coalesce(abs(zraw) > 3.0, false) as value_is_anomaly,
                  cast(sum(new_s) over ({_WIN} {_ROWS}) - 1 as bigint) as session_id
-          from w""",
+          from w2""",
         "stream_asof": _STREAM_ASOF_SQL,
         "sessionize": f"select event_id, session_id from ({_SESSION_IDS_SQL})",
         "session_agg": f"""

@@ -242,6 +242,7 @@ def rolling_zscore(
     n: int = 20,
     min_periods: int = 5,
     sigma: float = 3.0,
+    prefix: str = "",
 ) -> DataFrame:
     """Leakage-safe rolling z-score anomaly flag: each row is scored
     against the mean/std of the ``n`` STRICTLY PRECEDING observations
@@ -277,10 +278,10 @@ def rolling_zscore(
     z = F.when(ok, (F.col(value_col) - mean) / std)
     return (
         df.withColumn("__n_obs", cnt)
-        .withColumn("roll_mean", F.when(cnt >= min_periods, F.round(mean, 6)))
-        .withColumn("roll_std", F.when(cnt >= min_periods, F.round(std, 6)))
-        .withColumn("zscore", F.round(z, 6))
-        .withColumn("is_anomaly", F.coalesce(F.abs(z) > sigma, F.lit(False)))
+        .withColumn(f"{prefix}roll_mean", F.when(cnt >= min_periods, F.round(mean, 6)))
+        .withColumn(f"{prefix}roll_std", F.when(cnt >= min_periods, F.round(std, 6)))
+        .withColumn(f"{prefix}zscore", F.round(z, 6))
+        .withColumn(f"{prefix}is_anomaly", F.coalesce(F.abs(z) > sigma, F.lit(False)))
         .drop("__n_obs")
     )
 

@@ -24,7 +24,8 @@ re-derived per job):
   ordering, so the whole matrix costs one exchange + one sort after
   the scan (the flagship plan, verified by plancheck exchange caps);
 * **leakage stance** — only backward-looking constructs are exposed:
-  lags, *preceding-frame* cumulatives, trailing time windows, as-of
+  lags, *preceding-frame* cumulatives, trailing time windows,
+  strictly-preceding decayed sums and rolling z-scores, as-of
   backward matches. Lead columns (labels) are deliberately NOT part of
   a feature matrix spec; use ``lag_lead_features(leads=True)``
   directly when building targets, so a spec can never smuggle future
@@ -48,7 +49,9 @@ from feat_spark.operators.asof import asof_join
 from feat_spark.operators.sessionize import sessionize
 from feat_spark.operators.windows import (
     cumulative_features,
+    decayed_sum,
     lag_lead_features,
+    rolling_zscore,
     time_range_features,
     with_stable_order,
 )
@@ -81,6 +84,13 @@ class FeatureMatrixSpec:
     cumulative_exclude_current: bool = False
     #: {col: {"duration": "1 hour", "fns": [...]}} trailing time windows
     rolling: Mapping[str, Mapping] = field(default_factory=dict)
+    #: {col: {"half_life_days": 7}} recency-weighted running sums over
+    #: strictly preceding rows -> {col}_decay{H}d (backward-looking)
+    decay: Mapping[str, Mapping] = field(default_factory=dict)
+    #: {col: {"n": 20, "min_periods": 5, "sigma": 3.0}} rolling z-score
+    #: vs strictly preceding rows -> {col}_roll_mean/_roll_std/_zscore/
+    #: _is_anomaly (backward-looking)
+    zscore: Mapping[str, Mapping] = field(default_factory=dict)
     #: gap sessionization -> session_id (None = skip)
     session_gap: str | None = None
     #: dense per-entity sequence column (None = skip)
@@ -97,7 +107,8 @@ def spec_from_dict(d: Mapping, asof_sources: Sequence[AsofSource] = ()) -> Featu
     """
     allowed = {
         "entity", "ts", "tiebreak", "lags", "cumulative",
-        "cumulative_exclude_current", "rolling", "session_gap", "seq_col",
+        "cumulative_exclude_current", "rolling", "decay", "zscore",
+        "session_gap", "seq_col",
     }
     unknown = set(d) - allowed
     if unknown:
@@ -162,6 +173,28 @@ def build_feature_matrix(df: DataFrame, spec: FeatureMatrixSpec) -> DataFrame:
             order=(spec.ts,),
             tiebreak=spec.tiebreak,
             include_current=not spec.cumulative_exclude_current,
+        )
+    for col, conf in spec.decay.items():
+        h = int(conf.get("half_life_days", 7))
+        out = decayed_sum(
+            out,
+            value_col=col,
+            keys=spec.entity,
+            ts=spec.ts,
+            tiebreak=spec.tiebreak,
+            half_life_days=h,
+            out_col=f"{col}_decay{h}d",
+        )
+    for col, conf in spec.zscore.items():
+        out = rolling_zscore(
+            out,
+            value_col=col,
+            keys=spec.entity,
+            order=(spec.ts, *spec.tiebreak),
+            n=int(conf.get("n", 20)),
+            min_periods=int(conf.get("min_periods", 5)),
+            sigma=float(conf.get("sigma", 3.0)),
+            prefix=f"{col}_",
         )
     if spec.session_gap:
         out = sessionize(

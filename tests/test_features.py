@@ -82,6 +82,8 @@ def test_matrix_is_structurally_backward_looking(spark, turns):
         entity="conv_id", ts="ts", tiebreak=("turn_idx",),
         lags={"n_chars": [1]},
         cumulative={"n_chars": ["sum"]},
+        decay={"n_chars": {"half_life_days": 7}},
+        zscore={"n_chars": {"n": 10, "min_periods": 3}},
     )
     full = build_feature_matrix(turns, spec)
     w_max = F.max("turn_idx").over(Window.partitionBy("conv_id"))
@@ -90,7 +92,10 @@ def test_matrix_is_structurally_backward_looking(spark, turns):
     ).drop("__mx")
     trunc = build_feature_matrix(truncated, spec)
     key = ["conv_id", "turn_idx"]
-    feat_cols = key + ["n_chars_lag1", "n_chars_cum_sum"]
+    feat_cols = key + [
+        "n_chars_lag1", "n_chars_cum_sum", "n_chars_decay7d",
+        "n_chars_zscore", "n_chars_is_anomaly",
+    ]
     full_kept = (
         full.join(trunc.select(*key), key, "left_semi")
         .select(*feat_cols)
