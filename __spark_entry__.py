@@ -1822,6 +1822,16 @@ def _q_semantic_dedup(spark, sf_dir):
     )
 
 
+def _q_classifier_scores(spark, sf_dir):
+    """Frozen-linear-head inference over the embeddings corpus
+    (similarity.linear_classifier_scores): the md5-derived weight
+    vector is recomputed on every executor (nothing broadcast/stored),
+    the dot product + sigmoid is a pure projection — zero shuffle,
+    zero UDF. The oracle rebuilds the identical model."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.linear_classifier_scores(e, dim=64, bias=0.0)
+
+
 def _q_knn_label_agreement(spark, sf_dir):
     """Index-quality metric #2 (beside recall): does the exact top-5
     neighborhood agree with the query's own label? Per query: neighbor
@@ -2029,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_sum": _q_decayed_sum,
         "transition_matrix": _q_transition_matrix,
         "pagerank": _q_pagerank,
+        "classifier_scores": _q_classifier_scores,
         # --- r2-green refill ----------------------------------------
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_signatures": _q_minhash_sigs,
@@ -3251,6 +3262,17 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_ivf": ivf_sql,
         "semantic_dedup": semantic_dedup_sql,
         "pagerank": pagerank_sql,
+        "classifier_scores": """
+          with v as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+          w as (select list_transform(generate_series(1, 64), i ->
+                  (('0x' || substr(md5('clf:' || (i-1)::varchar), 1, 8))::BIGINT
+                   / 4294967296.0 - 0.5)) as w),
+          s as (select vec_id, list_dot_product(v.v, w.w) + 0.0::DOUBLE as logit
+                from v cross join w)
+          select vec_id, round(logit, 6) as logit,
+                 round(1.0::DOUBLE / (1.0::DOUBLE + exp(-logit)), 6) as score,
+                 (logit > 0) as keep
+          from s""",
         "media_features": _MEDIA_SQL,
         "embedding_near_dup": f"""
           with v as (select vec_id, embedding::DOUBLE[] as v from embeddings)

@@ -82,6 +82,11 @@ BENCH_QUERIES = (
     "feature_matrix",
     "target_encode",
     "quantile_bin",
+    "semantic_dedup",
+    "pagerank",
+    "decayed_sum",
+    "rolling_zscore",
+    "cap_per_group",
 )
 
 

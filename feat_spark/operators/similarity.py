@@ -490,3 +490,43 @@ def semantic_dedup(
             F.coalesce("__dup", F.lit(False)).alias("semantic_dup"),
         )
     )
+
+
+def linear_classifier_scores(
+    df: DataFrame,
+    dim: int = 64,
+    bias: float = 0.0,
+    seed: str = "clf",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Frozen-linear-head inference at corpus scale — how quality /
+    toxicity / domain classifiers actually run over a 100 TB corpus:
+    embeddings are precomputed once, the trained head is a weight
+    vector applied as a pure projection (zero shuffle, zero UDF).
+
+    The weight vector here is md5-derived (same determinism device as
+    the LSH hyperplanes): weight_i = hash(seed:i)/2^32 - 0.5, so every
+    executor — and the DuckDB oracle — recomputes the identical model
+    with nothing to broadcast or store. A real trained head drops in
+    as an ``F.array`` literal with the same plan shape.
+
+    Output per row: ``logit`` (6dp), ``score`` = sigmoid(logit) (6dp),
+    ``keep`` = logit > 0 (threshold at sigmoid 0.5; compare on the
+    logit so the cut is exact, not a rounded-sigmoid comparison).
+    """
+    w = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            md5_long32(F.concat_ws(":", F.lit(seed), i.cast("string")))
+            / F.lit(4294967296.0)
+            - F.lit(0.5)
+        ),
+    )
+    logit = _dot(F.col(vec_col), w) + F.lit(float(bias))
+    return df.select(
+        F.col(id_col),
+        F.round(logit, 6).alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
+        (logit > 0).alias("keep"),
+    )

@@ -209,3 +209,31 @@ def test_semantic_dedup_matches_bruteforce(spark, vectors):
     # threshold above max cosine -> nothing flagged
     none = semantic_dedup(e, centroids=cents, threshold=1.0)
     assert none.filter("semantic_dup").count() == 0
+
+
+def test_linear_classifier_scores_matches_numpy(spark, vectors):
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from feat_spark.operators.similarity import linear_classifier_scores
+
+    e, _ = vectors
+    out = linear_classifier_scores(e, dim=64, bias=0.0).toPandas()
+    assert len(out) == e.count()
+    # keep <=> logit > 0; score is the sigmoid of the logit
+    assert (out["keep"] == (out["logit"] > 0)).all()
+    for _, r in out.head(20).iterrows():
+        assert abs(r["score"] - 1.0 / (1.0 + math.exp(-r["logit"]))) < 2e-6
+
+    # replicate the md5-derived weights driver-side and check one row
+    w = np.array([
+        int(hashlib.md5(f"clf:{i}".encode()).hexdigest()[:8], 16)
+        / 4294967296.0 - 0.5
+        for i in range(64)
+    ])
+    row = e.orderBy("vec_id").first()
+    expect = float(np.array(row["embedding"], dtype=np.float64) @ w)
+    got = out.set_index("vec_id").loc[row["vec_id"], "logit"]
+    assert abs(got - expect) < 1e-5
