@@ -1595,6 +1595,21 @@ def _q_cap_per_group(spark, sf_dir):
     return cap_per_group(d, group_col="lang", cap=70, key="doc_id")
 
 
+def _q_source_stats(spark, sf_dir):
+    """Domain-level curation stats (plans/curation.py): per-source doc
+    count, decimal-summed mean quality, english fraction, exact-dup
+    fraction, and the wholesale block decision — the stage that turns
+    a rotten domain into a scan-time partition prune instead of
+    per-doc work. Oracle replays the whole aggregate."""
+    from feat_spark.plans.curation import source_curation_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return source_curation_stats(
+        d, source_col="source", text_col="text",
+        min_quality=0.36, max_dup_frac=0.2,
+    )
+
+
 def _q_dedup_exact_canonical(spark, sf_dir):
     """Exact dedup over the CANONICAL text form (functions/text.py
     canonical_text: lower/strip-punct/collapse-ws): case, punctuation
@@ -2040,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_matrix": _q_transition_matrix,
         "pagerank": _q_pagerank,
         "classifier_scores": _q_classifier_scores,
+        "source_stats": _q_source_stats,
         # --- r2-green refill ----------------------------------------
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_signatures": _q_minhash_sigs,
@@ -2974,6 +2990,34 @@ def oracle_sql() -> dict[str, str]:
                        * (len(list_distinct(ws)) * 1.0 / greatest(len(ws), 1))
                        * (1.0 - np * 1.0 / greatest(nc, 1)), 6) as quality
           from t""",
+        "source_stats": f"""
+          with t as (
+            select source, text,
+                   {_WS} as ws,
+                   len(list_intersect(list_distinct({_WS}), [{_STOPW}])) * 1.0
+                     / greatest(len(list_distinct({_WS})), 1) as sr,
+                   length(text) as nc,
+                   length(text) - length(regexp_replace(text, '[^A-Za-z0-9_\\s]', '', 'g')) as np
+            from documents),
+          q as (
+            select source,
+                   round(least(len(ws) / 50.0, 1.0)
+                         * (len(list_distinct(ws)) * 1.0 / greatest(len(ws), 1))
+                         * (1.0 - np * 1.0 / greatest(nc, 1)), 6) as q,
+                   (sr >= 0.10) as en,
+                   md5(text) as h
+            from t),
+          a as (
+            select source, count(*) as n_docs,
+                   round(cast(sum(cast(q as decimal(27,12))) as double)
+                         / count(*), 6) as mean_quality,
+                   round(cast(sum(case when en then 1 else 0 end) as bigint)
+                         / count(*), 6) as pct_english,
+                   round(1.0 - count(distinct h) / count(*), 6) as dup_frac
+            from q group by source)
+          select source, n_docs, mean_quality, pct_english, dup_frac,
+                 (mean_quality < 0.36 or dup_frac > 0.2) as blocked
+          from a""",
         "quality_score_pandas_udf": f"""
           with t as (
             select doc_id, {_WS} as ws, length(text) as nc,

@@ -86,3 +86,55 @@ def curate_documents(
     if sample_pct < 100:
         kept = hash_sample(kept, id_col, sample_pct, salt=salt)
     return kept
+
+
+
+def source_curation_stats(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    min_quality: float = 0.2,
+    max_dup_frac: float = 0.2,
+) -> DataFrame:
+    """Domain-level curation (the RefinedWeb/C4 stage BEFORE per-doc
+    filtering): aggregate per-source health — doc count, mean quality,
+    english fraction, exact-dup fraction — and flag sources to block
+    wholesale. Blocking a rotten domain up front becomes a partition
+    prune at the scan (source is a natural partition column), orders
+    of magnitude cheaper than per-doc filtering the same bytes.
+
+    One pass over the corpus, one partial-agg shuffle keyed by source.
+    Mean quality is decimal-summed (order-free => oracle-replayable);
+    ``blocked`` compares on the ROUNDED stats so the decision is
+    bit-stable cross-engine.
+
+    Output: ``(source, n_docs, mean_quality, pct_english, dup_frac,
+    blocked)``.
+    """
+    from feat_spark.functions.text import langid_en
+
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        quality_score(text_col).alias("__q"),
+        (langid_en(text_col) == F.lit("en")).alias("__en"),
+        F.md5(F.col(text_col)).alias("__h"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col("__q").cast("decimal(27,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_quality"),
+        F.round(
+            F.sum(F.col("__en").cast("long")) / F.count(F.lit(1)), 6
+        ).alias("pct_english"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("__h") / F.count(F.lit(1)), 6
+        ).alias("dup_frac"),
+    )
+    return agg.withColumn(
+        "blocked",
+        (F.col("mean_quality") < min_quality)
+        | (F.col("dup_frac") > max_dup_frac),
+    )

@@ -142,3 +142,27 @@ def test_cap_per_group_quota_and_layout_independence(spark):
         df.repartition(13, "id"), group_col="grp", cap=10, key="id"
     ).toPandas()
     assert set(out2[out2["kept"]]["id"]) == set(out[out["kept"]]["id"])
+
+
+def test_source_curation_stats_blocks_rotten_source(spark):
+    from feat_spark.plans.curation import source_curation_stats
+
+    good = "the quick brown fox jumps over the lazy dog and then some more words " * 3
+    rows = (
+        [(f"g{i}", "good", good + str(i)) for i in range(5)]
+        # 'dups': one distinct text repeated -> dup_frac 0.8
+        + [(f"d{i}", "dups", good) for i in range(5)]
+        # 'junk': pure punctuation noise -> quality ~0
+        + [(f"j{i}", "junk", "!!! ??? ### $$$ %%% " + "@" * i) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    out = (
+        source_curation_stats(df, min_quality=0.2, max_dup_frac=0.5)
+        .toPandas().set_index("source")
+    )
+    assert not out.loc["good", "blocked"]
+    assert out.loc["good", "dup_frac"] == 0.0
+    assert out.loc["dups", "blocked"] and out.loc["dups", "dup_frac"] == 0.8
+    assert out.loc["junk", "blocked"] and out.loc["junk", "mean_quality"] < 0.2
+    assert (out["n_docs"] == 5).all()
+    assert out.loc["good", "pct_english"] == 1.0
