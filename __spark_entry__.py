@@ -1847,6 +1847,25 @@ def _q_classifier_scores(spark, sf_dir):
     return S.linear_classifier_scores(e, dim=64, bias=0.0)
 
 
+def _q_skew_report(spark, sf_dir):
+    """Key-skew diagnostics (operators/profile.py): top-5 heavy
+    hitters of events.user_id with corpus share and multiple-of-mean
+    — the report that tells a 100 TB job to salt/isolate BEFORE the
+    straggler task does. TakeOrdered top-k, no global window."""
+    from feat_spark.operators.profile import skew_report
+
+    return skew_report(_events(spark, sf_dir), key="user_id", topk=5)
+
+
+def _q_group_centroids(spark, sf_dir):
+    """Per-label mean embeddings (similarity.group_centroids): class
+    centroids via posexplode + decimal-summed partial aggregation —
+    the shuffle carries per-dimension cells, never whole vectors.
+    Long (label, pos) form; the oracle replays the aggregation."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.group_centroids(e, group_col="label", vec_col="embedding")
+
+
 def _q_knn_label_agreement(spark, sf_dir):
     """Index-quality metric #2 (beside recall): does the exact top-5
     neighborhood agree with the query's own label? Per query: neighbor
@@ -2056,6 +2075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "classifier_scores": _q_classifier_scores,
         "source_stats": _q_source_stats,
+        "skew_report": _q_skew_report,
+        "group_centroids": _q_group_centroids,
         # --- r2-green refill ----------------------------------------
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_signatures": _q_minhash_sigs,
@@ -3306,6 +3327,29 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_ivf": ivf_sql,
         "semantic_dedup": semantic_dedup_sql,
         "pagerank": pagerank_sql,
+        "skew_report": """
+          with c as (select cast(user_id as varchar) as key_value, count(*) as n
+                     from events group by 1),
+          t as (select sum(n) as total, count(*) as nkeys from c)
+          select key_value, n,
+                 round(n / cast(total as double), 6) as share,
+                 round(n::DOUBLE * nkeys / total, 6) as x_mean,
+                 cast(row_number() over (order by n desc, key_value) as bigint) as rank
+          from c cross join t
+          order by n desc, key_value
+          limit 5""",
+        "group_centroids": """
+          select label as grp, s.pos as pos,
+                 round(cast(sum(s.x::DOUBLE::DECIMAL(27,12)) as double)
+                       / count(*), 6) as mean_val,
+                 count(*) as n_members
+          from (select label,
+                       -- i-1: DuckDB lambda indices are 1-based,
+                       -- Spark posexplode is 0-based
+                       unnest(list_transform(embedding,
+                              (x, i) -> {'pos': i - 1, 'x': x})) as s
+                from embeddings)
+          group by label, s.pos""",
         "classifier_scores": """
           with v as (select vec_id, embedding::DOUBLE[] as v from embeddings),
           w as (select list_transform(generate_series(1, 64), i ->

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -64,4 +64,46 @@ def profile_columns(
         F.max("dval").alias("max_val"),
         F.min(F.length("sval")).cast("long").alias("min_len"),
         F.max(F.length("sval")).cast("long").alias("max_len"),
+    )
+
+
+def skew_report(df: DataFrame, key: str, topk: int = 5) -> DataFrame:
+    """Join/groupBy-key skew diagnostics — run this BEFORE picking a
+    join strategy: the top-``topk`` heavy hitters with their corpus
+    share and multiple-of-mean. A key with ``x_mean`` in the hundreds
+    is the signal to reach for ``salted.py`` / as-of hot-key isolation
+    / AQE skew join; this report is how the 100 TB job finds out
+    cheaply (one partial-agg shuffle on the key, then a tiny all-keys
+    aggregate) instead of by dying in one straggler task.
+
+    Output: ``(key_value, n, share, x_mean, rank)`` — key rendered as
+    string so the report is schema-stable for any key type.
+    """
+    counts = df.groupBy(F.col(key).cast("string").alias("key_value")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.agg(
+        F.sum("n").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
+    )
+    # orderBy().limit() compiles to TakeOrdered — each partition keeps
+    # its local top-k, the driver merges k*partitions rows. A global
+    # row_number window here would instead funnel EVERY key count
+    # through one WindowExec partition; at 1e9 keys that is the
+    # difference between a report and an outage. The window rank runs
+    # only on the k surviving rows.
+    top = counts.orderBy(F.col("n").desc(), F.col("key_value").asc()).limit(topk)
+    ranked = top.join(F.broadcast(totals)).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("n").desc(), F.col("key_value").asc())
+        ),
+    )
+    return ranked.select(
+        "key_value",
+        "n",
+        F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+        F.round(
+            F.col("n").cast("double") * F.col("__nkeys") / F.col("__total"), 6
+        ).alias("x_mean"),
+        F.col("rank").cast("long").alias("rank"),
     )

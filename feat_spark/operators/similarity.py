@@ -530,3 +530,45 @@ def linear_classifier_scores(
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
         (logit > 0).alias("keep"),
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    assemble: bool = False,
+) -> DataFrame:
+    """Per-group mean embedding (class centroids): posexplode the
+    vector column and partial-aggregate by ``(group, pos)`` — the
+    shuffle carries one (group, pos, decimal-sum, count) cell per
+    dimension, never whole vectors, and decimal summation makes the
+    mean independent of partitioning order (the kmeans_centroids
+    discipline, reused).
+
+    Default output is LONG form ``(group, pos, mean_val, n_members)``
+    — directly joinable/oracle-checkable; ``assemble=True`` folds it
+    to ``(group, centroid)`` arrays for use as ivf_topk/assign_clusters
+    seeds (label-supervised coarse quantizer).
+    """
+    exploded = df.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(vec_col).alias("pos", "__x"),
+    )
+    long = exploded.groupBy("grp", "pos").agg(
+        F.round(
+            F.sum(F.col("__x").cast("double").cast("decimal(27,12)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_val"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    if not assemble:
+        return long
+    return long.groupBy("grp").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
+            lambda s: s["mean_val"],
+        ).alias("centroid"),
+        F.max("n_members").alias("n_members"),
+    )

@@ -237,3 +237,33 @@ def test_linear_classifier_scores_matches_numpy(spark, vectors):
     expect = float(np.array(row["embedding"], dtype=np.float64) @ w)
     got = out.set_index("vec_id").loc[row["vec_id"], "logit"]
     assert abs(got - expect) < 1e-5
+
+
+def test_group_centroids_long_and_assembled(spark, vectors):
+    import numpy as np
+
+    from feat_spark.operators.similarity import group_centroids
+
+    e, _ = vectors
+    long = group_centroids(e, group_col="label").toPandas()
+    rows = e.select("label", "embedding").collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(
+            np.array(r.embedding, dtype=np.float64)
+        )
+    dim = len(rows[0].embedding)
+    for lab, vecs in by_label.items():
+        ref = np.round(np.mean(vecs, axis=0), 6)
+        got = (
+            long[long["grp"] == lab].sort_values("pos")["mean_val"].to_numpy()
+        )
+        assert len(got) == dim
+        assert np.allclose(got, ref, atol=2e-6)
+        assert (long[long["grp"] == lab]["n_members"] == len(vecs)).all()
+
+    wide = group_centroids(e, group_col="label", assemble=True).toPandas()
+    assert len(wide) == len(by_label)
+    row = wide[wide["grp"] == rows[0].label].iloc[0]
+    lab_long = long[long["grp"] == rows[0].label].sort_values("pos")
+    assert list(row["centroid"]) == list(lab_long["mean_val"])

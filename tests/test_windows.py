@@ -334,3 +334,19 @@ def test_transition_matrix_counts_and_probs(spark):
     # no cross-user transition (user2's 'a' never follows user1's 'c')
     assert ("c", "a") not in m
     assert sum(n for n, _ in m.values()) == 4
+
+
+def test_skew_report_finds_heavy_hitter(spark):
+    from feat_spark.operators.profile import skew_report
+
+    rows = [(1, i) for i in range(80)] + [(k, 100 + k) for k in range(2, 22)]
+    df = spark.createDataFrame(rows, "k long, x long")
+    out = skew_report(df, key="k", topk=3).toPandas()
+    assert list(out["rank"]) == [1, 2, 3]
+    top = out.iloc[0]
+    assert top["key_value"] == "1" and top["n"] == 80
+    assert abs(top["share"] - 0.8) < 1e-9
+    # 21 keys, mean count 100/21 -> the hot key is ~16.8x mean
+    assert abs(top["x_mean"] - round(80 * 21 / 100.0, 6)) < 1e-9
+    # ties broken by key_value ascending for determinism
+    assert list(out["key_value"][1:]) == ["10", "11"]
