@@ -660,6 +660,39 @@ def _q_pagerank(spark, sf_dir):
     return pagerank(edges, iters=3, damping=0.85)
 
 
+def _q_calendar_features(spark, sf_dir):
+    """Calendar feature block (operators/encoding.py): convention-free
+    integer-arithmetic dow/hour ((days+3)%7 — engines disagree on week
+    start; integers don't) plus the cyclical sin/cos hour encodings.
+    Pure projection, zero shuffle; oracle replays the arithmetic."""
+    from feat_spark.operators.encoding import calendar_features
+
+    e = _events(spark, sf_dir)
+    out = calendar_features(e, ts="ts")
+    return out.select(
+        "event_id", "dow", "hour", "is_weekend", "hour_sin", "hour_cos"
+    )
+
+
+def _q_impute_group_mean(spark, sf_dir):
+    """Group-mean null imputation (operators/encoding.py): 'error'
+    events get their value masked to NULL, then imputed from their
+    event_type's non-null mean (decimal-summed). The missingness flag
+    is kept. Oracle replays masking, means, and the coalesce."""
+    from feat_spark.operators.encoding import impute_group_mean
+
+    e = _events(spark, sf_dir).withColumn(
+        "value",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    out = impute_group_mean(e, col="value", group_col="event_type")
+    return out.select(
+        "event_id", "event_type", "value", "value_was_null", "value_imputed"
+    )
+
+
 def _q_topk(spark, sf_dir):
     out = top_k_per_group(
         _events(spark, sf_dir), k=3, partition="user_id",
@@ -2077,6 +2110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": _q_source_stats,
         "skew_report": _q_skew_report,
         "group_centroids": _q_group_centroids,
+        "calendar_features": _q_calendar_features,
+        "impute_group_mean": _q_impute_group_mean,
         # --- r2-green refill ----------------------------------------
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_signatures": _q_minhash_sigs,
@@ -2722,6 +2757,34 @@ def oracle_sql() -> dict[str, str]:
                  cast(null as double), cast(null as double),
                  min(len(s)), max(len(s))
           from strs group by c""",
+        "calendar_features": """
+          select event_id,
+                 (epoch_us(ts) // 86400000000 + 3) % 7 as dow,
+                 (epoch_us(ts) // 3600000000) % 24 as hour,
+                 ((epoch_us(ts) // 86400000000 + 3) % 7 >= 5) as is_weekend,
+                 round(sin(6.283185307179586
+                           * ((epoch_us(ts) // 3600000000) % 24) / 24), 6)
+                   as hour_sin,
+                 round(cos(6.283185307179586
+                           * ((epoch_us(ts) // 3600000000) % 24) / 24), 6)
+                   as hour_cos
+          from events""",
+        "impute_group_mean": """
+          with m as (
+            select event_id, event_type,
+                   case when event_type = 'error' then null else value end as value
+            from events),
+          g as (
+            select event_type,
+                   case when count(value) > 0 then
+                     round(cast(sum(cast(value as decimal(27,12))) as double)
+                           / count(value), 6)
+                   end as gmean
+            from m group by event_type)
+          select event_id, m.event_type, value,
+                 (value is null) as value_was_null,
+                 coalesce(value, g.gmean) as value_imputed
+          from m join g using (event_type)""",
         "winsorize": """
           with b as (
             select event_type,

@@ -122,3 +122,69 @@ def winsorize(
         )
         .drop("__lo", "__hi")
     )
+
+
+def calendar_features(
+    df: DataFrame,
+    ts: str = "ts",
+    prefix: str = "",
+) -> DataFrame:
+    """Calendar feature block: day-of-week (0=Monday), hour-of-day
+    (UTC), weekend flag, and the cyclical sin/cos encodings models
+    actually consume (hour 23 and hour 0 are neighbors on the circle,
+    not 23 apart).
+
+    dow and hour come from INTEGER arithmetic on epoch-microseconds
+    ((days+3) % 7; 1970-01-01 was a Thursday), not from the engine's
+    dayofweek() — engines disagree on whether weeks start at Sunday=0,
+    Sunday=1 or Monday=1, and integer arithmetic is convention-free
+    and replayable. Pure projection: zero shuffle.
+    """
+    epoch_day = F.expr(f"unix_micros(cast({ts} as timestamp)) div 86400000000")
+    dow = (epoch_day + 3) % 7
+    hour = (
+        F.expr(f"unix_micros(cast({ts} as timestamp)) div 3600000000") % 24
+    )
+    tau = 6.283185307179586
+    return (
+        df.withColumn(f"{prefix}dow", dow)
+        .withColumn(f"{prefix}hour", hour)
+        .withColumn(f"{prefix}is_weekend", dow >= 5)
+        .withColumn(f"{prefix}hour_sin", F.round(F.sin(F.lit(tau) * hour / 24), 6))
+        .withColumn(f"{prefix}hour_cos", F.round(F.cos(F.lit(tau) * hour / 24), 6))
+    )
+
+
+def impute_group_mean(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Null imputation by group mean: NULLs in ``col`` are replaced by
+    the decimal-summed mean of the group's NON-NULL values (round 6);
+    a ``{col}_was_null`` flag is kept — models usually want the
+    missingness signal as much as the filled value. Groups that are
+    entirely NULL stay NULL (no global fallback smuggled in).
+
+    One partial-agg shuffle keyed by the group; means broadcast back
+    onto the fact rows — same map-side shape as ``winsorize``.
+    """
+    out_col = out_col or f"{col}_imputed"
+    means = df.groupBy(group_col).agg(
+        F.when(
+            F.count(col) > 0,
+            F.round(
+                F.sum(F.col(col).cast("double").cast("decimal(27,12)"))
+                .cast("double")
+                / F.count(col),
+                6,
+            ),
+        ).alias("__gmean")
+    )
+    return (
+        df.join(F.broadcast(means), group_col)
+        .withColumn(f"{col}_was_null", F.col(col).isNull())
+        .withColumn(out_col, F.coalesce(F.col(col), F.col("__gmean")))
+        .drop("__gmean")
+    )

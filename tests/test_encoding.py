@@ -99,3 +99,47 @@ def test_winsorize_clips_to_group_bounds(spark):
     assert b_out < 1000.0 and b_out > hi
     # NULL stays NULL (greatest/least null-skip guarded)
     assert out[out["v"].isna()]["v_wins"].isna().all()
+
+
+def test_calendar_features_known_dates(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from feat_spark.operators.encoding import calendar_features
+
+    # 1970-01-01 = Thursday (dow 3 with 0=Monday); 2024-06-08 = Saturday
+    rows = [
+        (1, dt.datetime(1970, 1, 1, 0, 0)),
+        (2, dt.datetime(2024, 6, 8, 13, 30)),
+        (3, dt.datetime(2024, 6, 10, 23, 59)),  # Monday
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = calendar_features(df).toPandas().set_index("id")
+    assert out.loc[1, "dow"] == 3 and not out.loc[1, "is_weekend"]
+    assert out.loc[2, "dow"] == 5 and out.loc[2, "is_weekend"]
+    assert out.loc[2, "hour"] == 13
+    assert out.loc[3, "dow"] == 0 and out.loc[3, "hour"] == 23
+    # cyclical: hour 0 -> sin 0, cos 1
+    assert out.loc[1, "hour_sin"] == 0.0 and out.loc[1, "hour_cos"] == 1.0
+
+
+def test_impute_group_mean(spark):
+    import math
+
+    from feat_spark.operators.encoding import impute_group_mean
+
+    rows = [("a", 10.0), ("a", None), ("a", 20.0),
+            ("b", None), ("b", 7.0), ("c", None)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = impute_group_mean(df, col="v", group_col="grp").toPandas()
+    a_null = out[(out["grp"] == "a") & out["v"].isna()]
+    assert (a_null["v_imputed"] == 15.0).all() and a_null["v_was_null"].all()
+    # non-null rows untouched, flag false
+    a_ok = out[(out["grp"] == "a") & out["v"].notna()]
+    assert (a_ok["v_imputed"] == a_ok["v"]).all()
+    assert not a_ok["v_was_null"].any()
+    assert (out[out["grp"] == "b"]["v_imputed"].dropna() == 7.0).all()
+    # an all-null group stays NULL (no global fallback)
+    c = out[out["grp"] == "c"].iloc[0]
+    assert math.isnan(c["v_imputed"]) or c["v_imputed"] is None
