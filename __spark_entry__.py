@@ -2043,11 +2043,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (rotated out of the r2 window); then every row repaired, touched
     # or NEW this round (partition_lineage oracle cast; star-contraction
     # CC; decontamination / packing / mixture / ngram / stream-dedup /
-    # feature-matrix / leakage-audit / encoding gates — all new; LSH
-    # star cap; 2-table recall; kmeans lineage truncation; curation
-    # default cap; salted type filter; lsh_bucketed_topk refactor);
-    # then r2-green refill up to 50; the r2-green remainder trails and
-    # rotates forward next round.
+    # feature-matrix / leakage-audit / encoding gates; LSH star cap;
+    # 2-table recall; kmeans lineage truncation; curation default cap;
+    # salted type filter; lsh_bucketed_topk refactor). The WINDOW CUTS
+    # at `winsorize` (position 50): the new gates from `rolling_zscore`
+    # through `impute_group_mean` plus every r2-green trailer ride on
+    # local selfcheck evidence this round — ROTATE THEM TO THE FRONT
+    # IN ROUND 4 (r2-green trailers first: they'll be 2 rounds stale;
+    # then the new locally-proven gates).
     return {
         # --- last driver row = r1 (stalest first) -------------------
         "feature_extract_union": _q_feature_extract_union,
