@@ -1628,6 +1628,23 @@ def _q_cap_per_group(spark, sf_dir):
     return cap_per_group(d, group_col="lang", cap=70, key="doc_id")
 
 
+def _q_sentence_udtf(spark, sf_dir):
+    """Python UDTF lateral join (functions/udfs.py — the Spark 4 table
+    -function surface): text -> N sentence rows with position and word
+    count. The split regex is RE2-safe so DuckDB replays it with
+    regexp_split_to_array + ordinality via an indexed list_transform."""
+    from feat_spark.functions.udfs import sentence_split_udtf_class
+
+    spark.udtf.register("split_sentences", sentence_split_udtf_class())
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        """
+        select d.doc_id, s.pos, s.sentence, s.n_words
+        from __docs_udtf d, lateral split_sentences(d.text) s
+        """
+    )
+
+
 def _q_source_stats(spark, sf_dir):
     """Domain-level curation stats (plans/curation.py): per-source doc
     count, decimal-summed mean quality, english fraction, exact-dup
@@ -2115,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_centroids": _q_group_centroids,
         "calendar_features": _q_calendar_features,
         "impute_group_mean": _q_impute_group_mean,
+        "sentence_split_udtf": _q_sentence_udtf,
         # --- r2-green refill ----------------------------------------
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_signatures": _q_minhash_sigs,
@@ -3077,6 +3095,22 @@ def oracle_sql() -> dict[str, str]:
                        * (len(list_distinct(ws)) * 1.0 / greatest(len(ws), 1))
                        * (1.0 - np * 1.0 / greatest(nc, 1)), 6) as quality
           from t""",
+        "sentence_split_udtf": """
+          with raw as (
+            select doc_id,
+                   unnest(list_transform(
+                     regexp_split_to_array(text, '[.!?]+\\s*'),
+                     (x, i) -> {'i': i,
+                                's': trim(x, ' ' || chr(9) || chr(10) || chr(13))}
+                   )) as u
+            from documents),
+          f as (select doc_id, u.i as i, u.s as s from raw where u.s != '')
+          select doc_id,
+                 cast(row_number() over (partition by doc_id order by i) - 1
+                      as int) as pos,
+                 s as sentence,
+                 cast(len(regexp_split_to_array(s, '\\s+')) as int) as n_words
+          from f""",
         "source_stats": f"""
           with t as (
             select source, text,

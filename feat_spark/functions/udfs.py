@@ -54,3 +54,41 @@ def value_spread_udf(values: pd.Series) -> float:
     if values.empty:
         return None
     return float(values.max() - values.min())
+
+
+def sentence_split_udtf_class():
+    """Python UDTF (Spark 4 table function — the §2.11 surface the
+    pandas shapes don't cover): one input row -> N output rows.
+
+    Splits text into sentences on ``[.!?]+\\s*`` (RE2-safe — no
+    lookbehind, so the DuckDB oracle's regexp_split_to_array replays
+    it exactly) and yields ``(pos, sentence, n_words)`` per non-empty
+    sentence. This exact logic IS expressible relationally
+    (posexplode over regexp split — see the `word_explode` gate); the
+    UDTF exists to cover the surface a custom tokenizer/parser would
+    need, where per-row Python with multi-row yield is the honest
+    shape. Row-based Python = the slow path, said out loud: use it
+    when the logic can't be a Column expression, not before.
+
+    Returned as a factory so importing this module never requires the
+    udtf machinery (keeps cold paths import-light).
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, sentence string, n_words int")
+    class SplitSentences:
+        SPLIT = re.compile(r"[.!?]+\s*")
+
+        def eval(self, text):
+            if text is None:
+                return
+            pos = 0
+            for part in self.SPLIT.split(text):
+                part = part.strip()
+                if part:
+                    yield pos, part, len(part.split())
+                    pos += 1
+
+    return SplitSentences

@@ -67,3 +67,30 @@ def test_corrupt_payload_flags_not_raises(spark, media):
 def test_stub_decoder_raises_not_implemented(spark, media):
     with pytest.raises(Exception, match="register one"):
         extract_media_features(media, decoders={}).collect()
+
+
+def test_sentence_split_udtf_multirow(spark):
+    from feat_spark.functions.udfs import sentence_split_udtf_class
+
+    spark.udtf.register("split_sentences_t", sentence_split_udtf_class())
+    df = spark.createDataFrame(
+        [
+            (1, "Hello world. How are you?  Fine!"),
+            (2, "no terminal punctuation here"),
+            (3, "..."),          # only separators -> zero rows
+            (4, None),           # NULL text -> zero rows
+        ],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("__udtf_docs")
+    out = spark.sql(
+        """select d.doc_id, s.pos, s.sentence, s.n_words
+           from __udtf_docs d, lateral split_sentences_t(d.text) s"""
+    ).toPandas()
+    one = out[out["doc_id"] == 1].sort_values("pos")
+    assert list(one["sentence"]) == ["Hello world", "How are you", "Fine"]
+    assert list(one["pos"]) == [0, 1, 2]
+    assert list(one["n_words"]) == [2, 3, 1]
+    assert len(out[out["doc_id"] == 2]) == 1
+    assert out[out["doc_id"] == 2]["n_words"].iloc[0] == 4
+    assert len(out[out["doc_id"].isin([3, 4])]) == 0
