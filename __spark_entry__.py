@@ -1645,6 +1645,55 @@ def _q_sentence_udtf(spark, sf_dir):
     )
 
 
+def _q_stream_zscore(spark, sf_dir):
+    """Streaming gate #5: stateful rolling z-score
+    (streaming/pipeline.py stateful_zscore_stream). The event corpus
+    is split at its median timestamp into two real micro-batches; each
+    user's ring-buffer state (exact integer cents, JSON transport)
+    carries the window across the batch boundary, so rows early in
+    batch 2 are scored against history seen only in batch 1. Oracle =
+    the batch rolling_zscore SQL verbatim — parity by construction."""
+    import uuid
+
+    import pandas as pd
+
+    from feat_spark.streaming.pipeline import (
+        run_to_memory,
+        stateful_zscore_stream,
+    )
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    pdf = e.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    if getattr(pdf["ts"].dtype, "tz", None) is None:
+        pdf["ts"] = pdf["ts"].dt.tz_localize("UTC")
+    m = pdf["ts"].iloc[len(pdf) // 2]
+    part1 = pdf[pdf["ts"] < m]
+    part2 = pdf[pdf["ts"] >= m]
+    d = _stream_scratch("zscorestream")
+    pq_opts = dict(index=False, coerce_timestamps="us",
+                   allow_truncated_timestamps=True)
+    part1.to_parquet(os.path.join(d, "part1.parquet"), **pq_opts)
+    part2.to_parquet(os.path.join(d, "part2.parquet"), **pq_opts)
+    _space_mtimes(d, ["part1.parquet", "part2.parquet"])
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = stateful_zscore_stream(
+        stream, n=20, min_periods=5, sigma=3.0,
+        keys="user_id", watermark="3650 days",
+    )
+    name = "stream_zscore_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name)
+    return spark.table(name).select(
+        "event_id", "roll_mean", "roll_std", "zscore", "is_anomaly"
+    )
+
+
 def _q_source_stats(spark, sf_dir):
     """Domain-level curation stats (plans/curation.py): per-source doc
     count, decimal-summed mean quality, english fraction, exact-dup
@@ -2051,6 +2100,32 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+_ROLLING_ZSCORE_SQL = """
+          with base as (
+            select event_id, value,
+                   cast(sum(cast(value as decimal(18,2))) over w as double) as s,
+                   cast(sum(cast(value as decimal(18,2))
+                            * cast(value as decimal(18,2))) over w as double) as sq,
+                   count(value) over w as n
+            from events
+            window w as (partition by user_id order by ts, event_id
+                         rows between 20 preceding and 1 preceding)),
+          stats as (
+            select event_id, value, n, s / n as m,
+                   sqrt(greatest((sq - s * s / n) / n, 0.0)) as sd
+            from base),
+          z as (
+            select event_id, n, m, sd,
+                   case when n >= 5 and sd > 0 then (value - m) / sd end as z
+            from stats)
+          select event_id,
+                 case when n >= 5 then round(m, 6) end as roll_mean,
+                 case when n >= 5 then round(sd, 6) end as roll_std,
+                 round(z, 6) as zscore,
+                 coalesce(abs(z) > 3.0, false) as is_anomaly
+          from z"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -2133,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calendar_features": _q_calendar_features,
         "impute_group_mean": _q_impute_group_mean,
         "sentence_split_udtf": _q_sentence_udtf,
+        "stream_zscore": _q_stream_zscore,
         # --- r2-green refill ----------------------------------------
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_signatures": _q_minhash_sigs,
@@ -2817,30 +2893,11 @@ def oracle_sql() -> dict[str, str]:
                       else round(least(greatest(e.value, b.lo), b.hi), 6)
                  end as value_wins
           from events e join b using (event_type)""",
-        "rolling_zscore": """
-          with base as (
-            select event_id, value,
-                   cast(sum(cast(value as decimal(18,2))) over w as double) as s,
-                   cast(sum(cast(value as decimal(18,2))
-                            * cast(value as decimal(18,2))) over w as double) as sq,
-                   count(value) over w as n
-            from events
-            window w as (partition by user_id order by ts, event_id
-                         rows between 20 preceding and 1 preceding)),
-          stats as (
-            select event_id, value, n, s / n as m,
-                   sqrt(greatest((sq - s * s / n) / n, 0.0)) as sd
-            from base),
-          z as (
-            select event_id, n, m, sd,
-                   case when n >= 5 and sd > 0 then (value - m) / sd end as z
-            from stats)
-          select event_id,
-                 case when n >= 5 then round(m, 6) end as roll_mean,
-                 case when n >= 5 then round(sd, 6) end as roll_std,
-                 round(z, 6) as zscore,
-                 coalesce(abs(z) > 3.0, false) as is_anomaly
-          from z""",
+        "rolling_zscore": _ROLLING_ZSCORE_SQL,
+        # the streaming twin is bit-parity by construction (exact-cent
+        # ring buffer, same IEEE chain) — literally the same oracle,
+        # like chunked_cumulative reuses _CUM_SQL
+        "stream_zscore": _ROLLING_ZSCORE_SQL,
         "chunk_documents": f"""
           with t as (select doc_id, {_WS} as w, len({_WS}) as n from documents),
           s as (select doc_id, w, n,

@@ -461,3 +461,155 @@ def write_feature_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+_ZSCORE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("roll_mean", T.DoubleType()),
+        T.StructField("roll_std", T.DoubleType()),
+        T.StructField("zscore", T.DoubleType()),
+        T.StructField("is_anomaly", T.BooleanType()),
+    ]
+)
+
+# ring buffer of the last n observations as JSON ints (cents) — the
+# exact-int JSON transport rule (same as the as-of attr history): ints
+# survive any serialization bit-exactly, floats might not
+_ZSCORE_STATE_SCHEMA = T.StructType([T.StructField("hist", T.StringType())])
+
+
+def _round_half_up6(arr):
+    """Spark F.round semantics (HALF_UP on the exact decimal expansion
+    of the double). Python's round() is banker's — NOT a drop-in."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    q = Decimal("0.000001")
+    return np.array(
+        [
+            np.nan
+            if not np.isfinite(x)
+            else float(Decimal(float(x)).quantize(q, rounding=ROUND_HALF_UP))
+            for x in arr
+        ],
+        dtype="float64",
+    )
+
+
+def _zscore_fn(n: int, min_periods: int, sigma: float, ttl_ms: int):
+    def fn(key, pdfs, state: GroupState):
+        import json
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (user_id,) = key
+        hist = json.loads(state.get[0]) if state.exists else []
+        last_ts_us = None
+        two = Decimal("0.01")
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+            vals = pdf["value"].to_numpy(dtype="float64", na_value=np.nan)
+            # decimal(18,2) quantization, HALF_UP — the batch operator's
+            # cast, replicated with exact integer cents
+            cents_new = [
+                None
+                if not np.isfinite(v)
+                else int(Decimal(float(v)).quantize(two, ROUND_HALF_UP) * 100)
+                for v in vals
+            ]
+            combined = hist + cents_new
+            c = np.array(
+                [np.nan if x is None else float(x) for x in combined],
+                dtype="float64",
+            )
+            ok = ~np.isnan(c)
+            csq = np.where(ok, c * c, 0.0)
+            cs = np.concatenate([[0.0], np.cumsum(np.where(ok, c, 0.0))])
+            cs2 = np.concatenate([[0.0], np.cumsum(csq)])
+            cn = np.concatenate([[0], np.cumsum(ok.astype("int64"))])
+            g = np.arange(len(pdf)) + len(hist)
+            lo = np.maximum(0, g - n)
+            # cent sums are exact in double (bounded window of int
+            # cents), so s and sq match the batch decimal sums cast to
+            # double bit-for-bit; everything after is the same IEEE
+            # expression chain as the batch operator
+            s = (cs[g] - cs[lo]) / 100.0
+            sq = (cs2[g] - cs2[lo]) / 10000.0
+            nw = (cn[g] - cn[lo]).astype("float64")
+            with np.errstate(divide="ignore", invalid="ignore"):
+                m = s / nw
+                var = np.maximum((sq - s * s / nw) / nw, 0.0)
+                sd = np.sqrt(var)
+                z = np.where(
+                    (nw >= min_periods) & (sd > 0), (vals - m) / sd, np.nan
+                )
+            have = nw >= min_periods
+            out = pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "event_id": pdf["event_id"],
+                    "ts": pdf["ts"],
+                    "roll_mean": _round_half_up6(np.where(have, m, np.nan)),
+                    "roll_std": _round_half_up6(np.where(have, sd, np.nan)),
+                    "zscore": _round_half_up6(z),
+                    "is_anomaly": np.where(
+                        np.isnan(z), False, np.abs(z) > sigma
+                    ).astype(bool),
+                }
+            )
+            hist = combined[-n:]
+            ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+            last_ts_us = int(ts_us[-1])
+            yield out
+        state.update((json.dumps(hist),))
+        base_ms = max(state.getCurrentWatermarkMs(), (last_ts_us or 0) // 1000)
+        state.setTimeoutTimestamp(base_ms + ttl_ms)
+
+    return fn
+
+
+def stateful_zscore_stream(
+    stream: DataFrame,
+    n: int = 20,
+    min_periods: int = 5,
+    sigma: float = 3.0,
+    keys: str = "user_id",
+    watermark: str = "2 hours",
+    state_ttl: str = "30 days",
+    ts: str = "ts",
+) -> DataFrame:
+    """Streaming twin of ``operators.windows.rolling_zscore``: each
+    event scored against its key's last ``n`` strictly-preceding
+    observations, carried across micro-batches in a bounded ring
+    buffer (state = at most ``n`` quantized ints per ACTIVE key;
+    idle keys evicted after ``watermark + state_ttl`` event time).
+
+    Bit-parity with the batch operator by construction: observations
+    are quantized to exact integer cents (the batch decimal(18,2)
+    cast), windowed sums of bounded int arrays are exact in double,
+    and the mean/variance/z chain is the same IEEE expression order.
+    Ordering contract: within a key, arrival order across micro-
+    batches must follow event time (log-structured feeds) — same rule
+    as ``stateful_turn_features``.
+    """
+    ttl_ms = _parse_gap_seconds(state_ttl) * 1000
+    return (
+        stream.withWatermark(ts, watermark)
+        .groupBy(keys)
+        .applyInPandasWithState(
+            _zscore_fn(n, min_periods, sigma, ttl_ms),
+            outputStructType=_ZSCORE_OUT_SCHEMA,
+            stateStructType=_ZSCORE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

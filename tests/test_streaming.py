@@ -268,3 +268,61 @@ def test_stream_exact_dedup_and_bounded_state(spark, tmp_path_factory):
     # A once from batch1 (dup deduped), B once (late dup dropped),
     # fillers once each, A's fresh-ts re-emission once more
     assert rows == [(1, 10.0), (1, 11.0), (2, 20.0), (8, 80.0), (9, 90.0)]
+
+
+def test_stateful_zscore_stream_cross_batch_parity(spark, tmp_path_factory):
+    """Rows early in micro-batch 2 must be scored against ring-buffer
+    history carried from batch 1, matching the batch operator on the
+    unioned data bit-for-bit."""
+    import uuid
+
+    import pandas as pd
+
+    from feat_spark.operators.windows import rolling_zscore
+    from feat_spark.streaming.pipeline import (
+        run_to_memory,
+        stateful_zscore_stream,
+    )
+
+    d = str(tmp_path_factory.mktemp("zs_stream"))
+    base = pd.Timestamp("2024-01-01", tz="UTC")
+    rows = []
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 9.8, 50.0, 10.1, 9.9, 10.3, 9.7]
+    for i, v in enumerate(vals):
+        rows.append((i + 1, 1, base + pd.Timedelta(minutes=i), v))
+    # second quieter user crossing the boundary too
+    for i in range(8):
+        rows.append((100 + i, 2, base + pd.Timedelta(minutes=i), 5.0 + i))
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    pdf = pdf.sort_values("ts").reset_index(drop=True)
+    cut_ts = pdf["ts"].iloc[len(pdf) // 2]
+    opts = dict(index=False, coerce_timestamps="us",
+                allow_truncated_timestamps=True)
+    pdf[pdf["ts"] < cut_ts].to_parquet(f"{d}/p1.parquet", **opts)
+    pdf[pdf["ts"] >= cut_ts].to_parquet(f"{d}/p2.parquet", **opts)
+    _space_mtimes(d, ["p1.parquet", "p2.parquet"])
+
+    df = spark.createDataFrame(pdf)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    out = stateful_zscore_stream(
+        stream, n=6, min_periods=3, keys="user_id", watermark="3650 days"
+    )
+    name = "zs_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name)
+    got = (
+        spark.table(name)
+        .select("event_id", "roll_mean", "roll_std", "zscore", "is_anomaly")
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    want = (
+        rolling_zscore(df, value_col="value", keys="user_id",
+                       order=("ts", "event_id"), n=6, min_periods=3)
+        .select("event_id", "roll_mean", "roll_std", "zscore", "is_anomaly")
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # the spike (event 8) is flagged, in whichever batch it landed
+    assert bool(got.set_index("event_id").loc[8, "is_anomaly"])
