@@ -693,6 +693,20 @@ def _q_impute_group_mean(spark, sf_dir):
     )
 
 
+def _q_group_trend(spark, sf_dir):
+    """Per-user closed-form OLS trend of value over time
+    (operators/encoding.py group_linear_fit): five decimal sums per
+    group + normal-equations combine — distributed fitting with no
+    iteration and no driver loop. x is centered per group (kills the
+    n*Sxx - Sx^2 cancellation at epoch scale). Oracle replays sums
+    and combine bit-for-bit."""
+    from feat_spark.operators.encoding import group_linear_fit
+
+    e = _events(spark, sf_dir)
+    x = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    return group_linear_fit(e, x_col=x, y_col="value", group_col="user_id")
+
+
 def _q_topk(spark, sf_dir):
     out = top_k_per_group(
         _events(spark, sf_dir), k=3, partition="user_id",
@@ -2209,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute_group_mean": _q_impute_group_mean,
         "sentence_split_udtf": _q_sentence_udtf,
         "stream_zscore": _q_stream_zscore,
+        "group_trend": _q_group_trend,
         # --- r2-green refill ----------------------------------------
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_signatures": _q_minhash_sigs,
@@ -2854,6 +2869,39 @@ def oracle_sql() -> dict[str, str]:
                  cast(null as double), cast(null as double),
                  min(len(s)), max(len(s))
           from strs group by c""",
+        "group_trend": """
+          with d as (
+            select user_id, value, epoch_us(ts) // 1000000 as x
+            from events),
+          c as (
+            select user_id, value,
+                   cast(x - min(x) over (partition by user_id) as double) as xc
+            from d where value is not null and x is not null),
+          a as (
+            select user_id, count(*) as n_obs,
+                   cast(sum(cast(xc as decimal(28,6))) as double) as sx,
+                   cast(sum(cast(value as decimal(28,6))) as double) as sy,
+                   cast(sum(cast(xc as decimal(28,6))
+                            * cast(value as decimal(28,6))) as double) as sxy,
+                   cast(sum(cast(xc as decimal(28,6))
+                            * cast(xc as decimal(28,6))) as double) as sxx,
+                   cast(sum(cast(value as decimal(28,6))
+                            * cast(value as decimal(28,6))) as double) as syy
+            from c group by user_id)
+          select user_id, n_obs,
+                 round(case when n_obs * sxx - sx * sx > 0
+                       then (n_obs * sxy - sx * sy) / (n_obs * sxx - sx * sx)
+                       end, 9) as slope,
+                 round(case when n_obs * sxx - sx * sx > 0
+                       then (sy - (n_obs * sxy - sx * sy)
+                                  / (n_obs * sxx - sx * sx) * sx) / n_obs
+                       end, 6) as intercept,
+                 round(case when n_obs * sxx - sx * sx > 0
+                             and n_obs * syy - sy * sy > 0
+                       then (n_obs * sxy - sx * sy) * (n_obs * sxy - sx * sy)
+                            / ((n_obs * sxx - sx * sx) * (n_obs * syy - sy * sy))
+                       end, 6) as r2
+          from a""",
         "calendar_features": """
           select event_id,
                  (epoch_us(ts) // 86400000000 + 3) % 7 as dow,

@@ -188,3 +188,65 @@ def impute_group_mean(
         .withColumn(out_col, F.coalesce(F.col(col), F.col("__gmean")))
         .drop("__gmean")
     )
+
+
+def group_linear_fit(
+    df: DataFrame,
+    x_col,
+    y_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group closed-form OLS (y = slope*x + intercept) — the
+    classic per-entity TREND feature (e.g. each user's value drift
+    over time), fitted in ONE aggregation pass via the normal
+    equations: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2).
+
+    Distributed-fitting shape: no per-group iteration, no driver
+    loops — five decimal sums per group (exact => partial-agg order
+    can't change them) and a closed-form combine in double. x is
+    CENTERED on the group minimum first (one window over the same
+    hash partitioning the aggregate reuses): centering bounds the
+    decimal magnitudes and kills the n*Sxx - Sx^2 cancellation that
+    would otherwise eat the slope's precision at epoch-second scale.
+
+    Degenerate guards: constant x -> NULL slope/intercept/r2;
+    constant y (with varying x) -> slope 0 and NULL r2 (0/0 honest).
+
+    Output: ``(group, n_obs, slope, intercept, r2)``; slope 9dp
+    (per-second trends are small), intercept/r2 6dp.
+    """
+    x = x_col if not isinstance(x_col, str) else F.col(x_col)
+    w = Window.partitionBy(group_col)
+    d = (
+        df.withColumn("__x", x.cast("double"))
+        .withColumn("__xc", F.col("__x") - F.min("__x").over(w))
+        .filter(F.col("__xc").isNotNull() & F.col(y_col).isNotNull())
+    )
+    xd = F.col("__xc").cast("decimal(18,6)")
+    yd = F.col(y_col).cast("double").cast("decimal(18,6)")
+    agg = d.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(xd).cast("double").alias("__sx"),
+        F.sum(yd).cast("double").alias("__sy"),
+        F.sum(xd * yd).cast("double").alias("__sxy"),
+        F.sum(xd * xd).cast("double").alias("__sxx"),
+        F.sum(yd * yd).cast("double").alias("__syy"),
+    )
+    n = F.col("n_obs")
+    covn = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    varxn = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    varyn = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    slope = F.when(varxn > 0, covn / varxn)
+    intercept = F.when(
+        varxn > 0, (F.col("__sy") - covn / varxn * F.col("__sx")) / n
+    )
+    r2 = F.when(
+        (varxn > 0) & (varyn > 0), covn * covn / (varxn * varyn)
+    )
+    return agg.select(
+        group_col,
+        "n_obs",
+        F.round(slope, 9).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -143,3 +143,41 @@ def test_impute_group_mean(spark):
     # an all-null group stays NULL (no global fallback)
     c = out[out["grp"] == "c"].iloc[0]
     assert math.isnan(c["v_imputed"]) or c["v_imputed"] is None
+
+
+def test_group_linear_fit_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from feat_spark.operators.encoding import group_linear_fit
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # user 1: clean upward trend; user 2: noisy flat; user 3: constant x
+    for i in range(30):
+        rows.append((1, 1000.0 + i * 60.0, 5.0 + 0.02 * (i * 60.0) +
+                     float(rng.normal(0, 0.1))))
+    for i in range(20):
+        rows.append((2, 2000.0 + i * 60.0, 7.0 + float(rng.normal(0, 1.0))))
+    rows.append((3, 500.0, 1.0))
+    rows.append((3, 500.0, 9.0))
+    df = spark.createDataFrame(rows, "user_id long, x double, y double")
+    out = (
+        group_linear_fit(df, x_col=F.col("x"), y_col="y", group_col="user_id")
+        .toPandas().set_index("user_id")
+    )
+    for uid in (1, 2):
+        xs = np.array([r[1] for r in rows if r[0] == uid])
+        ys = np.array([r[2] for r in rows if r[0] == uid])
+        slope, intercept = np.polyfit(xs - xs.min(), ys, 1)
+        r = np.corrcoef(xs, ys)[0, 1]
+        assert abs(out.loc[uid, "slope"] - slope) < 1e-6
+        assert abs(out.loc[uid, "intercept"] - intercept) < 1e-4
+        assert abs(out.loc[uid, "r2"] - r * r) < 1e-4
+    assert abs(out.loc[1, "slope"] - 0.02) < 2e-3  # recovered the trend
+    assert out.loc[1, "r2"] > 0.99
+    # constant x: no fit
+    import pandas as pd
+
+    assert pd.isna(out.loc[3, "slope"]) and pd.isna(out.loc[3, "r2"])
+    assert out.loc[3, "n_obs"] == 2
