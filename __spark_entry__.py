@@ -693,6 +693,17 @@ def _q_impute_group_mean(spark, sf_dir):
     )
 
 
+def _q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix (operators/funnel.py): users
+    cohorted by first active absolute week, distinct-active counts per
+    (cohort, offset), rates normalized by the offset-0 size. Oracle
+    replays bucketing, cohorting, and normalization."""
+    from feat_spark.operators.funnel import cohort_retention
+
+    e = _events(spark, sf_dir)
+    return cohort_retention(e, user_col="user_id", ts="ts", bucket_days=7)
+
+
 def _q_group_trend(spark, sf_dir):
     """Per-user closed-form OLS trend of value over time
     (operators/encoding.py group_linear_fit): five decimal sums per
@@ -2224,6 +2235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_split_udtf": _q_sentence_udtf,
         "stream_zscore": _q_stream_zscore,
         "group_trend": _q_group_trend,
+        "cohort_retention": _q_cohort_retention,
         # --- r2-green refill ----------------------------------------
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_signatures": _q_minhash_sigs,
@@ -2869,6 +2881,21 @@ def oracle_sql() -> dict[str, str]:
                  cast(null as double), cast(null as double),
                  min(len(s)), max(len(s))
           from strs group by c""",
+        "cohort_retention": """
+          with a as (
+            select distinct user_id as u,
+                   epoch_us(ts) // 604800000000 as b
+            from events),
+          f as (select u, min(b) as cohort from a group by u),
+          c as (
+            select cohort as cohort_bucket, b - cohort as "offset",
+                   count(distinct u) as n_active
+            from a join f using (u)
+            group by 1, 2),
+          s as (select cohort_bucket, n_active as sz from c where "offset" = 0)
+          select c.cohort_bucket, c."offset" as offset, c.n_active,
+                 round(c.n_active / cast(s.sz as double), 6) as retention_rate
+          from c join s using (cohort_bucket)""",
         "group_trend": """
           with d as (
             select user_id, value, epoch_us(ts) // 1000000 as x

@@ -84,3 +84,53 @@ def funnel_summary(funnel: DataFrame, stages: Sequence[str]) -> DataFrame:
         ],
     )
     return out
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts: str = "ts",
+    bucket_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by their first
+    active ``bucket_days`` bucket (absolute epoch buckets — stable as
+    data grows), and each later bucket's distinct-active count is
+    reported as an offset from the cohort start.
+
+    Shape: one distinct-(user, bucket) pass, one per-user min
+    (both shuffle on the user key — the second reuses the first's
+    partitioning), then a tiny (cohorts x offsets) aggregate; cohort
+    sizes join back broadcast. Rates divide by the offset-0 size, so
+    every cohort row is self-normalized.
+
+    Output: ``(cohort_bucket, offset, n_active, retention_rate)``.
+    """
+    bucket = F.expr(
+        f"unix_micros(cast({ts} as timestamp)) div {86_400_000_000 * bucket_days}"
+    )
+    activity = (
+        df.select(F.col(user_col).alias("__u"), bucket.alias("__b")).distinct()
+    )
+    first = activity.groupBy("__u").agg(F.min("__b").alias("__cohort"))
+    counts = (
+        activity.join(first, "__u")
+        .groupBy(
+            F.col("__cohort").alias("cohort_bucket"),
+            (F.col("__b") - F.col("__cohort")).alias("offset"),
+        )
+        .agg(F.countDistinct("__u").alias("n_active"))
+    )
+    sizes = counts.filter(F.col("offset") == 0).select(
+        "cohort_bucket", F.col("n_active").alias("__size")
+    )
+    return (
+        counts.join(F.broadcast(sizes), "cohort_bucket")
+        .select(
+            "cohort_bucket",
+            "offset",
+            "n_active",
+            F.round(F.col("n_active") / F.col("__size"), 6).alias(
+                "retention_rate"
+            ),
+        )
+    )

@@ -89,3 +89,36 @@ def test_session_funnel_order_matters(spark):
     assert summary["n_purchase"] == 1
     assert summary["rate_click"] == 0.5
     assert summary["rate_purchase"] == 0.5
+
+
+def test_cohort_retention_matrix(spark):
+    import datetime as dt
+
+    from feat_spark.operators.funnel import cohort_retention
+
+    day = dt.timedelta(days=1)
+    w0 = dt.datetime(2024, 1, 4)  # absolute-week bucketing, not w0-relative
+    rows = []
+    # cohort A: users 1,2 first seen week 0; user 1 returns weeks 1 and 2,
+    # user 2 returns week 1 only
+    rows += [(1, w0), (2, w0 + day)]
+    rows += [(1, w0 + 7 * day), (2, w0 + 8 * day)]
+    rows += [(1, w0 + 14 * day)]
+    # cohort B: user 3 first seen week 1, never returns
+    rows += [(3, w0 + 7 * day)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = cohort_retention(df, bucket_days=7).toPandas()
+    m = {
+        (r.cohort_bucket, r.offset): (r.n_active, r.retention_rate)
+        for r in out.itertuples()
+    }
+    cohorts = sorted({c for c, _ in m})
+    a, b = cohorts[0], cohorts[1]
+    assert b == a + 1
+    assert m[(a, 0)] == (2, 1.0)
+    assert m[(a, 1)] == (2, 1.0)
+    assert m[(a, 2)] == (1, 0.5)
+    assert m[(b, 0)] == (1, 1.0)
+    assert (b, 1) not in m  # user 3 never returns
+    # duplicate activity within a week counts once
+    assert len(out) == 4
