@@ -704,6 +704,19 @@ def _q_cohort_retention(spark, sf_dir):
     return cohort_retention(e, user_col="user_id", ts="ts", bucket_days=7)
 
 
+def _q_active_days(spark, sf_dir):
+    """Trailing-7-day distinct-active-days engagement feature
+    (operators/windows.py active_days_feature): grain reduction to
+    (user, day), a day-range COUNT window on the small frame, joined
+    back to event grain — count(distinct) over a window exists in no
+    engine; this is the scalable encoding of it."""
+    from feat_spark.operators.windows import active_days_feature
+
+    e = _events(spark, sf_dir)
+    out = active_days_feature(e, keys="user_id", ts="ts", window_days=7)
+    return out.select("event_id", "active_days_7d")
+
+
 def _q_group_trend(spark, sf_dir):
     """Per-user closed-form OLS trend of value over time
     (operators/encoding.py group_linear_fit): five decimal sums per
@@ -2236,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_zscore": _q_stream_zscore,
         "group_trend": _q_group_trend,
         "cohort_retention": _q_cohort_retention,
+        "active_days": _q_active_days,
         # --- r2-green refill ----------------------------------------
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_signatures": _q_minhash_sigs,
@@ -2881,6 +2895,18 @@ def oracle_sql() -> dict[str, str]:
                  cast(null as double), cast(null as double),
                  min(len(s)), max(len(s))
           from strs group by c""",
+        "active_days": """
+          with wd as (select event_id, user_id,
+                             epoch_us(ts) // 86400000000 as day
+                      from events),
+          pd as (select distinct user_id, day from wd),
+          f as (select user_id, day,
+                       cast(count(*) over (partition by user_id order by day
+                            range between 6 preceding and current row)
+                            as bigint) as active_days_7d
+                from pd)
+          select e.event_id, f.active_days_7d
+          from wd e join f using (user_id, day)""",
         "cohort_retention": """
           with a as (
             select distinct user_id as u,

@@ -359,3 +359,37 @@ def transition_matrix(
     return pairs.withColumn(
         "prob", F.round(F.col("n_trans") / F.sum("n_trans").over(norm), 6)
     )
+
+
+def active_days_feature(
+    df: DataFrame,
+    keys: str | Sequence[str] = "user_id",
+    ts: str = "ts",
+    window_days: int = 30,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Engagement feature: distinct active days of the key in the
+    trailing ``window_days`` (inclusive of the current day), attached
+    to every event row.
+
+    ``count(distinct)`` is not a window function in any engine — the
+    trick is grain reduction: collapse to one row per (key, day)
+    first (the corpus shrinks to active-days cardinality), run a
+    plain COUNT over a day-range window on that small frame, and join
+    the per-day feature back to events on (key, day). The day frame
+    and the window share the key partitioning; the join back is a
+    shuffle on (key, day) — still far cheaper than any distinct-in-
+    window contortion at the event grain.
+    """
+    keys = _cols(keys)
+    out_col = out_col or f"active_days_{window_days}d"
+    day = F.expr(f"unix_micros(cast({ts} as timestamp)) div 86400000000")
+    with_day = df.withColumn("__day", day)
+    per_day = with_day.select(*keys, "__day").distinct()
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__day"))
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    feat = per_day.withColumn(out_col, F.count(F.lit(1)).over(w))
+    return with_day.join(feat, [*keys, "__day"]).drop("__day")

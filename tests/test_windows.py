@@ -350,3 +350,29 @@ def test_skew_report_finds_heavy_hitter(spark):
     assert abs(top["x_mean"] - round(80 * 21 / 100.0, 6)) < 1e-9
     # ties broken by key_value ascending for determinism
     assert list(out["key_value"][1:]) == ["10", "11"]
+
+
+def test_active_days_feature(spark):
+    import datetime as dt
+
+    from feat_spark.operators.windows import active_days_feature
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0)
+    day = dt.timedelta(days=1)
+    rows = [
+        # user 1 active days 0,1,3,10 (two events on day 0)
+        (1, 1, t0), (2, 1, t0 + dt.timedelta(hours=3)),
+        (3, 1, t0 + day), (4, 1, t0 + 3 * day), (5, 1, t0 + 10 * day),
+        # user 2: single day
+        (6, 2, t0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = (
+        active_days_feature(df, keys="user_id", ts="ts", window_days=7)
+        .toPandas().set_index("event_id")["active_days_7d"]
+    )
+    assert out[1] == 1 and out[2] == 1  # same-day events count the day once
+    assert out[3] == 2
+    assert out[4] == 3                  # days 0,1,3 within [day-6, day]
+    assert out[5] == 1                  # day 10: window [4,10] has only day 10
+    assert out[6] == 1
