@@ -36,7 +36,10 @@ NL_EXEMPT = {"knn_cosine", "embedding_near_dup", "knn_cosine_ivf",
              # crosses the tiny broadcast centroid set
              "knn_lsh_recall",
              # label-agreement metric is built on the exact kNN
-             "knn_label_agreement"}
+             "knn_label_agreement",
+             # joins the ONE-row grand-totals aggregate onto the
+             # k-row top list — a 1xk broadcast NL join by design
+             "skew_report"}
 
 #: max Exchange nodes allowed (shuffles; BroadcastExchange excluded).
 #: window/sessionize pipelines must reuse ONE exchange.
