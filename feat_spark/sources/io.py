@@ -102,3 +102,33 @@ def write_table(
         df.write.mode(mode).partitionBy("_bucket").parquet(target)
     else:
         df.write.mode(mode).parquet(target)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_col: str = "conv_id",
+    n_buckets: int = 32,
+    sort_cols: tuple = (),
+    mode: str = "overwrite",
+) -> None:
+    """Write a CATALOG bucketed table (``bucketBy`` + optional
+    ``sortBy``) — the device that makes repeated big-to-big joins and
+    aggregations on ``bucket_col`` shuffle-free: two tables bucketed
+    by the same key into the same bucket count join with ZERO Exchange
+    (and with ``sortBy``, zero Sort) because the on-disk layout
+    already satisfies the join's required distribution.
+
+    This is the parquet-catalog twin of Iceberg's hidden
+    ``bucket(N, col)`` partition transform named by the north rule —
+    write once, co-locate every downstream join/agg forever. The
+    shuffle-free join is asserted by plan in
+    tests/test_checkpoint.py::test_bucketed_join_is_shuffle_free.
+    """
+    writer = df.write.mode(mode).option("path", path).bucketBy(
+        n_buckets, bucket_col
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)

@@ -117,3 +117,41 @@ def test_pipeline_must_keep_bucket(spark, turns, dirs):
             spark, turns, lambda df: df.drop(BUCKET_COL),
             CheckpointManifest(man_path), sink, n_buckets=N_BUCKETS,
         )
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed by the same key/count must sort-merge join
+    with ZERO Exchange — the co-located-join claim, asserted by plan."""
+    from pyspark.sql import functions as F
+
+    from feat_spark.sources.io import write_bucketed_table
+
+    facts = spark.range(0, 2000).select(
+        (F.col("id") % 100).alias("user_id"), F.col("id").alias("event_id")
+    )
+    dims = spark.range(0, 100).select(
+        F.col("id").alias("user_id"), (F.col("id") * 2).alias("segment")
+    )
+    write_bucketed_table(
+        facts, "bt_facts", str(tmp_path / "facts"),
+        bucket_col="user_id", n_buckets=8, sort_cols=("user_id",),
+    )
+    write_bucketed_table(
+        dims, "bt_dims", str(tmp_path / "dims"),
+        bucket_col="user_id", n_buckets=8, sort_cols=("user_id",),
+    )
+    try:
+        f, d = spark.table("bt_facts"), spark.table("bt_dims")
+        # disable broadcast so the join would otherwise shuffle both sides
+        joined = f.hint("merge").join(d, "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == 2000
+        # values correct vs the plain join
+        plain = facts.join(dims, "user_id")
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.sql("drop table if exists bt_facts")
+        spark.sql("drop table if exists bt_dims")
