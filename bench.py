@@ -87,6 +87,18 @@ BENCH_QUERIES = (
     "decayed_sum",
     "rolling_zscore",
     "cap_per_group",
+    "winsorize",
+    "profile_columns",
+    "calendar_features",
+    "impute_group_mean",
+    "group_trend",
+    "transition_matrix",
+    "cohort_retention",
+    "active_days",
+    "skew_report",
+    "source_stats",
+    "classifier_scores",
+    "group_centroids",
 )
 
 

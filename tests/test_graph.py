@@ -57,3 +57,27 @@ def test_pagerank_layout_independent_and_duplicate_safe(spark):
     r2 = {r["node"]: r["pagerank"] for r in pagerank(d2, iters=3).collect()}
     assert r1 == r2
     assert r1["b"] > r1["a"]  # middle node of the path ranks highest
+
+
+def test_pagerank_mass_conserved_on_random_graphs(spark):
+    """Undirected + no dangling nodes => total rank mass stays 1 for
+    any graph; checked on three seeded random graphs."""
+    import random
+
+    from feat_spark.operators.graph import pagerank
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        nodes = [f"n{i}" for i in range(30)]
+        edges = list(
+            {
+                (rng.choice(nodes), rng.choice(nodes))
+                for _ in range(60)
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        out = pagerank(df, iters=3).collect()
+        total = sum(r["pagerank"] for r in out)
+        assert abs(total - 1.0) < 1e-8, (seed, total)
+        assert all(r["pagerank"] > 0 for r in out)
