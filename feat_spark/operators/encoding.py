@@ -106,13 +106,16 @@ def winsorize(
     the clip expression unchanged.
     """
     out_col = out_col or f"{col}_wins"
-    bounds = df.groupBy(group_col).agg(
+    bounds = df.groupBy(F.col(group_col).alias("__g")).agg(
         F.percentile(F.col(col), F.lit(lo)).alias("__lo"),
         F.percentile(F.col(col), F.lit(hi)).alias("__hi"),
     )
     clipped = F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi"))
     return (
-        df.join(F.broadcast(bounds), group_col)
+        # null-safe: NULL-group rows keep their own group's bounds
+        # instead of being dropped by a plain equality join
+        df.join(F.broadcast(bounds), F.col(group_col).eqNullSafe(F.col("__g")))
+        .drop("__g")
         .withColumn(
             out_col,
             # explicit NULL guard: greatest/least SKIP nulls (both
@@ -171,7 +174,7 @@ def impute_group_mean(
     onto the fact rows — same map-side shape as ``winsorize``.
     """
     out_col = out_col or f"{col}_imputed"
-    means = df.groupBy(group_col).agg(
+    means = df.groupBy(F.col(group_col).alias("__g")).agg(
         F.when(
             F.count(col) > 0,
             F.round(
@@ -183,7 +186,9 @@ def impute_group_mean(
         ).alias("__gmean")
     )
     return (
-        df.join(F.broadcast(means), group_col)
+        # null-safe: a NULL group is a real group, not a dropped row
+        df.join(F.broadcast(means), F.col(group_col).eqNullSafe(F.col("__g")))
+        .drop("__g")
         .withColumn(f"{col}_was_null", F.col(col).isNull())
         .withColumn(out_col, F.coalesce(F.col(col), F.col("__gmean")))
         .drop("__gmean")

@@ -104,6 +104,8 @@ def cohort_retention(
     every cohort row is self-normalized.
 
     Output: ``(cohort_bucket, offset, n_active, retention_rate)``.
+    NULL users/timestamps drop out (equality joins) — filter upstream
+    if they must be counted.
     """
     bucket = F.expr(
         f"unix_micros(cast({ts} as timestamp)) div {86_400_000_000 * bucket_days}"

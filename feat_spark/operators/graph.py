@@ -49,7 +49,7 @@ def pagerank(
     """
     e = edges.select(
         F.col(src).cast("string").alias("src"), F.col(dst).cast("string").alias("dst")
-    )
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     if undirected:
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -117,8 +117,16 @@ def cap_per_group(
     h = md5_long32(
         F.concat_ws(":", F.lit(salt), F.col(key).cast("string"))
     ).alias("__h")
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__gn"))
-    with_n = df.join(counts, group_col).withColumn("__h", h)
+    counts = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).alias("__gn")
+    )
+    # null-SAFE join: a NULL group is a real group (groupBy keeps it);
+    # a plain equality join would silently drop its rows
+    with_n = (
+        df.join(counts, F.col(group_col).eqNullSafe(F.col("__g")))
+        .drop("__g")
+        .withColumn("__h", h)
+    )
     under = with_n.filter(F.col("__gn") <= cap).withColumn(out_col, F.lit(True))
     w = Window.partitionBy(group_col).orderBy(F.col("__h").asc(), F.col(key).asc())
     over = (

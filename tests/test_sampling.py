@@ -166,3 +166,27 @@ def test_source_curation_stats_blocks_rotten_source(spark):
     assert out.loc["junk", "blocked"] and out.loc["junk", "mean_quality"] < 0.2
     assert (out["n_docs"] == 5).all()
     assert out.loc["good", "pct_english"] == 1.0
+
+
+def test_cap_per_group_and_impute_keep_null_groups(spark):
+    """A NULL group is a real group: rows must survive the stats joins
+    (null-safe equality), not silently vanish."""
+    from feat_spark.operators.encoding import impute_group_mean
+    from feat_spark.operators.sampling import cap_per_group
+
+    rows = [(None, 1), (None, 2), (None, 3), ("a", 10)]
+    df = spark.createDataFrame(rows, "grp string, id long")
+    capped = cap_per_group(df, group_col="grp", cap=2, key="id").toPandas()
+    assert len(capped) == 4
+    nulls = capped[capped["grp"].isna()]
+    assert len(nulls) == 3 and nulls["kept"].sum() == 2
+
+    imp = impute_group_mean(
+        spark.createDataFrame(
+            [(None, 4.0), (None, None), ("a", 1.0)], "grp string, v double"
+        ),
+        col="v", group_col="grp",
+    ).toPandas()
+    assert len(imp) == 3
+    filled = imp[imp["grp"].isna() & imp["v"].isna()]["v_imputed"].iloc[0]
+    assert filled == 4.0
