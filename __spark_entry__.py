@@ -3257,9 +3257,10 @@ def oracle_sql() -> dict[str, str]:
           with raw as (
             select doc_id,
                    unnest(list_transform(
-                     regexp_split_to_array(text, '[.!?]+\\s*'),
+                     regexp_split_to_array(text, '[.!?]+[\\t\\n\\f\\r ]*'),
                      (x, i) -> {'i': i,
-                                's': trim(x, ' ' || chr(9) || chr(10) || chr(13))}
+                                's': trim(x, ' ' || chr(9) || chr(10)
+                                             || chr(12) || chr(13))}
                    )) as u
             from documents),
           f as (select doc_id, u.i as i, u.s as s from raw where u.s != '')

@@ -79,16 +79,21 @@ def sentence_split_udtf_class():
 
     @udtf(returnType="pos int, sentence string, n_words int")
     class SplitSentences:
-        SPLIT = re.compile(r"[.!?]+\s*")
+        # explicit [\t\n\f\r ] class, NOT \s: Python's \s on str is
+        # Unicode-aware (matches NBSP, \x0b, …) while RE2's \s is
+        # exactly these five bytes — the oracle must replay every edge
+        SPLIT = re.compile(r"[.!?]+[\t\n\f\r ]*")
+        WS = re.compile(r"[\t\n\f\r ]+")
 
         def eval(self, text):
             if text is None:
                 return
             pos = 0
             for part in self.SPLIT.split(text):
-                part = part.strip()
+                part = part.strip("\t\n\f\r ")
                 if part:
-                    yield pos, part, len(part.split())
+                    n_words = len([w for w in self.WS.split(part) if w])
+                    yield pos, part, n_words
                     pos += 1
 
     return SplitSentences

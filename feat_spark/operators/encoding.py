@@ -222,10 +222,13 @@ def group_linear_fit(
     """
     x = x_col if not isinstance(x_col, str) else F.col(x_col)
     w = Window.partitionBy(group_col)
+    # filter BEFORE the centering min: a NULL-y row must not define the
+    # group's x origin (the oracle filters first; centering on a row
+    # that then drops out would shift the intercept)
     d = (
         df.withColumn("__x", x.cast("double"))
+        .filter(F.col("__x").isNotNull() & F.col(y_col).isNotNull())
         .withColumn("__xc", F.col("__x") - F.min("__x").over(w))
-        .filter(F.col("__xc").isNotNull() & F.col(y_col).isNotNull())
     )
     xd = F.col("__xc").cast("decimal(18,6)")
     yd = F.col(y_col).cast("double").cast("decimal(18,6)")

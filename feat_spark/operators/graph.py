@@ -55,7 +55,14 @@ def pagerank(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     e = e.distinct().localCheckpoint(eager=True)
-    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    # nodes = src UNION dst: in directed mode a sink that never emits
+    # still receives mass and must get a rank row
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n = nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
     teleport = (1.0 - damping) / n

@@ -41,7 +41,10 @@ def profile_columns(
                 F.lit(c).alias("name"),
                 F.col(c).cast("double").alias("dval"),
                 F.lit(None).cast("string").alias("sval"),
-                F.col(c).isNull().alias("isnull"),
+                # null of the CAST value, not the raw column: the
+                # profile must be internally consistent (n - n_null
+                # bounds n_distinct) even if a cast nulls out values
+                F.col(c).cast("double").isNull().alias("isnull"),
             )
         )
     for c in string_cols:
@@ -50,7 +53,7 @@ def profile_columns(
                 F.lit(c).alias("name"),
                 F.lit(None).cast("double").alias("dval"),
                 F.col(c).cast("string").alias("sval"),
-                F.col(c).isNull().alias("isnull"),
+                F.col(c).cast("string").isNull().alias("isnull"),
             )
         )
     if not structs:

@@ -423,8 +423,11 @@ def assign_clusters(
     ``order by cos desc, cid asc``). At 100 TB this is the difference
     between a map-only stage and a full-corpus shuffle.
     """
+    rows = centroids.collect()
+    if not rows:
+        raise ValueError("assign_clusters: centroids frame is empty")
     best = None
-    for r in centroids.collect():
+    for r in rows:
         cent = F.array(*[F.lit(float(x)) for x in r["__cent"]])
         cand = F.struct(
             cosine(F.col(vec_col), cent).alias("c"),

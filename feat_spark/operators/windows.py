@@ -277,12 +277,10 @@ def rolling_zscore(
     ok = (cnt >= min_periods) & (std > 0)
     z = F.when(ok, (F.col(value_col) - mean) / std)
     return (
-        df.withColumn("__n_obs", cnt)
-        .withColumn(f"{prefix}roll_mean", F.when(cnt >= min_periods, F.round(mean, 6)))
+        df.withColumn(f"{prefix}roll_mean", F.when(cnt >= min_periods, F.round(mean, 6)))
         .withColumn(f"{prefix}roll_std", F.when(cnt >= min_periods, F.round(std, 6)))
         .withColumn(f"{prefix}zscore", F.round(z, 6))
         .withColumn(f"{prefix}is_anomaly", F.coalesce(F.abs(z) > sigma, F.lit(False)))
-        .drop("__n_obs")
     )
 
 

@@ -482,8 +482,10 @@ _ZSCORE_STATE_SCHEMA = T.StructType([T.StructField("hist", T.StringType())])
 
 
 def _round_half_up6(arr):
-    """Spark F.round semantics (HALF_UP on the exact decimal expansion
-    of the double). Python's round() is banker's — NOT a drop-in."""
+    """Spark F.round semantics: HALF_UP on the SHORTEST decimal repr of
+    the double (java BigDecimal.valueOf == Python repr()), not on the
+    exact binary expansion — Decimal(x) would round 2.675-style ties
+    the other way. Python's round() is banker's — NOT a drop-in."""
     from decimal import ROUND_HALF_UP, Decimal
 
     import numpy as np
@@ -493,7 +495,7 @@ def _round_half_up6(arr):
         [
             np.nan
             if not np.isfinite(x)
-            else float(Decimal(float(x)).quantize(q, rounding=ROUND_HALF_UP))
+            else float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
             for x in arr
         ],
         dtype="float64",
@@ -523,7 +525,7 @@ def _zscore_fn(n: int, min_periods: int, sigma: float, ttl_ms: int):
             cents_new = [
                 None
                 if not np.isfinite(v)
-                else int(Decimal(float(v)).quantize(two, ROUND_HALF_UP) * 100)
+                else int(Decimal(repr(float(v))).quantize(two, ROUND_HALF_UP) * 100)
                 for v in vals
             ]
             combined = hist + cents_new

@@ -81,3 +81,15 @@ def test_pagerank_mass_conserved_on_random_graphs(spark):
         total = sum(r["pagerank"] for r in out)
         assert abs(total - 1.0) < 1e-8, (seed, total)
         assert all(r["pagerank"] > 0 for r in out)
+
+
+def test_pagerank_directed_includes_sink_nodes(spark):
+    """Directed mode: a node appearing only as a destination must get a
+    rank row and keep the mass sent to it (review fix)."""
+    from feat_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    out = {r["node"]: r["pagerank"] for r in
+           pagerank(df, iters=2, undirected=False).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["b"] > out["a"]  # b receives a's whole contribution
