@@ -1654,6 +1654,36 @@ def _q_split_assign(spark, sf_dir):
     return assign_split(d, key="doc_id")
 
 
+def _q_weighted_sample(spark, sf_dir):
+    """Per-row weighted Bernoulli sampling (operators/sampling.py):
+    each document kept with probability = its own quality score. The
+    hash gate + floor-basis-points arithmetic is integer after one
+    multiply, so the oracle recomputes the exact sampled SET."""
+    from feat_spark.functions.text import quality_score
+    from feat_spark.operators.sampling import weighted_hash_sample
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "q", quality_score("text")
+    )
+    return weighted_hash_sample(d, key="doc_id", p_col="q").select(
+        "doc_id", "q"
+    )
+
+
+def _q_psi_drift(spark, sf_dir):
+    """PSI feature-drift monitor (operators/profile.py): value
+    distribution of even vs odd event_ids (stationary by construction,
+    so the measured PSI is honestly near zero) over 10 reference-
+    fitted equal-frequency bins; per-bin terms decimal-summed. The
+    oracle replays boundaries, binning, flooring, and the sum."""
+    from feat_spark.operators.profile import population_stability
+
+    e = _events(spark, sf_dir)
+    ref = e.filter(F.col("event_id") % 2 == 0)
+    cur = e.filter(F.col("event_id") % 2 == 1)
+    return population_stability(ref, cur, "value", n_bins=10)
+
+
 def _q_cap_per_group(spark, sf_dir):
     """Per-group quota cap (RefinedWeb-style per-domain limits): keep
     at most 70 docs per lang, chosen by a stable hash of doc_id. The
@@ -2250,6 +2280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_trend": _q_group_trend,
         "cohort_retention": _q_cohort_retention,
         "active_days": _q_active_days,
+        "weighted_sample": _q_weighted_sample,
+        "psi_drift": _q_psi_drift,
         # --- r2-green refill ----------------------------------------
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_signatures": _q_minhash_sigs,
@@ -3390,6 +3422,51 @@ def oracle_sql() -> dict[str, str]:
           from (select doc_id,
                        {_HX.format(x="'split:' || cast(doc_id as varchar)")} % 100 as g
                 from documents)""",
+        "weighted_sample": f"""
+          with t as (
+            select doc_id, {_WS} as ws, length(text) as nc,
+                   length(text) - length(regexp_replace(text, '[^A-Za-z0-9_\\s]', '', 'g')) as np
+            from documents),
+          q as (
+            select doc_id,
+                   round(least(len(ws) / 50.0, 1.0)
+                         * (len(list_distinct(ws)) * 1.0 / greatest(len(ws), 1))
+                         * (1.0 - np * 1.0 / greatest(nc, 1)), 6) as q
+            from t)
+          select doc_id, q from q
+          where {_HX.format(x="'w:' || cast(doc_id as varchar)")} % 10000
+                < cast(floor(q * 10000) as bigint)""",
+        "psi_drift": """
+          with ref as (select value from events
+                       where event_id % 2 = 0 and value is not null),
+          cur as (select value from events
+                  where event_id % 2 = 1 and value is not null),
+          b as (select quantile_cont(value,
+                  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) as qs
+                from ref),
+          rc as (select len(list_filter(b.qs, x -> value > x)) as bin,
+                        count(*) as nr
+                 from ref, b group by 1),
+          cc as (select len(list_filter(b.qs, x -> value > x)) as bin,
+                        count(*) as nc
+                 from cur, b group by 1),
+          j as (select coalesce(rc.nr, 0) as nr, coalesce(cc.nc, 0) as nc
+                from rc full outer join cc using (bin)),
+          t as (select cast(sum(nr) as bigint) as tr,
+                       cast(sum(nc) as bigint) as tc from j),
+          terms as (
+            select tr, tc,
+                   (greatest(nr / cast(tr as double), 1e-6)
+                    - greatest(nc / cast(tc as double), 1e-6))
+                   * ln(greatest(nr / cast(tr as double), 1e-6)
+                        / greatest(nc / cast(tc as double), 1e-6)) as term
+            from j cross join t)
+          select 'value' as feature,
+                 round(cast(sum(cast(term as decimal(27,12))) as double), 6)
+                   as psi,
+                 max(tr) as n_ref, max(tc) as n_cur,
+                 cast(10 as bigint) as n_bins
+          from terms""",
         "cap_per_group": f"""
           select doc_id, lang,
                  (row_number() over (partition by lang

@@ -110,3 +110,75 @@ def skew_report(df: DataFrame, key: str, topk: int = 5) -> DataFrame:
         ).alias("x_mean"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def population_stability(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    floor_p: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference snapshot and a
+    current one — the standard feature-drift monitor:
+    ``PSI = sum_b (p_b - q_b) * ln(p_b / q_b)`` over equal-frequency
+    bins FITTED ON THE REFERENCE (exact percentiles as driver scalars,
+    the ``quantile_bin`` device; production monitors freeze exactly
+    these bins at training time). Proportions are floored at
+    ``floor_p`` so empty bins contribute a large-but-finite term
+    instead of infinity. Per-bin terms are decimal-summed, so the
+    final PSI is partial-agg-order-free and oracle-replayable.
+
+    Rule of thumb: PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 act.
+    Output: one row ``(feature, psi, n_ref, n_cur, n_bins)``.
+    Cost: one percentile aggregate on ref + one counting pass per
+    frame; NULL values are excluded from both distributions.
+    """
+    probs = [i / n_bins for i in range(1, n_bins)]
+    row = ref.select(
+        F.percentile(F.col(col), F.array(*[F.lit(p) for p in probs])).alias("qs")
+    ).collect()[0]
+    bounds = list(row["qs"] or [])
+
+    def bin_expr():
+        b = F.lit(0)
+        for x in bounds:
+            b = b + F.when(F.col(col) > F.lit(x), 1).otherwise(0)
+        return b
+
+    def bin_counts(df, name):
+        return (
+            df.filter(F.col(col).isNotNull())
+            .groupBy(bin_expr().alias("__bin"))
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    r = bin_counts(ref, "__nr")
+    c = bin_counts(cur, "__nc")
+    joined = r.join(c, "__bin", "full_outer").select(
+        F.coalesce("__nr", F.lit(0)).alias("__nr"),
+        F.coalesce("__nc", F.lit(0)).alias("__nc"),
+    )
+    tot = joined.agg(
+        F.sum("__nr").alias("__tr"), F.sum("__nc").alias("__tc")
+    )
+    terms = joined.join(F.broadcast(tot)).select(
+        "__nr", "__nc", "__tr", "__tc",
+        (
+            (F.greatest(F.col("__nr") / F.col("__tr"), F.lit(floor_p))
+             - F.greatest(F.col("__nc") / F.col("__tc"), F.lit(floor_p)))
+            * F.log(
+                F.greatest(F.col("__nr") / F.col("__tr"), F.lit(floor_p))
+                / F.greatest(F.col("__nc") / F.col("__tc"), F.lit(floor_p))
+            )
+        ).alias("__term"),
+    )
+    return terms.agg(
+        F.lit(col).alias("feature"),
+        F.round(
+            F.sum(F.col("__term").cast("decimal(27,12)")).cast("double"), 6
+        ).alias("psi"),
+        F.max("__tr").alias("n_ref"),
+        F.max("__tc").alias("n_cur"),
+        F.lit(n_bins).cast("long").alias("n_bins"),
+    )

@@ -134,3 +134,27 @@ def cap_per_group(
         .withColumn(out_col, F.row_number().over(w) <= cap)
     )
     return under.unionByName(over).drop("__gn", "__h")
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    key: str,
+    p_col: str,
+    salt: str = "w",
+) -> DataFrame:
+    """Per-row weighted Bernoulli sampling: keep each row with its OWN
+    probability ``p_col`` (0..1) — quality-weighted corpus cuts
+    ("keep good documents more often") with every guarantee of
+    ``hash_sample``: layout-independent, join-stable, replayable.
+
+    The inclusion test is ``hash_gate(key) < floor(p * 10000)`` basis
+    points: the only float op is one multiply-and-floor per row,
+    identical in any engine (no RNG, no order sensitivity). Still a
+    pure scan-time filter — zero shuffle.
+    """
+    bp = F.floor(F.col(p_col) * 10000).cast("long")
+    gate = F.pmod(
+        md5_long32(F.concat_ws(":", F.lit(salt), F.col(key).cast("string"))),
+        F.lit(10000),
+    )
+    return df.filter(gate < bp)

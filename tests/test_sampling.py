@@ -190,3 +190,58 @@ def test_cap_per_group_and_impute_keep_null_groups(spark):
     assert len(imp) == 3
     filled = imp[imp["grp"].isna() & imp["v"].isna()]["v_imputed"].iloc[0]
     assert filled == 4.0
+
+
+def test_weighted_hash_sample_proportional(spark):
+    from pyspark.sql import functions as F
+
+    from feat_spark.operators.sampling import weighted_hash_sample
+
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        F.when(F.col("id") < 2000, 0.8).otherwise(0.2).alias("p"),
+    )
+    kept = weighted_hash_sample(df, key="id", p_col="p").toPandas()
+    hi = (kept["id"] < 2000).sum()
+    lo = (kept["id"] >= 2000).sum()
+    assert abs(hi / 2000 - 0.8) < 0.05
+    assert abs(lo / 2000 - 0.2) < 0.05
+    # degenerate probabilities: 0 keeps nothing, 1 keeps everything
+    z = df.withColumn("p", F.lit(0.0))
+    assert weighted_hash_sample(z, "id", "p").count() == 0
+    o = df.withColumn("p", F.lit(1.0))
+    assert weighted_hash_sample(o, "id", "p").count() == 4000
+    # layout-independent
+    again = weighted_hash_sample(
+        df.repartition(17), key="id", p_col="p"
+    ).toPandas()
+    assert set(again["id"]) == set(kept["id"])
+
+
+def test_population_stability_detects_shift(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from feat_spark.operators.profile import population_stability
+
+    rng = np.random.default_rng(11)
+    a = [(float(x),) for x in rng.normal(10, 2, 3000)]
+    b_same = [(float(x),) for x in rng.normal(10, 2, 3000)]
+    b_shift = [(float(x),) for x in rng.normal(14, 2, 3000)]
+    ra = spark.createDataFrame(a, "value double")
+    same = population_stability(
+        ra, spark.createDataFrame(b_same, "value double"), "value"
+    ).collect()[0]
+    shift = population_stability(
+        ra, spark.createDataFrame(b_shift, "value double"), "value"
+    ).collect()[0]
+    assert same["psi"] < 0.05          # same distribution: stable
+    assert shift["psi"] > 0.5          # 2-sigma mean shift: act
+    assert same["n_ref"] == 3000 and same["n_cur"] == 3000
+    # disjoint supports: floored proportions keep PSI large but finite
+    far = population_stability(
+        ra,
+        spark.createDataFrame([(1000.0 + i,) for i in range(500)], "value double"),
+        "value",
+    ).collect()[0]
+    assert np.isfinite(far["psi"]) and far["psi"] > 1.0
