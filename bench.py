@@ -99,6 +99,8 @@ BENCH_QUERIES = (
     "source_stats",
     "classifier_scores",
     "group_centroids",
+    "weighted_sample",
+    "psi_drift",
 )
 
 
