@@ -39,7 +39,10 @@ NL_EXEMPT = {"knn_cosine", "embedding_near_dup", "knn_cosine_ivf",
              "knn_label_agreement",
              # joins the ONE-row grand-totals aggregate onto the
              # k-row top list — a 1xk broadcast NL join by design
-             "skew_report"}
+             "skew_report",
+             # same class: the 1-row (total_ref, total_cur) aggregate
+             # crossed onto the n_bins-row bin-count frame
+             "psi_drift"}
 
 #: max Exchange nodes allowed (shuffles; BroadcastExchange excluded).
 #: window/sessionize pipelines must reuse ONE exchange.
