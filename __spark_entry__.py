@@ -2139,6 +2139,115 @@ from h
 """
 
 
+# ------------------------------------------------- labels / diff / cooccur
+
+
+def _q_time_to_event(spark, sf_dir):
+    """Survival / churn label construction (operators/labels.py):
+    per event, whole seconds until the same user's NEXT purchase,
+    right-censored at 3 days. Strictly-future frame — the label the
+    leakage-safe feature frames are allowed to train against."""
+    from feat_spark.operators.labels import time_to_event
+
+    e = _events(spark, sf_dir)
+    return time_to_event(
+        e,
+        entity_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        target_filter=F.col("event_type") == "purchase",
+        horizon_sec=3 * 86400,
+    ).select("event_id", "tte_sec", "observed")
+
+
+def _q_negative_sample(spark, sf_dir):
+    """Deterministic contrastive negatives (operators/labels.py): for
+    each (user, clicked-doc) positive, up to 3 docs the user never
+    clicked, hashed straight into the observed doc-id domain — no
+    catalog index, no RNG, no global row_number funnel."""
+    from feat_spark.operators.labels import negative_sample
+
+    e = _events(spark, sf_dir)
+    pos = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", F.pmod(F.col("event_id"), F.lit(500)).alias("doc_id"))
+        .distinct()
+    )
+    cat = _t(spark, sf_dir, "documents")
+    return negative_sample(
+        pos, cat, entity_col="user_id", item_col="doc_id",
+        catalog_item_col="doc_id", k=3,
+    )
+
+
+def _q_cooccurrence_pmi(spark, sf_dir):
+    """Word co-occurrence + PMI (operators/cooccur.py): unordered word
+    pairs sharing a document (each doc capped to its top-12 words, the
+    pigeonhole-cap device), frequency floor 5, PMI over the capped
+    corpus. The oracle replays cap, pairing, and the ln/round."""
+    from feat_spark.operators.cooccur import cooccurrence_pmi
+
+    d = _t(spark, sf_dir, "documents")
+    return cooccurrence_pmi(d, per_doc=12, min_pairs=5)
+
+
+def _q_random_projection(spark, sf_dir):
+    """Sign-random-projection 64 -> 8 dims (similarity.random_project):
+    md5-derived +-1 matrix folded into the plan as a literal — the JL
+    dim-reduction pre-step for ANN re-ranking. The oracle re-derives
+    every sign from md5 and refolds the dot products."""
+    from feat_spark.operators.similarity import random_project
+
+    v = _t(spark, sf_dir, "embeddings")
+    return random_project(v, in_dim=64, out_dim=8).select("vec_id", "proj")
+
+
+def _q_snapshot_diff(spark, sf_dir):
+    """Table-version diff (plans/snapshot.py — the reference's
+    compare/list_diff_fields semantics lifted to relations,
+    /root/reference/src/feat.erl:128-141,326-353): old = events, new =
+    a deterministic mutation (drop %97, double value %89, retype %101,
+    clone-add %103), reporting per-row status + differing columns."""
+    from feat_spark.plans.snapshot import snapshot_diff
+
+    old = _events(spark, sf_dir)
+    base = old.filter(F.col("event_id") % 97 != 0)
+    mutated = base.withColumn(
+        "value",
+        F.when(F.col("event_id") % 89 == 0, F.col("value") * 2).otherwise(
+            F.col("value")
+        ),
+    ).withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 101 == 0, F.lit("migrated")).otherwise(
+            F.col("event_type")
+        ),
+    )
+    added = old.filter(F.col("event_id") % 103 == 0).withColumn(
+        "event_id", F.col("event_id") + 10_000_000
+    )
+    new = mutated.unionByName(added)
+    return snapshot_diff(
+        old, new, key_cols=["event_id"], compare_cols=["event_type", "value"]
+    )
+
+
+def _q_rolling_active_users(spark, sf_dir):
+    """Exact rolling 7-day distinct users per event_type
+    (windows.rolling_distinct_count): Spark has no DISTINCT-over-
+    window, so visibility intervals are merged per user and a boundary
+    prefix-sum over the day spine answers coverage — exact DAU with no
+    event-grain window and no sketch. The oracle IS the naive
+    windowed-distinct query DuckDB can run directly."""
+    from feat_spark.operators.windows import rolling_distinct_count
+
+    e = _events(spark, sf_dir)
+    return rolling_distinct_count(
+        e, group_col="event_type", entity_col="user_id",
+        ts_col="ts", window_days=7, out_col="dau7",
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2327,6 +2436,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": _q_sliding,
         "feature_compare": _q_feature_compare,
         "feature_extract": _q_feature_extract,
+        # --- NEW this session (local selfcheck evidence only — rotate
+        # --- into the driver window in round 4 with the trailers) ----
+        "time_to_event": _q_time_to_event,
+        "negative_sample": _q_negative_sample,
+        "cooccurrence_pmi": _q_cooccurrence_pmi,
+        "random_projection": _q_random_projection,
+        "snapshot_diff": _q_snapshot_diff,
+        "rolling_active_users": _q_rolling_active_users,
     }
 
 
@@ -3703,4 +3820,130 @@ def oracle_sql() -> dict[str, str]:
           select a.vec_id as id_a, b.vec_id as id_b, round({cos}, 6) as cos_sim
           from v a join v b on a.vec_id < b.vec_id
           where round({cos}, 6) >= 0.35""",
+        "time_to_event": """
+          with e as (
+            select event_id, user_id, event_type, epoch_us(ts) as ts_us
+            from events),
+          nx as (
+            select event_id, ts_us,
+                   min(case when event_type = 'purchase' then ts_us end) over
+                     (partition by user_id order by ts_us, event_id
+                      rows between 1 following and unbounded following) as nxt
+            from e)
+          select event_id,
+                 cast(case when nxt is not null
+                            and (nxt - ts_us) // 1000000 <= 259200
+                      then (nxt - ts_us) // 1000000 else 259200 end as bigint)
+                   as tte_sec,
+                 (nxt is not null and (nxt - ts_us) // 1000000 <= 259200)
+                   as observed
+          from nx""",
+        "negative_sample": f"""
+          with pos as (
+            select distinct user_id, event_id % 500 as doc_id
+            from events where event_type = 'click'),
+          cand as (
+            select p.user_id, p.doc_id, j.j,
+                   {_HX.format(x="'neg:' || p.user_id::varchar || ':' || p.doc_id::varchar || ':' || j.j::varchar")}
+                     % (select max(doc_id) + 1 from documents) as neg_item
+            from pos p, (select unnest(generate_series(0, 2)) as j) j),
+          ex as (
+            select c.* from cand c
+            join (select distinct doc_id from documents) d
+              on c.neg_item = d.doc_id),
+          un as (
+            select e.* from ex e
+            where not exists (select 1 from pos p2
+                              where p2.user_id = e.user_id
+                                and p2.doc_id = e.neg_item))
+          select user_id, doc_id, neg_item, cast(min(j) as bigint) as j
+          from un group by 1, 2, 3""",
+        "cooccurrence_pmi": f"""
+          with tf as (
+            select doc_id, word, count(*) as tf
+            from (select doc_id, unnest({_WS}) as word from documents)
+            group by 1, 2),
+          top as (
+            select doc_id, word from (
+              select doc_id, word,
+                     row_number() over (partition by doc_id
+                                        order by tf desc, word) as rn
+              from tf) where rn <= 12),
+          dfr as (select word, count(*) as n_w from top group by 1),
+          pairs as (
+            select a.word as word_a, b.word as word_b,
+                   count(*) as n_ab
+            from top a join top b
+              on a.doc_id = b.doc_id and a.word < b.word
+            group by 1, 2
+            having count(*) >= 5)
+          select p.word_a, p.word_b, cast(p.n_ab as bigint) as n_ab,
+                 round(ln((p.n_ab * (select count(distinct doc_id)
+                                     from documents))::DOUBLE
+                          / (da.n_w * db.n_w)::DOUBLE), 6) as pmi
+          from pairs p
+          join dfr da on da.word = p.word_a
+          join dfr db on db.word = p.word_b""",
+        "random_projection": """
+          with v as (select vec_id, embedding::DOUBLE[] as v from embeddings)
+          select vec_id,
+                 list_transform(generate_series(1, 8), j ->
+                   round(list_dot_product(v,
+                     list_transform(generate_series(1, 64), i ->
+                       case when ('0x' || substr(md5('rp:' || (j-1)::varchar
+                                    || ':' || (i-1)::varchar), 1, 8))::BIGINT
+                                  % 2 = 1
+                            then 1.0::DOUBLE else -1.0::DOUBLE end)), 6))
+                   as proj
+          from v""",
+        "snapshot_diff": """
+          with old_t as (select event_id, event_type, value from events),
+          new_t as (
+            select event_id,
+                   case when event_id % 101 = 0 then 'migrated'
+                        else event_type end as event_type,
+                   case when event_id % 89 = 0 then value * 2
+                        else value end as value
+            from events where event_id % 97 <> 0
+            union all
+            select event_id + 10000000, event_type, value
+            from events where event_id % 103 = 0),
+          j as (
+            select o.event_id as o_id, n.event_id as n_id,
+                   o.event_type as o_t, n.event_type as n_t,
+                   o.value as o_v, n.value as n_v
+            from old_t o full outer join new_t n
+              on o.event_id = n.event_id),
+          s as (
+            select coalesce(n_id, o_id) as event_id,
+                   case when o_id is null then 'added'
+                        when n_id is null then 'removed'
+                        when (o_t is distinct from n_t)
+                          or (o_v is distinct from n_v) then 'changed'
+                        end as status,
+                   case when o_id is not null and n_id is not null then
+                     list_filter(
+                       [case when o_t is distinct from n_t
+                             then 'event_type' end,
+                        case when o_v is distinct from n_v
+                             then 'value' end],
+                       x -> x is not null)
+                   else []::VARCHAR[] end as changed_cols
+            from j)
+          select event_id, status, changed_cols
+          from s where status is not null""",
+        "rolling_active_users": """
+          with d as (
+            select distinct event_type, user_id, ts::date as day
+            from events),
+          sp as (
+            select event_type, day,
+                   count(distinct user_id) over
+                     (partition by event_type order by day
+                      range between interval 6 days preceding
+                        and current row) as dau7
+            from d)
+          select event_type, day, cast(dau7 as bigint) as dau7
+          from sp
+          qualify row_number() over (partition by event_type, day) = 1""",
     }

@@ -1,0 +1,137 @@
+"""Training-label construction — the step between a raw event stream
+and a supervised dataset, where every leakage accident happens.
+
+Two label families a feature platform must produce at corpus scale
+(analogous to the extraction layer the reference builds for features —
+``/root/reference/src/feat.erl:95-98`` extracts, these *label*):
+
+* ``time_to_event`` — survival / churn labels: for every event, the
+  time until the entity's NEXT occurrence of a target event, censored
+  at a horizon. Strictly-future by construction (``rows between 1
+  following and unbounded following``), so a row's own target event
+  never labels itself and the label cannot leak into features built
+  from the strictly-preceding frames in ``operators/windows.py``.
+* ``negative_sample`` — deterministic negative pairs for contrastive
+  training: for each positive ``(entity, item)`` pair, up to ``k``
+  items the entity did NOT interact with.
+
+Both are pure relational plans (no RNG, no UDF, no driver loop) and
+replay bit-for-bit in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from feat_spark.functions.text import md5_long32
+
+
+def time_to_event(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    id_col: str,
+    target_filter,
+    horizon_sec: int,
+) -> DataFrame:
+    """Per-event time-to-next-target label with right-censoring.
+
+    ``target_filter`` is a boolean Column marking target events (e.g.
+    ``F.col('event_type') == 'purchase'``). For every input row, finds
+    the earliest STRICTLY LATER target event of the same entity
+    (later = ``(ts, id)`` lexicographic — the same total order every
+    windowed operator in this repo uses, so ties are deterministic).
+
+    Output columns: ``tte_sec`` (whole seconds, floor; capped at
+    ``horizon_sec`` when censored) and ``observed`` (False when no
+    target follows within the horizon — the censoring indicator a
+    survival model needs; the capped ``tte_sec`` is NOT a real
+    duration for those rows).
+
+    Scale: one shuffle on ``entity_col`` + one per-entity sort shared
+    by the min-over-future frame — the identical layout the cumulative
+    / lag feature frames already pay, so label construction co-rides
+    their exchange instead of adding one.
+    """
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(ts_us.asc(), F.col(id_col).asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    target_ts = F.when(target_filter, ts_us)
+    nxt = F.min(target_ts).over(w)
+    delta_sec = ((nxt - ts_us) / F.lit(1_000_000)).cast("long")
+    observed = nxt.isNotNull() & (delta_sec <= F.lit(horizon_sec))
+    return df.withColumn(
+        "tte_sec",
+        F.when(observed, delta_sec).otherwise(F.lit(horizon_sec).cast("long")),
+    ).withColumn("observed", observed)
+
+
+def negative_sample(
+    positives: DataFrame,
+    catalog: DataFrame,
+    entity_col: str,
+    item_col: str,
+    catalog_item_col: str,
+    k: int = 4,
+    salt: str = "neg",
+) -> DataFrame:
+    """Up to ``k`` deterministic negatives per positive pair.
+
+    The classic implementation — index the catalog 0..M-1 and draw
+    random offsets — needs a global ``row_number`` (a single-partition
+    funnel) and an RNG (layout-dependent). This one hashes
+    ``(salt, entity, item, j)`` straight into the observed item-id
+    DOMAIN ``[0, max_id]``, then keeps only candidates that exist
+    (semi-join with the catalog) and were never touched by the entity
+    (anti-join with ``positives``). No index, no RNG, no funnel; the
+    oracle replays the exact pair set.
+
+    Yields AT MOST ``k`` negatives per positive: a candidate is lost
+    to an id-domain gap, a collision (two ``j`` hashing alike — the
+    survivor keeps the smallest ``j``), or an entity that interacted
+    with it. Oversample (larger ``k``) and cap downstream when an
+    exact count matters. ``max_id`` enters as one driver-side scalar
+    (same class of tiny driver read as the TF-IDF corpus count).
+
+    Scale: explode is k-fold (bounded), both joins are equi-joins on
+    the item id; the catalog side of the semi-join is the small
+    dimension — Spark broadcasts it under AQE when it fits.
+    """
+    max_id = catalog.agg(F.max(catalog_item_col)).first()[0]
+    cand = (
+        positives.select(entity_col, item_col)
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .withColumn(
+            "neg_item",
+            F.pmod(
+                md5_long32(
+                    F.concat_ws(
+                        ":",
+                        F.lit(salt),
+                        F.col(entity_col).cast("string"),
+                        F.col(item_col).cast("string"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                F.lit(int(max_id) + 1),
+            ),
+        )
+    )
+    existing = cand.join(
+        catalog.select(F.col(catalog_item_col).alias("neg_item")).distinct(),
+        "neg_item",
+    )
+    untouched = existing.join(
+        positives.select(
+            F.col(entity_col), F.col(item_col).alias("neg_item")
+        ).distinct(),
+        [entity_col, "neg_item"],
+        "left_anti",
+    )
+    return untouched.groupBy(entity_col, item_col, "neg_item").agg(
+        F.min("j").cast("long").alias("j")
+    )

@@ -575,3 +575,47 @@ def group_centroids(
         ).alias("centroid"),
         F.max("n_members").alias("n_members"),
     )
+
+
+def random_project(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    seed: str = "rp",
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Sign-random-projection dimensionality reduction (Achlioptas
+    ±1 / Johnson-Lindenstrauss): ``proj[j] = round(sum_i vec[i] *
+    sign(seed, j, i), 6)`` with signs in {-1, +1}.
+
+    The projection matrix is md5-derived — the same determinism device
+    as the LSH hyperplanes and the frozen classifier head — but it is
+    materialized DRIVER-SIDE into a literal constant folded into the
+    plan, so the per-row cost is ``out_dim`` fused multiply-adds over
+    the vector, not ``out_dim * in_dim`` hash calls. Zero shuffle,
+    zero UDF, scan-time map; the natural pre-step that cuts the
+    brute-force / IVF candidate cost ``in_dim/out_dim``-fold before
+    exact re-ranking on the full vectors.
+
+    Inner sums run in ascending ``i`` (both engines fold the list
+    left-to-right in double), so the oracle — which re-derives every
+    sign from md5 — reproduces the array bit-for-bit.
+    """
+    import hashlib
+
+    def sign(j: int, i: int) -> float:
+        h = int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[:8], 16)
+        return 1.0 if h % 2 == 1 else -1.0
+
+    rows = [
+        F.array(*[F.lit(sign(j, i)) for i in range(in_dim)])
+        for j in range(out_dim)
+    ]
+    proj = F.array(
+        *[
+            F.round(_dot(F.col(vec_col), rows[j]), 6)
+            for j in range(out_dim)
+        ]
+    )
+    return df.withColumn(out_col, proj)

@@ -1,0 +1,88 @@
+"""Snapshot diff — row-level change detection between two versions of
+a dataset (yesterday's curated corpus vs today's, a backfill vs the
+table it replaces).
+
+This is the reference's diff semantics lifted from one nested value to
+a whole table: ``feat.erl`` compares two feature maps and reports the
+set of differing paths (``/root/reference/src/feat.erl:128-141``
+``compare/2``, ``:326-353`` ``list_diff_fields/2``); here two RELATIONS
+are compared and each changed row reports the set of differing columns
+— same contract, table-shaped.
+
+Plan: one null-safe full-outer equi-join on the key, per-column
+``IS DISTINCT FROM`` predicates (NULL-aware, like the reference's
+undefined-vs-value asymmetry handling), and a filter that drops
+identical rows BEFORE anything is materialized — at 100 TB the output
+is the (small) delta, never the corpus. Comparisons happen
+column-by-column in codegen, not via a serialized row hash, so no
+cross-engine string-rendering hazard enters the plan.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """``(key..., status, changed_cols)`` with status in
+    ``{'added','removed','changed'}``; unchanged rows are dropped.
+
+    ``changed_cols`` lists the differing column names (in
+    ``compare_cols`` order) for ``changed`` rows and is an empty array
+    for added/removed rows — presence is the row-level diff, the array
+    is the column-level one (the ``list_diff_fields`` analogue).
+
+    ``compare_cols`` defaults to every shared non-key column. The join
+    is null-safe on every key column: a NULL key names a real row, it
+    does not wildcard-match (the same rule the group-cap/impute
+    operators adopted for NULL groups).
+    """
+    if compare_cols is None:
+        keys = set(key_cols)
+        compare_cols = [
+            c for c in old.columns if c in set(new.columns) and c not in keys
+        ]
+    cond = None
+    for k in key_cols:
+        c: Column = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = c if cond is None else cond & c
+    # presence probes: keys may legitimately be NULL, so side presence
+    # is a constant tagged onto each side, not a key-null check
+    o_hit = F.col("o.__present").isNotNull()
+    n_hit = F.col("n.__present").isNotNull()
+    diffs = [
+        F.when(
+            ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")), F.lit(c)
+        )
+        for c in compare_cols
+    ]
+    changed_cols = F.filter(F.array(*diffs), lambda x: x.isNotNull())
+    status = (
+        F.when(~o_hit, F.lit("added"))
+        .when(~n_hit, F.lit("removed"))
+        .when(F.size(changed_cols) > 0, F.lit("changed"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in key_cols
+    ]
+    return (
+        old.withColumn("__present", F.lit(1))
+        .alias("o")
+        .join(new.withColumn("__present", F.lit(1)).alias("n"), cond, "full_outer")
+        .select(
+            *out_keys,
+            status.alias("status"),
+            F.when(status == "changed", changed_cols)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("changed_cols"),
+        )
+        .filter(F.col("status").isNotNull())
+    )
