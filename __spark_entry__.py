@@ -2248,6 +2248,39 @@ def _q_rolling_active_users(spark, sf_dir):
     )
 
 
+def _q_remove_dup_spans(spark, sf_dir):
+    """Span-level boilerplate scrub (dedup.remove_duplicate_spans —
+    the removal half of span_dup_stats): every word covered by a
+    corpus-duplicated positional 8-gram is dropped and the text is
+    rebuilt in original word order, over documents + truncated
+    near-copies so copied spans genuinely exist. The oracle replays
+    the mask and the ordered rebuild."""
+    from feat_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(
+        _augmented_docs(spark, sf_dir), n=8, max_occurrences=1
+    )
+
+
+def _q_table_fingerprint(spark, sf_dir):
+    """Order-independent per-partition content checksum
+    (plans/audit.table_fingerprint): portable column rendering ->
+    md5 row hash -> commutative decimal(38,0) sum, grouped by
+    event_type — the cross-engine "are these two tables identical"
+    audit primitive, and the proof is the oracle itself: DuckDB
+    recomputes the identical fingerprints from the same parquet."""
+    from feat_spark.plans.audit import table_fingerprint
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.col("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("value").cast("decimal(18,2)").alias("value_c"),
+        "props",
+    )
+    return table_fingerprint(e, group_by="event_type")
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2444,6 +2477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": _q_random_projection,
         "snapshot_diff": _q_snapshot_diff,
         "rolling_active_users": _q_rolling_active_users,
+        "remove_dup_spans": _q_remove_dup_spans,
+        "table_fingerprint": _q_table_fingerprint,
     }
 
 
@@ -3946,4 +3981,53 @@ def oracle_sql() -> dict[str, str]:
           select event_type, day, cast(dau7 as bigint) as dau7
           from sp
           qualify row_number() over (partition by event_type, day) = 1""",
+        "remove_dup_spans": f"""
+          with aug as ({_AUG_DOCS_SQL}),
+          ws as (select doc_id, {_WS} as w from aug),
+          grams as (
+            select doc_id, u['s'] as s, u['g'] as g from (
+              select doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(w) - 7, 0)),
+                       i -> {{'s': i,
+                              'g': array_to_string(w[i:i+7], ' ')}})) as u
+              from ws)),
+          totals as (select g, count(*) as tot from grams group by 1),
+          bad_pos as (
+            select distinct doc_id, p from (
+              select doc_id, unnest(generate_series(s, s + 7)) as p
+              from grams join totals using (g) where tot > 1)),
+          toks as (
+            select doc_id, u['pos'] as p, u['word'] as wd from (
+              select doc_id,
+                     unnest(list_transform(w,
+                       (x, i) -> {{'pos': i, 'word': x}})) as u
+              from ws)),
+          kept as (
+            select t.* from toks t
+            where not exists (select 1 from bad_pos b
+                              where b.doc_id = t.doc_id and b.p = t.p)),
+          rebuilt as (
+            select doc_id, string_agg(wd, ' ' order by p) as clean_text,
+                   count(*) as n_kept
+            from kept group by 1),
+          counts as (select doc_id, len(w) as n_words from ws)
+          select c.doc_id,
+                 coalesce(r.clean_text, '') as clean_text,
+                 cast(c.n_words as bigint) as n_words,
+                 cast(c.n_words - coalesce(r.n_kept, 0) as bigint)
+                   as n_removed
+          from counts c left join rebuilt r using (doc_id)""",
+        "table_fingerprint": """
+          with r as (
+            select event_type,
+                   ('0x' || substr(md5(concat_ws('|',
+                      coalesce(event_id::varchar, chr(30)),
+                      coalesce(epoch_us(ts)::varchar, chr(30)),
+                      coalesce((value::decimal(18,2))::varchar, chr(30)),
+                      coalesce(props, chr(30)))), 1, 8))::BIGINT as h
+            from events)
+          select event_type, cast(count(*) as bigint) as n_rows,
+                 cast(sum(h) as decimal(38,0)) as fingerprint
+          from r group by 1""",
     }

@@ -101,6 +101,12 @@ BENCH_QUERIES = (
     "group_centroids",
     "weighted_sample",
     "psi_drift",
+    "time_to_event",
+    "rolling_active_users",
+    "remove_dup_spans",
+    "cooccurrence_pmi",
+    "snapshot_diff",
+    "table_fingerprint",
 )
 
 

@@ -749,3 +749,76 @@ def incremental_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_occurrences: int = 1,
+) -> DataFrame:
+    """Corpus-duplicated span REMOVAL — the scrub half of
+    ``span_dup_stats`` (which only measures): every word covered by a
+    positional ``n``-gram whose text occurs more than
+    ``max_occurrences`` times corpus-wide is dropped, and each
+    document's text is rebuilt from the surviving words in original
+    order. This is the relational form of suffix-array substring
+    dedup as applied to pretraining corpora (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"):
+    boilerplate and copied passages vanish, unique prose stays.
+
+    Word-level mask semantics: a word survives iff NO duplicated
+    window covers it (windows overlap; each bad window at 1-based
+    start ``s`` masks positions ``s .. s+n-1``). Shape: one
+    gram-keyed count (map-side combinable), one equi-join back on the
+    gram, a bounded n-fold explode of BAD windows only, and a per-doc
+    rebuild — no all-pairs stage anywhere; the Zipf-hot gram is
+    bounded by partial aggregation exactly as in ``span_dup_stats``.
+
+    Output: ``(id_col, clean_text, n_words, n_removed)``. Documents
+    shorter than ``n`` words have no windows and pass through intact.
+    """
+    from feat_spark.functions.text import raw_word_ngrams, words
+
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(raw_word_ngrams(text_col, n)).alias("__s0", "__g"),
+    ).select("__id", (F.col("__s0") + 1).alias("__s"), "__g")
+    totals = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__tot"))
+    bad = grams.join(totals, "__g").filter(
+        F.col("__tot") > max_occurrences
+    )
+    bad_pos = bad.select(
+        "__id",
+        F.explode(
+            F.sequence(F.col("__s"), F.col("__s") + F.lit(n - 1))
+        ).alias("__p"),
+    ).distinct()
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(words(text_col)).alias("__p0", "__w"),
+    ).select("__id", (F.col("__p0") + 1).alias("__p"), "__w")
+    kept = toks.join(bad_pos, ["__id", "__p"], "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__w"))),
+                lambda s: s["__w"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    counts = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("n_words"))
+    return (
+        counts.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_words").cast("long").alias("n_words"),
+            (F.col("n_words") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -69,3 +69,49 @@ def truncation_invariance(
         raise LeakageError(
             f"{diff} feature rows at ts<={cutoff} depend on future source rows"
         )
+
+
+def table_fingerprint(
+    df: DataFrame,
+    group_by: str | None = None,
+    sentinel: str = "\x1e",
+) -> DataFrame:
+    """Order-independent content checksum of a relation — the audit
+    primitive behind snapshot promotion ("is the table the warehouse
+    just rebuilt byte-identical to the one the other engine / the
+    yesterday job produced?") and the cheap first gate before a full
+    :func:`feat_spark.plans.snapshot.snapshot_diff`.
+
+    Every column is rendered to a string (NULL -> an RS control-char
+    sentinel so ``('a', NULL)`` never collides with ``('a',)``),
+    md5-hashed, and the per-row hashes are SUMMED as ``decimal(38,0)``
+    — addition commutes, so the checksum is independent of row order,
+    partitioning, and merge strategy, which is precisely what lets two
+    engines (or two cluster layouts) agree on it. A mismatched
+    fingerprint localizes to the ``group_by`` partition that differs.
+
+    CALLER CONTRACT: rendering must be engine-portable, so the input
+    frame should already expose portable column types — integers,
+    strings, decimals (cast doubles to a fixed-scale decimal first),
+    and epoch integers instead of raw timestamps. This function
+    renders what it is given; it does not guess at float formatting.
+
+    Output: one row per group — ``(group, n_rows, fingerprint)`` — or
+    a single global row when ``group_by`` is None. Plan: scan ->
+    narrow projection -> one partial-agg groupBy. No shuffle wider
+    than the group cardinality; at 100 TB the map side reduces
+    everything to one tiny frame.
+    """
+    cols = [c for c in df.columns if c != group_by]
+    rendered = [
+        F.coalesce(F.col(c).cast("string"), F.lit(sentinel)) for c in cols
+    ]
+    from feat_spark.functions.text import md5_long32
+
+    h = md5_long32(F.concat_ws("|", *rendered)).cast("decimal(38,0)")
+    keys = [group_by] if group_by else []
+    out = df.select(*keys, h.alias("__h")).groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("__h").cast("decimal(38,0)").alias("fingerprint"),
+    )
+    return out

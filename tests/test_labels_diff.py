@@ -206,3 +206,81 @@ class TestRollingDistinct:
                 {u for g2, u, d2 in data if g2 == g and d - 6 <= d2 <= d}
             )
         assert got == want
+
+
+class TestRemoveDuplicateSpans:
+    def test_shared_span_removed_order_kept(self, spark):
+        from feat_spark.operators.dedup import remove_duplicate_spans
+
+        docs = [
+            (1, "p q a b c x y"),
+            (2, "m a b c n o"),
+            (3, "u v w"),          # shorter than n: passes through
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               remove_duplicate_spans(df, n=3, max_occurrences=1).collect()}
+        # 'a b c' occurs in docs 1 and 2 -> masked in both; the words
+        # it covers vanish, everything else survives in order
+        assert out[1]["clean_text"] == "p q x y"
+        assert out[1]["n_removed"] == 3 and out[1]["n_words"] == 7
+        assert out[2]["clean_text"] == "m n o"
+        assert out[3]["clean_text"] == "u v w"
+        assert out[3]["n_removed"] == 0
+
+    def test_within_doc_repetition(self, spark):
+        from feat_spark.operators.dedup import remove_duplicate_spans
+
+        df = spark.createDataFrame(
+            [(1, "a b c z a b c")], "doc_id long, text string"
+        )
+        (r,) = remove_duplicate_spans(df, n=3, max_occurrences=1).collect()
+        # 'a b c' occurs twice within the doc -> both copies masked
+        assert r["clean_text"] == "z"
+        assert r["n_removed"] == 6
+
+    def test_fully_removed_doc(self, spark):
+        from feat_spark.operators.dedup import remove_duplicate_spans
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in
+               remove_duplicate_spans(df, n=3, max_occurrences=1).collect()}
+        assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 3
+        assert out[2]["clean_text"] == ""
+
+
+class TestTableFingerprint:
+    def test_order_and_layout_invariant(self, spark):
+        from feat_spark.plans.audit import table_fingerprint
+
+        df = spark.createDataFrame(
+            [(i, f"t{i % 3}", f"p{i}") for i in range(100)],
+            "id long, grp string, payload string",
+        )
+        a = {r["grp"]: (r["n_rows"], r["fingerprint"]) for r in
+             table_fingerprint(df, group_by="grp").collect()}
+        shuffled = df.orderBy(F.rand(7)).repartition(13)
+        b = {r["grp"]: (r["n_rows"], r["fingerprint"]) for r in
+             table_fingerprint(shuffled, group_by="grp").collect()}
+        assert a == b and len(a) == 3
+
+    def test_sensitive_to_any_cell(self, spark):
+        from feat_spark.plans.audit import table_fingerprint
+
+        df1 = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+        df2 = spark.createDataFrame([(1, "x"), (2, "z")], "id long, v string")
+        (f1,) = table_fingerprint(df1).collect()
+        (f2,) = table_fingerprint(df2).collect()
+        assert f1["fingerprint"] != f2["fingerprint"]
+        assert f1["n_rows"] == f2["n_rows"] == 2
+
+    def test_null_distinct_from_empty(self, spark):
+        from feat_spark.plans.audit import table_fingerprint
+
+        df1 = spark.createDataFrame([(1, None)], "id long, v string")
+        df2 = spark.createDataFrame([(1, "")], "id long, v string")
+        (f1,) = table_fingerprint(df1).collect()
+        (f2,) = table_fingerprint(df2).collect()
+        assert f1["fingerprint"] != f2["fingerprint"]
