@@ -2281,6 +2281,40 @@ def _q_table_fingerprint(spark, sf_dir):
     return table_fingerprint(e, group_by="event_type")
 
 
+def _q_behavior_entropy(spark, sf_dir):
+    """Per-user Shannon entropy of the event-type distribution
+    (profile.behavior_entropy): the behavioral-diversity / bot signal.
+    H = ln(n) - sum(c*ln(c))/n with the float fold running over
+    lexicographically sorted categories (the lm_score device), so the
+    oracle replays the exact accumulation order with list_reduce."""
+    from feat_spark.operators.profile import behavior_entropy
+
+    e = _events(spark, sf_dir)
+    return behavior_entropy(e, entity_col="user_id", cat_col="event_type")
+
+
+def _q_temporal_split(spark, sf_dir):
+    """Purged time-series train/test split with an embargo gap
+    (sampling.temporal_split_embargo): train strictly before
+    cutoff - 1 day, test at/after the 2024-01-22 cutoff, the day in
+    between excluded from both — the leakage-safe companion to
+    time_to_event's forward-looking labels. Pure pushed-down
+    projection; the oracle recomputes every row's label from naive
+    epoch micros."""
+    import datetime
+
+    from feat_spark.operators.sampling import temporal_split_embargo
+
+    e = _events(spark, sf_dir)
+    out = temporal_split_embargo(
+        e,
+        ts_col="ts",
+        cutoff=datetime.datetime(2024, 1, 22),
+        embargo_sec=86400,
+    )
+    return out.select("event_id", "split")
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2479,6 +2513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active_users": _q_rolling_active_users,
         "remove_dup_spans": _q_remove_dup_spans,
         "table_fingerprint": _q_table_fingerprint,
+        "behavior_entropy": _q_behavior_entropy,
+        "temporal_split": _q_temporal_split,
     }
 
 
@@ -4030,4 +4066,26 @@ def oracle_sql() -> dict[str, str]:
           select event_type, cast(count(*) as bigint) as n_rows,
                  cast(sum(h) as decimal(38,0)) as fingerprint
           from r group by 1""",
+        "behavior_entropy": """
+          with counts as (
+            select user_id, event_type, count(*) as k
+            from events group by 1, 2),
+          f as (
+            select user_id,
+                   cast(sum(k) as bigint) as n_events,
+                   cast(count(*) as bigint) as n_cats,
+                   list_reduce(
+                     list_prepend(0.0::DOUBLE,
+                       list(k::DOUBLE * ln(k::DOUBLE) order by event_type)),
+                     (a, b) -> a + b) as s
+            from counts group by user_id)
+          select user_id, n_events, n_cats,
+                 round(ln(n_events::DOUBLE) - s / n_events, 6) as entropy
+          from f""",
+        "temporal_split": """
+          select event_id,
+                 case when epoch_us(ts) < 1705795200000000 then 'train'
+                      when epoch_us(ts) >= 1705881600000000 then 'test'
+                      else 'embargo' end as split
+          from events""",
     }

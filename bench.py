@@ -107,6 +107,8 @@ BENCH_QUERIES = (
     "cooccurrence_pmi",
     "snapshot_diff",
     "table_fingerprint",
+    "behavior_entropy",
+    "temporal_split",
 )
 
 

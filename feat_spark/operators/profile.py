@@ -182,3 +182,52 @@ def population_stability(
         F.max("__tc").alias("n_cur"),
         F.lit(n_bins).cast("long").alias("n_bins"),
     )
+
+
+def behavior_entropy(
+    df: DataFrame,
+    entity_col: str,
+    cat_col: str,
+    out_col: str = "entropy",
+) -> DataFrame:
+    """Per-entity Shannon entropy of a categorical distribution — the
+    classic behavioral-diversity feature (bot/fraud signal: a scripted
+    account hammers one event type, H ~ 0; a human mixes them) and the
+    per-slice class-balance check a labeling pipeline runs before
+    training.
+
+    Exact cross-engine math: with integer counts ``c_i`` summing to
+    ``n``, ``H = ln(n) - (sum_i c_i * ln(c_i)) / n`` — algebraically
+    equal to ``-sum p ln p`` but with ONE division at the end, and the
+    float fold over ``c_i * ln(c_i)`` runs in lexicographic category
+    order (the ``lm_score`` sorted-fold device), so any engine replays
+    the bits. Shape: one (entity, cat) partial agg + one per-entity
+    agg — two map-side-combinable shuffles, no window, no UDF.
+
+    Output: ``(entity, n_events, n_cats, entropy)`` with entropy
+    rounded to 6dp (natural log).
+    """
+    counts = df.groupBy(
+        F.col(entity_col).alias("__e"), F.col(cat_col).alias("__c")
+    ).agg(F.count(F.lit(1)).alias("__k"))
+    folded = counts.groupBy("__e").agg(
+        F.sum("__k").alias("__n"),
+        F.count(F.lit(1)).alias("n_cats"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__c", "__k"))),
+                lambda s: s["__k"].cast("double")
+                * F.log(s["__k"].cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("__s"),
+    )
+    return folded.select(
+        F.col("__e").alias(entity_col),
+        F.col("__n").cast("long").alias("n_events"),
+        F.col("n_cats").cast("long").alias("n_cats"),
+        F.round(
+            F.log(F.col("__n").cast("double")) - F.col("__s") / F.col("__n"), 6
+        ).alias(out_col),
+    )

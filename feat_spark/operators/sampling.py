@@ -158,3 +158,46 @@ def weighted_hash_sample(
         F.lit(10000),
     )
     return df.filter(gate < bp)
+
+
+def temporal_split_embargo(
+    df: DataFrame,
+    ts_col: str,
+    cutoff,
+    embargo_sec: int,
+    out_col: str = "split",
+) -> DataFrame:
+    """Purged time-series train/test split: ``train`` strictly before
+    ``cutoff - embargo``, ``test`` at/after ``cutoff``, and the rows in
+    between labeled ``embargo`` — excluded from BOTH sides.
+
+    The embargo is the leakage companion to
+    :func:`feat_spark.operators.labels.time_to_event`: a label that
+    looks ``H`` seconds forward, computed on a row less than ``H``
+    before the cutoff, reads events from the test period — so pass
+    ``embargo_sec >= horizon_sec`` and the train labels provably never
+    see test time (the same zero-temporal-leakage contract the
+    strictly-preceding feature frames and ``plans/audit`` enforce).
+
+    ``cutoff`` is a naive ``datetime`` (or epoch-microsecond int),
+    converted to epoch micros by NAIVE arithmetic — identical to how
+    the NTZ parquet timestamps are read — so no session-timezone
+    setting can shift the boundary. Pure projection: one comparison
+    per row, pushes down, zero shuffle.
+    """
+    import datetime as _dt
+
+    if isinstance(cutoff, _dt.datetime):
+        cutoff_us = int(
+            (cutoff - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+        )
+    else:
+        cutoff_us = int(cutoff)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    train_end = cutoff_us - embargo_sec * 1_000_000
+    return df.withColumn(
+        out_col,
+        F.when(ts_us < train_end, F.lit("train"))
+        .when(ts_us >= cutoff_us, F.lit("test"))
+        .otherwise(F.lit("embargo")),
+    )

@@ -245,3 +245,71 @@ def test_population_stability_detects_shift(spark):
         "value",
     ).collect()[0]
     assert np.isfinite(far["psi"]) and far["psi"] > 1.0
+
+
+def test_behavior_entropy_exact(spark):
+    import math
+
+    from feat_spark.operators.profile import behavior_entropy
+
+    rows = (
+        [(1, "a")] * 4 + [(1, "b")] * 4            # uniform over 2 cats
+        + [(2, "a")] * 9                            # single category
+        + [(3, "a")] * 1 + [(3, "b")] * 2 + [(3, "c")] * 5
+    )
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {
+        r["user_id"]: r
+        for r in behavior_entropy(df, "user_id", "event_type").collect()
+    }
+    assert out[1]["entropy"] == round(math.log(2), 6)
+    assert out[1]["n_events"] == 8 and out[1]["n_cats"] == 2
+    assert out[2]["entropy"] == 0.0 and out[2]["n_cats"] == 1
+    h3 = math.log(8) - (1 * math.log(1) + 2 * math.log(2) + 5 * math.log(5)) / 8
+    assert abs(out[3]["entropy"] - h3) < 1e-6
+    # layout-independent: same bits after a reshuffle
+    again = {
+        r["user_id"]: r["entropy"]
+        for r in behavior_entropy(
+            df.repartition(7), "user_id", "event_type"
+        ).collect()
+    }
+    assert all(again[u] == out[u]["entropy"] for u in out)
+
+
+def test_temporal_split_embargo(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from feat_spark.operators.sampling import temporal_split_embargo
+
+    base = datetime.datetime(2024, 3, 10)
+    rows = [
+        (i, base + datetime.timedelta(hours=i)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    cutoff = base + datetime.timedelta(hours=50)
+    out = temporal_split_embargo(
+        df, ts_col="ts", cutoff=cutoff, embargo_sec=10 * 3600
+    )
+    got = {r["id"]: r["split"] for r in out.collect()}
+    for i in range(100):
+        want = "train" if i < 40 else ("embargo" if i < 50 else "test")
+        assert got[i] == want, (i, got[i])
+    # epoch-int cutoff gives the identical labeling
+    cutoff_us = int(
+        (cutoff - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+    )
+    got2 = {
+        r["id"]: r["split"]
+        for r in temporal_split_embargo(
+            df, "ts", cutoff_us, 10 * 3600
+        ).collect()
+    }
+    assert got2 == got
+    # boundary row exactly at cutoff is test; exactly at train_end is embargo
+    assert got[50] == "test" and got[40] == "embargo"
+    # zero embargo degenerates to a plain 2-way split
+    two = temporal_split_embargo(df, "ts", cutoff, 0)
+    assert two.filter(F.col("split") == "embargo").count() == 0
