@@ -2315,6 +2315,45 @@ def _q_temporal_split(spark, sf_dir):
     return out.select("event_id", "split")
 
 
+def _q_interval_coverage(spark, sf_dir):
+    """Gaps-and-islands interval union (windows.interval_coverage):
+    each event opens a [ts, ts + value seconds) activity interval
+    (value at cent resolution so the duration is an exact integer of
+    micros); per user we report raw/merged interval counts and total
+    covered micros. All-integer arithmetic — the oracle replays the
+    same two windows bit-for-bit."""
+    from feat_spark.operators.windows import interval_coverage
+
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    dur_us = (
+        F.col("value").cast("decimal(18,2)") * 100
+    ).cast("long") * 10000
+    e = e.withColumn(
+        "end_ts",
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts").cast("timestamp")) + dur_us
+        ),
+    )
+    return interval_coverage(
+        e, entity_col="user_id", start_col="ts", end_col="end_ts"
+    )
+
+
+def _q_sequence_audit(spark, sf_dir):
+    """Sequence-integrity QC (plans/audit.sequence_audit): per user,
+    tied timestamps, event_id inversions against time order, and the
+    largest silence gap — the trust-the-ordering check a transcript
+    pipeline runs before stable (conv_id, turn_idx) ordering is
+    assumed. Integer epoch-micro lag math; the oracle is the same
+    window verbatim."""
+    from feat_spark.plans.audit import sequence_audit
+
+    e = _events(spark, sf_dir)
+    return sequence_audit(
+        e, entity_col="user_id", ts_col="ts", seq_col="event_id"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2515,6 +2554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_fingerprint": _q_table_fingerprint,
         "behavior_entropy": _q_behavior_entropy,
         "temporal_split": _q_temporal_split,
+        "interval_coverage": _q_interval_coverage,
+        "sequence_audit": _q_sequence_audit,
     }
 
 
@@ -4088,4 +4129,46 @@ def oracle_sql() -> dict[str, str]:
                       when epoch_us(ts) >= 1705881600000000 then 'test'
                       else 'embargo' end as split
           from events""",
+        "interval_coverage": """
+          with b as (
+            select user_id, epoch_us(ts) as s,
+                   epoch_us(ts)
+                     + (value::decimal(18,2) * 100)::BIGINT * 10000 as x
+            from events where value is not null),
+          f as (
+            select user_id, s, x,
+                   max(x) over (partition by user_id order by s, x
+                                rows between unbounded preceding
+                                  and 1 preceding) as pmax
+            from b where x > s),
+          j as (
+            select user_id, s, x,
+                   sum(case when pmax is null or s > pmax then 1 else 0 end)
+                     over (partition by user_id order by s, x
+                           rows between unbounded preceding
+                             and current row) as isl
+            from f),
+          k as (
+            select user_id, isl, min(s) as i_s, max(x) as i_x,
+                   count(*) as n
+            from j group by 1, 2)
+          select user_id, cast(sum(n) as bigint) as n_intervals,
+                 cast(count(*) as bigint) as n_merged,
+                 cast(sum(i_x - i_s) as bigint) as covered_us
+          from k group by 1""",
+        "sequence_audit": """
+          with b as (
+            select user_id, epoch_us(ts) as t, event_id as q from events),
+          l as (
+            select user_id, t, q,
+                   lag(t) over (partition by user_id order by t, q) as pt,
+                   lag(q) over (partition by user_id order by t, q) as pq
+            from b)
+          select user_id, cast(count(*) as bigint) as n_events,
+                 cast(sum(case when t = pt then 1 else 0 end) as bigint)
+                   as n_ts_collisions,
+                 cast(sum(case when q < pq then 1 else 0 end) as bigint)
+                   as n_seq_inversions,
+                 cast(coalesce(max(t - pt), 0) as bigint) as max_gap_us
+          from l group by 1""",
     }

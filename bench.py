@@ -109,6 +109,8 @@ BENCH_QUERIES = (
     "table_fingerprint",
     "behavior_entropy",
     "temporal_split",
+    "interval_coverage",
+    "sequence_audit",
 )
 
 

@@ -115,3 +115,66 @@ def table_fingerprint(
         F.sum("__h").cast("decimal(38,0)").alias("fingerprint"),
     )
     return out
+
+
+def sequence_audit(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Per-entity sequence-integrity profile — the ingest QC a
+    transcript pipeline runs before trusting ``(conv_id, turn_idx,
+    ts)`` ordering: are timestamps ever tied (ambiguous order), does
+    the sequence column run backwards in time order (clock skew /
+    replays), and how large is the biggest silence gap.
+
+    Order is the stable ``(ts, seq)`` contract the whole engine uses;
+    every statistic is integer epoch-micro arithmetic over one lag
+    window, so the numbers are engine-exact. One shuffle on the
+    entity key; the window and the final agg share its partitioning.
+
+    Output per entity: ``n_events``, ``n_ts_collisions`` (rows whose
+    ts equals the previous row's), ``n_seq_inversions`` (rows whose
+    seq is below the previous row's — id order disagrees with time
+    order), ``max_gap_us`` (largest inter-event silence, 0 for
+    singleton entities).
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy("__e").orderBy("__t", "__q")
+    base = df.select(
+        F.col(entity_col).alias("__e"),
+        us.alias("__t"),
+        F.col(seq_col).alias("__q"),
+    )
+    lagged = base.select(
+        "__e",
+        "__t",
+        "__q",
+        F.lag("__t").over(w).alias("__pt"),
+        F.lag("__q").over(w).alias("__pq"),
+    )
+    return lagged.groupBy("__e").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.coalesce(
+            F.sum((F.col("__t") == F.col("__pt")).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_ts_collisions"),
+        F.coalesce(
+            F.sum((F.col("__q") < F.col("__pq")).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_seq_inversions"),
+        F.coalesce(F.max(F.col("__t") - F.col("__pt")), F.lit(0))
+        .cast("long")
+        .alias("max_gap_us"),
+    ).select(
+        F.col("__e").alias(entity_col),
+        "n_events",
+        "n_ts_collisions",
+        "n_seq_inversions",
+        "max_gap_us",
+    )

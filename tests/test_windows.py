@@ -376,3 +376,88 @@ def test_active_days_feature(spark):
     assert out[4] == 3                  # days 0,1,3 within [day-6, day]
     assert out[5] == 1                  # day 10: window [4,10] has only day 10
     assert out[6] == 1
+
+
+def test_interval_coverage_merge_semantics(spark):
+    import datetime
+
+    from feat_spark.operators.windows import interval_coverage
+
+    t0 = datetime.datetime(2024, 5, 1)
+
+    def iv(u, s, e):
+        return (
+            u,
+            t0 + datetime.timedelta(seconds=s),
+            t0 + datetime.timedelta(seconds=e),
+        )
+
+    rows = [
+        # user 1: overlap [0,10)+[5,20) -> [0,20); touch [20,30) merges;
+        # contained [2,3) adds nothing; zero-length [40,40) dropped;
+        # disjoint [50,60) is its own island
+        iv(1, 0, 10), iv(1, 5, 20), iv(1, 20, 30), iv(1, 2, 3),
+        iv(1, 40, 40), iv(1, 50, 60),
+        # user 2: a single interval
+        iv(2, 0, 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, end_ts timestamp"
+    )
+    out = {
+        r["user_id"]: r
+        for r in interval_coverage(df, "user_id", "ts", "end_ts").collect()
+    }
+    assert out[1]["n_intervals"] == 5          # zero-length row dropped
+    assert out[1]["n_merged"] == 2             # [0,30) and [50,60)
+    assert out[1]["covered_us"] == (30 + 10) * 1_000_000
+    assert out[2]["n_intervals"] == 1 and out[2]["n_merged"] == 1
+    assert out[2]["covered_us"] == 7 * 1_000_000
+    # layout-independent
+    again = {
+        r["user_id"]: r["covered_us"]
+        for r in interval_coverage(
+            df.repartition(5), "user_id", "ts", "end_ts"
+        ).collect()
+    }
+    assert {u: v["covered_us"] for u, v in out.items()} == again
+
+
+def test_sequence_audit_stats(spark):
+    import datetime
+
+    from feat_spark.plans.audit import sequence_audit
+
+    t0 = datetime.datetime(2024, 5, 1)
+
+    def ev(u, s, q):
+        return (u, t0 + datetime.timedelta(seconds=s), q)
+
+    rows = [
+        # user 1: tie at s=10 (collision), id 5 then 3 at the tie
+        # (inversion), 100s gap to s=110
+        ev(1, 0, 1), ev(1, 10, 5), ev(1, 10, 3), ev(1, 110, 9),
+        # user 2: singleton
+        ev(2, 0, 7),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = {
+        r["user_id"]: r
+        for r in sequence_audit(df, "user_id", "ts", "event_id").collect()
+    }
+    assert out[1]["n_events"] == 4
+    assert out[1]["n_ts_collisions"] == 1
+    # at the tie, order is (ts, event_id) -> 3 before 5, so no
+    # inversion there; none elsewhere either
+    assert out[1]["n_seq_inversions"] == 0
+    assert out[1]["max_gap_us"] == 100 * 1_000_000
+    assert out[2]["n_events"] == 1
+    assert out[2]["n_ts_collisions"] == 0
+    assert out[2]["n_seq_inversions"] == 0
+    assert out[2]["max_gap_us"] == 0
+    # a genuinely backwards id: later ts, smaller id
+    df2 = spark.createDataFrame(
+        [ev(3, 0, 10), ev(3, 5, 2)], "user_id long, ts timestamp, event_id long"
+    )
+    r3 = sequence_audit(df2, "user_id", "ts", "event_id").collect()[0]
+    assert r3["n_seq_inversions"] == 1
