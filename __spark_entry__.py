@@ -2354,6 +2354,41 @@ def _q_sequence_audit(spark, sf_dir):
     )
 
 
+def _q_cuped(spark, sf_dir):
+    """CUPED variance-reduced experiment readout (operators/
+    experiment.py): per-user pre-period (Jan 1-15) vs experiment-period
+    value sums in exact integer cents, variant = user_id % 2, pooled
+    theta from five decimal sums, adjusted means in closed form. The
+    oracle replays the sums and the double arithmetic verbatim."""
+    from feat_spark.operators.experiment import cuped_adjust
+
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    cut = 1705276800000000  # 2024-01-15
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(ts_us < cut, cents)).alias("x"),
+        F.sum(F.when(ts_us >= cut, cents)).alias("y"),
+    )
+    units = per_user.withColumn("variant", F.col("user_id") % 2)
+    return cuped_adjust(units, variant_col="variant", y_col="y", x_col="x")
+
+
+def _q_robust_outliers(spark, sf_dir):
+    """Median/MAD robust z-score outlier flags per event_type
+    (profile.robust_outliers): values quantized to integer half-cents
+    so interpolated medians and deviations are exact in any engine;
+    mad = 0 yields NULL z and no flag. The oracle recomputes both
+    percentile passes with quantile_cont."""
+    from feat_spark.operators.profile import robust_outliers
+
+    e = _events(spark, sf_dir)
+    return robust_outliers(
+        e, group_col="event_type", value_col="value",
+        id_cols=("event_id",), k=3.5,
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2556,6 +2591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_split": _q_temporal_split,
         "interval_coverage": _q_interval_coverage,
         "sequence_audit": _q_sequence_audit,
+        "cuped_adjust": _q_cuped,
+        "robust_outliers": _q_robust_outliers,
     }
 
 
@@ -4171,4 +4208,76 @@ def oracle_sql() -> dict[str, str]:
                    as n_seq_inversions,
                  cast(coalesce(max(t - pt), 0) as bigint) as max_gap_us
           from l group by 1""",
+        "cuped_adjust": """
+          with per as (
+            select user_id, user_id % 2 as variant,
+                   sum(case when epoch_us(ts) < 1705276800000000
+                       then (value::decimal(18,2) * 100)::BIGINT end) as x,
+                   sum(case when epoch_us(ts) >= 1705276800000000
+                       then (value::decimal(18,2) * 100)::BIGINT end) as y
+            from events where value is not null
+            group by 1),
+          d as (
+            select variant,
+                   cast(x as decimal(28,6)) as xd,
+                   cast(y as decimal(28,6)) as yd
+            from per where x is not null and y is not null),
+          g as (
+            select count(*) as gn,
+                   cast(sum(xd) as double) as gsx,
+                   cast(sum(yd) as double) as gsy,
+                   cast(sum(xd * yd) as double) as gsxy,
+                   cast(sum(xd * xd) as double) as gsxx,
+                   cast(sum(yd * yd) as double) as gsyy
+            from d),
+          v as (
+            select variant, count(*) as n_units,
+                   cast(sum(xd) as double) as vsx,
+                   cast(sum(yd) as double) as vsy
+            from d group by 1),
+          t as (
+            select v.*, g.gn, g.gsx,
+                   case when g.gn * g.gsxx - g.gsx * g.gsx > 0
+                        then (g.gn * g.gsxy - g.gsx * g.gsy)
+                             / (g.gn * g.gsxx - g.gsx * g.gsx)
+                        else 0.0::DOUBLE end as theta,
+                   case when g.gn * g.gsxx - g.gsx * g.gsx > 0
+                             and g.gn * g.gsyy - g.gsy * g.gsy > 0
+                        then (g.gn * g.gsxy - g.gsx * g.gsy)
+                             * (g.gn * g.gsxy - g.gsx * g.gsy)
+                             / ((g.gn * g.gsxx - g.gsx * g.gsx)
+                                * (g.gn * g.gsyy - g.gsy * g.gsy))
+                        else 0.0::DOUBLE end as rho2
+            from v, g)
+          select variant, cast(n_units as bigint) as n_units,
+                 round(vsy / n_units, 6) as mean_y,
+                 round(vsy / n_units
+                       - theta * (vsx / n_units - gsx / gn), 6)
+                   as mean_y_cuped,
+                 round(theta, 6) as theta,
+                 round(rho2, 6) as rho2
+          from t""",
+        "robust_outliers": """
+          with d as (
+            select event_id, event_type,
+                   (value::decimal(18,2) * 100)::BIGINT * 2 as h
+            from events where value is not null),
+          med as (
+            select event_type, quantile_cont(h, 0.5) as med
+            from d group by 1),
+          dev as (
+            select d.event_id, d.event_type, d.h, med.med,
+                   abs(d.h - med.med) as dv
+            from d join med using (event_type)),
+          mad as (
+            select event_type, quantile_cont(dv, 0.5) as mad
+            from dev group by 1)
+          select dev.event_id, dev.event_type,
+                 case when mad.mad > 0
+                      then round((dev.h - dev.med) / mad.mad, 6) end
+                   as robust_z,
+                 (mad.mad > 0
+                  and abs(dev.h - dev.med) > 3.5::DOUBLE * mad.mad)
+                   as is_outlier
+          from dev join mad using (event_type)""",
     }

@@ -111,6 +111,8 @@ BENCH_QUERIES = (
     "temporal_split",
     "interval_coverage",
     "sequence_audit",
+    "cuped_adjust",
+    "robust_outliers",
 )
 
 

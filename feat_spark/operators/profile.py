@@ -231,3 +231,64 @@ def behavior_entropy(
             F.log(F.col("__n").cast("double")) - F.col("__s") / F.col("__n"), 6
         ).alias(out_col),
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_cols: Sequence[str] = ("event_id",),
+    k: float = 3.5,
+) -> DataFrame:
+    """Per-group robust z-score outlier flags via median/MAD — the
+    label-noise and telemetry-glitch filter that survives exactly the
+    heavy tails that wreck mean/stddev z-scores (one whale inflates a
+    stddev; it barely moves a median).
+
+    Exact cross-engine arithmetic: values are quantized to integer
+    HALF-cents (cents*2), so every median is an integer or an exact
+    .5 and every |x - med| deviation is an integer — the interpolated
+    median of integers is identical double math in any engine. The
+    robust z is ``(x - med) / mad`` in those integer units (the scale
+    cancels), rounded to 6dp; ``mad = 0`` (a majority-constant group)
+    yields NULL z and no flag rather than infinity.
+
+    Shape: two grouped EXACT percentile aggregations (group-count
+    sized results) broadcast-joined back onto the rows — the fact
+    table is never re-shuffled. At 100 TB swap ``percentile`` for
+    ``percentile_approx`` per group if group cardinality explodes;
+    semantics documented here stay the oracle.
+    """
+    ids = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    # cents FIRST (scale-2 decimal * 100 has a zero fraction, so the
+    # integer cast is exact in every engine), THEN double it in long —
+    # casting (decimal * 2) directly would truncate in Spark but round
+    # in DuckDB on the leftover .90-style fraction
+    h = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long") * 2
+    d = df.filter(F.col(value_col).isNotNull()).select(
+        *ids, F.col(group_col).alias("__g"), h.alias("__h")
+    )
+    med = d.groupBy("__g").agg(
+        F.expr("percentile(__h, 0.5)").alias("__med")
+    )
+    with_med = d.join(F.broadcast(med), "__g")
+    dev = with_med.withColumn("__dev", F.abs(F.col("__h") - F.col("__med")))
+    mad = dev.groupBy("__g").agg(
+        F.expr("percentile(__dev, 0.5)").alias("__mad")
+    )
+    z = F.when(
+        F.col("__mad") > 0,
+        F.round((F.col("__h") - F.col("__med")) / F.col("__mad"), 6),
+    )
+    return (
+        dev.join(F.broadcast(mad), "__g")
+        .select(
+            *ids,
+            F.col("__g").alias(group_col),
+            z.alias("robust_z"),
+            (
+                (F.col("__mad") > 0)
+                & (F.abs(F.col("__h") - F.col("__med")) > k * F.col("__mad"))
+            ).alias("is_outlier"),
+        )
+    )

@@ -42,7 +42,10 @@ NL_EXEMPT = {"knn_cosine", "embedding_near_dup", "knn_cosine_ivf",
              "skew_report",
              # same class: the 1-row (total_ref, total_cur) aggregate
              # crossed onto the n_bins-row bin-count frame
-             "psi_drift"}
+             "psi_drift",
+             # same class: the 1-row pooled-theta aggregate crossed
+             # onto the variant-count-row per-variant frame
+             "cuped_adjust"}
 
 #: max Exchange nodes allowed (shuffles; BroadcastExchange excluded).
 #: window/sessionize pipelines must reuse ONE exchange.
