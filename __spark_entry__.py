@@ -2389,6 +2389,53 @@ def _q_robust_outliers(spark, sf_dir):
     )
 
 
+def _q_build_vocab(spark, sf_dir):
+    """Frequency-ranked vocabulary (encoding.build_vocab): dense
+    token ids over documents, ties lexicographic, min_count=3,
+    capped at 500. Corpus work is one word count; the ranking window
+    runs on the aggregated dimension-scale vocab. The oracle replays
+    the count, the rank, and the cap."""
+    from feat_spark.operators.encoding import build_vocab
+
+    d = _t(spark, sf_dir, "documents")
+    return build_vocab(d, text_col="text", min_count=3, max_size=500)
+
+
+def _q_fk_coverage(spark, sf_dir):
+    """Referential-integrity audit (plans/audit.fk_coverage) over
+    three TPC-H foreign-key edges — orphan counts and matched-key
+    coverage per relation. The oracle recomputes each edge with
+    anti-join counts."""
+    from feat_spark.plans.audit import fk_coverage
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rels = [
+        fk_coverage(o, "o_custkey", c, "c_custkey", "orders->customer"),
+        fk_coverage(li, "l_orderkey", o, "o_orderkey", "lineitem->orders"),
+        fk_coverage(li, "l_partkey", p, "p_partkey", "lineitem->part"),
+    ]
+    out = rels[0]
+    for r in rels[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _q_fuzzy_pairs(spark, sf_dir):
+    """Blocked edit-distance matching (dedup.fuzzy_pairs): part-name
+    pairs within a first-token block at Levenshtein distance <= 2 —
+    the record-linkage candidate generator, shaped like the LSH band
+    join (equi-join on the block key, never all-pairs). DuckDB's
+    levenshtein is the same unit-cost metric, so the oracle replays
+    every pair and distance."""
+    from feat_spark.operators.dedup import fuzzy_pairs
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return fuzzy_pairs(p, id_col="p_partkey", str_col="p_name", max_dist=2)
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2593,6 +2640,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_audit": _q_sequence_audit,
         "cuped_adjust": _q_cuped,
         "robust_outliers": _q_robust_outliers,
+        "build_vocab": _q_build_vocab,
+        "fk_coverage": _q_fk_coverage,
+        "fuzzy_pairs": _q_fuzzy_pairs,
     }
 
 
@@ -4280,4 +4330,76 @@ def oracle_sql() -> dict[str, str]:
                   and abs(dev.h - dev.med) > 3.5::DOUBLE * mad.mad)
                    as is_outlier
           from dev join mad using (event_type)""",
+        "build_vocab": f"""
+          with w as (
+            select unnest({_WS}) as word from documents),
+          c as (
+            select word, count(*) as n_occurrences
+            from w where word <> ''
+            group by 1 having count(*) >= 3),
+          r as (
+            select word, n_occurrences,
+                   row_number() over (order by n_occurrences desc, word)
+                     - 1 as token_id
+            from c)
+          select word, cast(token_id as bigint) as token_id,
+                 cast(n_occurrences as bigint) as n_occurrences
+          from r where token_id < 500""",
+        "fk_coverage": """
+          with oc as (
+            select 'orders->customer' as relation,
+                   count(*) as n_rows,
+                   sum(case when o_custkey is null then 1 else 0 end)
+                     as n_null_keys,
+                   sum(case when o_custkey is not null
+                             and c.c_custkey is null then 1 else 0 end)
+                     as n_orphans,
+                   count(o_custkey) as nn
+            from orders o
+            left join (select distinct c_custkey from customer) c
+              on o.o_custkey = c.c_custkey),
+          lo as (
+            select 'lineitem->orders' as relation,
+                   count(*) as n_rows,
+                   sum(case when l_orderkey is null then 1 else 0 end)
+                     as n_null_keys,
+                   sum(case when l_orderkey is not null
+                             and o.o_orderkey is null then 1 else 0 end)
+                     as n_orphans,
+                   count(l_orderkey) as nn
+            from lineitem l
+            left join (select distinct o_orderkey from orders) o
+              on l.l_orderkey = o.o_orderkey),
+          lp as (
+            select 'lineitem->part' as relation,
+                   count(*) as n_rows,
+                   sum(case when l_partkey is null then 1 else 0 end)
+                     as n_null_keys,
+                   sum(case when l_partkey is not null
+                             and p.p_partkey is null then 1 else 0 end)
+                     as n_orphans,
+                   count(l_partkey) as nn
+            from lineitem l
+            left join (select distinct p_partkey from part) p
+              on l.l_partkey = p.p_partkey),
+          u as (
+            select * from oc union all
+            select * from lo union all
+            select * from lp)
+          select relation, cast(n_rows as bigint) as n_rows,
+                 cast(n_null_keys as bigint) as n_null_keys,
+                 cast(n_orphans as bigint) as n_orphans,
+                 case when nn > 0
+                      then round(1.0::DOUBLE - n_orphans / nn, 6)
+                      end as coverage
+          from u""",
+        "fuzzy_pairs": """
+          with d as (
+            select p_partkey as id, p_name as s,
+                   split_part(p_name, ' ', 1) as b
+            from part where p_name is not null)
+          select a.id as id_a, c.id as id_b,
+                 cast(levenshtein(a.s, c.s) as int) as dist
+          from d a join d c on a.b = c.b and a.id < c.id
+          where levenshtein(a.s, c.s) <= 2""",
     }

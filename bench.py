@@ -113,6 +113,9 @@ BENCH_QUERIES = (
     "sequence_audit",
     "cuped_adjust",
     "robust_outliers",
+    "build_vocab",
+    "fk_coverage",
+    "fuzzy_pairs",
 )
 
 

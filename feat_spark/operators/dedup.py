@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from feat_spark.functions.text import md5_long32, word_shingles
@@ -821,4 +821,52 @@ def remove_duplicate_spans(
             .cast("long")
             .alias("n_removed"),
         )
+    )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int = 2,
+    block: Column | None = None,
+) -> DataFrame:
+    """Blocked edit-distance candidate pairs — the record-linkage /
+    fuzzy-dedup primitive (near-identical product names, typo'd
+    entities) that must NEVER run all-pairs: candidates are generated
+    by an equi-join on a blocking key (default: the first whitespace
+    token) and only within-block pairs pay the Levenshtein cost.
+
+    Same scale shape as the LSH band join and the SimHash chunk join:
+    the cross-pair explosion is bounded by the largest block, so pick
+    a blocking key with bounded fan-out (first token + length bucket,
+    phonetic code, …) exactly as you would pick LSH bands. Recall is
+    bounded by the block: a typo in the blocking token itself escapes
+    — compose multiple blocks (union) for OR-construction recall,
+    as with multi-table LSH.
+
+    Output: ``(id_a, id_b, dist)`` with ``id_a < id_b`` and
+    ``dist <= max_dist``, deterministic, no RNG.
+    """
+    b = block if block is not None else F.split(F.col(str_col), " ")[0]
+    d = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(str_col).alias("__s"),
+        b.alias("__b"),
+    ).filter(F.col("__s").isNotNull())
+    a, c = d.alias("a"), d.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.__b") == F.col("c.__b"))
+            & (F.col("a.__id") < F.col("c.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("c.__id").alias("id_b"),
+            F.levenshtein(F.col("a.__s"), F.col("c.__s"))
+            .cast("int")
+            .alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
     )

@@ -258,3 +258,47 @@ def group_linear_fit(
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_size: int | None = None,
+) -> DataFrame:
+    """Frequency-ranked token vocabulary with stable ids — the
+    StringIndexer/CountVectorizer build step every bag-of-words or
+    embedding-lookup pipeline needs: ``token_id`` 0 is the most
+    frequent surviving token, ties break lexicographically, ids are
+    dense, and anything outside the table is the caller's OOV bucket.
+
+    Scale note: the corpus-sized work is ONE map-side-combinable
+    word count; the ``row_number`` ranking runs on the already
+    aggregated vocabulary (bounded by ``max_size`` / the type count,
+    i.e. dimension-scale), so the single-partition window sorts
+    thousands of rows, never the corpus. Deterministic by
+    construction — no monotonically_increasing_id, no RNG.
+
+    Output: ``(word, token_id, n_occurrences)``.
+    """
+    from feat_spark.functions.text import words
+
+    w = df.select(F.explode(words(text_col)).alias("word")).filter(
+        F.col("word") != ""
+    )
+    counts = w.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    if min_count > 1:
+        counts = counts.filter(F.col("n_occurrences") >= min_count)
+    win = Window.orderBy(
+        F.col("n_occurrences").desc(), F.col("word").asc()
+    )
+    out = counts.withColumn(
+        "token_id", (F.row_number().over(win) - 1).cast("long")
+    )
+    if max_size is not None:
+        out = out.filter(F.col("token_id") < max_size)
+    return out.select(
+        "word", "token_id", F.col("n_occurrences").cast("long").alias("n_occurrences")
+    )

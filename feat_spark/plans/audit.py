@@ -178,3 +178,54 @@ def sequence_audit(
         "n_seq_inversions",
         "max_gap_us",
     )
+
+
+def fk_coverage(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    relation: str,
+) -> DataFrame:
+    """Referential-integrity profile of one foreign-key edge — the
+    join-key coverage audit a feature pipeline runs before trusting an
+    enrichment join (an orphaned fact row silently becomes NULL
+    features downstream).
+
+    One distinct-project of the parent key, one left equi-join, one
+    aggregate: NULL child keys are counted separately (they are not
+    orphans — they never tried to join), ``coverage`` is the matched
+    share of NON-null keys rounded to 6dp (NULL when every key is
+    null). The join is plain equi — AQE broadcasts dimension-sized
+    parents on its own; nothing here pins a 100 TB parent into a
+    broadcast.
+
+    Output: one row ``(relation, n_rows, n_null_keys, n_orphans,
+    coverage)`` — union several calls for a full FK report.
+    """
+    pk = parent.select(F.col(parent_key).alias("__k")).distinct().withColumn(
+        "__hit", F.lit(1)
+    )
+    j = child.select(F.col(child_key).alias("__k")).join(pk, "__k", "left")
+    nn = F.sum(F.col("__k").isNotNull().cast("long"))
+    orph = F.sum(
+        (F.col("__k").isNotNull() & F.col("__hit").isNull()).cast("long")
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(F.sum(F.col("__k").isNull().cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_null_keys"),
+        F.coalesce(orph, F.lit(0)).cast("long").alias("n_orphans"),
+        F.coalesce(nn, F.lit(0)).cast("long").alias("__nn"),
+    )
+    return agg.select(
+        F.lit(relation).alias("relation"),
+        "n_rows",
+        "n_null_keys",
+        "n_orphans",
+        F.when(
+            F.col("__nn") > 0,
+            F.round(1.0 - F.col("n_orphans") / F.col("__nn"), 6),
+        ).alias("coverage"),
+    )
