@@ -2436,6 +2436,18 @@ def _q_fuzzy_pairs(spark, sf_dir):
     return fuzzy_pairs(p, id_col="p_partkey", str_col="p_name", max_dist=2)
 
 
+def _q_vocab_coverage(spark, sf_dir):
+    """OOV-rate audit (encoding.vocab_coverage): every document scored
+    against the min_count=3 / cap-500 vocabulary that build_vocab
+    gates — per-doc token count, OOV count, OOV share. The oracle
+    rebuilds the vocab CTE and replays the join."""
+    from feat_spark.operators.encoding import build_vocab, vocab_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    v = build_vocab(d, text_col="text", min_count=3, max_size=500)
+    return vocab_coverage(d, v, text_col="text", id_col="doc_id")
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2643,6 +2655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_vocab": _q_build_vocab,
         "fk_coverage": _q_fk_coverage,
         "fuzzy_pairs": _q_fuzzy_pairs,
+        "vocab_coverage": _q_vocab_coverage,
     }
 
 
@@ -4402,4 +4415,35 @@ def oracle_sql() -> dict[str, str]:
                  cast(levenshtein(a.s, c.s) as int) as dist
           from d a join d c on a.b = c.b and a.id < c.id
           where levenshtein(a.s, c.s) <= 2""",
+        "vocab_coverage": f"""
+          with w as (
+            select unnest({_WS}) as word from documents),
+          c as (
+            select word, count(*) as n_occurrences
+            from w where word <> ''
+            group by 1 having count(*) >= 3),
+          r as (
+            select word,
+                   row_number() over (order by n_occurrences desc, word)
+                     - 1 as token_id
+            from c),
+          vocab as (select word from r where token_id < 500),
+          toks as (
+            select doc_id, unnest({_WS}) as word from documents),
+          t2 as (select * from toks where word <> ''),
+          hit as (
+            select t2.doc_id,
+                   case when v.word is null then 1 else 0 end as oov
+            from t2 left join vocab v using (word)),
+          per as (
+            select doc_id, count(*) as n_tokens, sum(oov) as n_oov
+            from hit group by 1)
+          select d.doc_id,
+                 cast(coalesce(per.n_tokens, 0) as bigint) as n_tokens,
+                 cast(coalesce(per.n_oov, 0) as bigint) as n_oov,
+                 case when per.n_tokens > 0
+                      then round(per.n_oov / per.n_tokens, 6)
+                      end as oov_rate
+          from (select distinct doc_id from documents) d
+          left join per using (doc_id)""",
     }

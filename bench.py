@@ -116,6 +116,7 @@ BENCH_QUERIES = (
     "build_vocab",
     "fk_coverage",
     "fuzzy_pairs",
+    "vocab_coverage",
 )
 
 

@@ -302,3 +302,51 @@ def build_vocab(
     return out.select(
         "word", "token_id", F.col("n_occurrences").cast("long").alias("n_occurrences")
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a :func:`build_vocab` table to a corpus and measure
+    out-of-vocabulary pressure per document — the go/no-go check
+    before freezing a tokenizer or embedding table (a rising OOV rate
+    on new data means the vocab no longer covers the distribution).
+
+    One explode + one (word)-keyed equi-join against the
+    dimension-scale vocab (broadcast by AQE) + one per-doc agg.
+    Documents with no tokens keep a row with ``n_tokens = 0`` and a
+    NULL ``oov_rate`` (0/0 is not 0% OOV).
+
+    Output: ``(doc_id, n_tokens, n_oov, oov_rate)``, rate at 6dp.
+    """
+    from feat_spark.functions.text import words
+
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.explode(words(text_col)).alias("word")
+    ).filter(F.col("word") != "")
+    hit = toks.join(
+        vocab.select("word").withColumn("__in", F.lit(1)), "word", "left"
+    )
+    per = hit.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.coalesce(F.sum(F.col("__in").isNull().cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_oov"),
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .distinct()
+        .join(per, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("n_oov") / F.col("n_tokens"), 6),
+            ).alias("oov_rate"),
+        )
+    )

@@ -76,3 +76,21 @@ def test_fuzzy_pairs_blocked_levenshtein(spark):
         df, "id", "name", max_dist=4, block=F.lit("x")
     ).collect()
     assert (4, 5) in {(r["id_a"], r["id_b"]) for r in allb}  # blue~red widget dist 4
+
+
+def test_vocab_coverage_oov(spark):
+    from feat_spark.operators.encoding import build_vocab, vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a zz"), (3, "")],
+        "doc_id long, text string",
+    )
+    vocab = build_vocab(docs, "text", min_count=2)  # only "a" survives
+    out = {
+        r["doc_id"]: r for r in vocab_coverage(docs, vocab).collect()
+    }
+    assert out[1]["n_tokens"] == 3 and out[1]["n_oov"] == 1  # "b"
+    assert out[1]["oov_rate"] == round(1 / 3, 6)
+    assert out[2]["n_tokens"] == 2 and out[2]["n_oov"] == 1  # "zz"
+    # empty doc keeps its row: 0 tokens, NULL rate (not 0% OOV)
+    assert out[3]["n_tokens"] == 0 and out[3]["oov_rate"] is None
