@@ -2448,6 +2448,61 @@ def _q_vocab_coverage(spark, sf_dir):
     return vocab_coverage(d, v, text_col="text", id_col="doc_id")
 
 
+def _q_variant_summary(spark, sf_dir):
+    """Per-variant experiment readout (experiment.variant_summary):
+    n / mean / sd / se / normal CI from three exact decimal sums per
+    variant, closed-form combine in double. Same per-user integer-cent
+    metric and user_id%2 assignment as the CUPED gate; the oracle
+    replays sums and arithmetic verbatim."""
+    from feat_spark.operators.experiment import variant_summary
+
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    cut = 1705276800000000
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(ts_us >= cut, cents)).alias("y")
+    )
+    units = per_user.withColumn("variant", F.col("user_id") % 2)
+    return variant_summary(units, variant_col="variant", y_col="y")
+
+
+def _q_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch gate (experiment.srm_check): chi-square
+    of the observed user_id%4 split vs a uniform allocation, computed
+    without a totals cross-join via chi2 = (W/T)*sum(o^2/w) - T. Unit
+    weights keep every term an exact integer-valued double, so the
+    statistic is bit-stable under any partial-agg order."""
+    from feat_spark.operators.experiment import srm_check
+
+    e = _events(spark, sf_dir)
+    users = e.select("user_id").distinct().withColumn(
+        "variant", F.col("user_id") % 4
+    )
+    return srm_check(
+        users, variant_col="variant",
+        expected={0: 1, 1: 1, 2: 1, 3: 1}, critical=7.815,
+    )
+
+
+def _q_readability(spark, sf_dir):
+    """Flesch reading-ease scoring (functions/text.readability_
+    features): regex word/sentence/vowel-group counts + the textbook
+    formula, NULL when unscorable. RE2-safe classes, so the oracle
+    replays every count and the double arithmetic."""
+    from feat_spark.functions.text import readability_features
+
+    d = _t(spark, sf_dir, "documents")
+    feats = readability_features("text")
+    return d.select(
+        "doc_id",
+        feats["n_words"].alias("n_words"),
+        feats["n_sentences"].alias("n_sentences"),
+        feats["n_syllables"].alias("n_syllables"),
+        feats["flesch"].alias("flesch"),
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2656,6 +2711,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_coverage": _q_fk_coverage,
         "fuzzy_pairs": _q_fuzzy_pairs,
         "vocab_coverage": _q_vocab_coverage,
+        "variant_summary": _q_variant_summary,
+        "srm_check": _q_srm_check,
+        "readability": _q_readability,
     }
 
 
@@ -4446,4 +4504,65 @@ def oracle_sql() -> dict[str, str]:
                       end as oov_rate
           from (select distinct doc_id from documents) d
           left join per using (doc_id)""",
+        "variant_summary": """
+          with per as (
+            select user_id, user_id % 2 as variant,
+                   sum(case when epoch_us(ts) >= 1705276800000000
+                       then (value::decimal(18,2) * 100)::BIGINT end) as y
+            from events where value is not null
+            group by 1, 2),
+          d as (
+            select variant, cast(y as decimal(28,6)) as yd
+            from per where y is not null),
+          a as (
+            select variant, count(*) as n_units,
+                   cast(sum(yd) as double) as sy,
+                   cast(sum(yd * yd) as double) as syy
+            from d group by 1)
+          select variant, cast(n_units as bigint) as n_units,
+                 round(sy / n_units, 6) as mean_y,
+                 case when n_units > 1 then round(sqrt(
+                   (syy - sy * sy / n_units) / (n_units - 1)), 6) end
+                   as sd_y,
+                 case when n_units > 1 then round(sqrt(
+                   ((syy - sy * sy / n_units) / (n_units - 1)) / n_units),
+                   6) end as se_y,
+                 case when n_units > 1 then round(sy / n_units
+                   - 1.96::DOUBLE * sqrt(
+                     ((syy - sy * sy / n_units) / (n_units - 1)) / n_units),
+                   6) end as ci_lo,
+                 case when n_units > 1 then round(sy / n_units
+                   + 1.96::DOUBLE * sqrt(
+                     ((syy - sy * sy / n_units) / (n_units - 1)) / n_units),
+                   6) end as ci_hi
+          from a""",
+        "srm_check": """
+          with u as (select distinct user_id from events),
+          c as (
+            select user_id % 4 as variant, count(*) as o
+            from u group by 1),
+          a as (
+            select sum(o) as t, count(*) as k_obs,
+                   sum(o * o / 1.0::DOUBLE) as oow
+            from c)
+          select cast(t as bigint) as n_total,
+                 cast(k_obs as bigint) as n_variants,
+                 round(4.0::DOUBLE / t * oow - t, 6) as chi2,
+                 (4.0::DOUBLE / t * oow - t > 7.815::DOUBLE) as srm
+          from a""",
+        "readability": f"""
+          with c as (
+            select doc_id,
+                   len(list_filter({_WS}, x -> x <> '')) as w,
+                   len(regexp_extract_all(text, '[.!?]+')) as s,
+                   len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) as y
+            from documents)
+          select doc_id,
+                 cast(w as bigint) as n_words,
+                 cast(s as bigint) as n_sentences,
+                 cast(y as bigint) as n_syllables,
+                 case when w > 0 and s > 0 then round(
+                   206.835::DOUBLE - 1.015::DOUBLE * (w / s)
+                   - 84.6::DOUBLE * (y / w), 6) end as flesch
+          from c""",
     }

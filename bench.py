@@ -117,6 +117,9 @@ BENCH_QUERIES = (
     "fk_coverage",
     "fuzzy_pairs",
     "vocab_coverage",
+    "variant_summary",
+    "srm_check",
+    "readability",
 )
 
 

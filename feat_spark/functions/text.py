@@ -190,3 +190,43 @@ def canonical_text(col: Column | str) -> Column:
     c = F.regexp_replace(c, "[^a-z0-9\\s]", "")
     c = F.regexp_replace(c, "\\s+", " ")
     return F.trim(c)
+
+
+def readability_features(col: Column | str) -> dict:
+    """Flesch-reading-ease feature columns from deterministic regex
+    counts — the classic document-quality signal alongside
+    :func:`quality_score` (boilerplate and OCR junk score very low;
+    fluent prose lands 40–80).
+
+    Heuristics are portable by construction (RE2-safe classes, no
+    lookaround): words = non-empty whitespace tokens, sentences =
+    runs of ``[.!?]``, syllables = runs of ``[aeiouyAEIOUY]`` (the
+    standard vowel-group approximation). The score is the textbook
+    formula ``206.835 − 1.015·(W/S) − 84.6·(Y/W)`` in plain double
+    arithmetic, NULL when the text has no words or no sentence
+    terminator (a shard of code or a title is not "easy to read" —
+    it is unscorable).
+
+    Returns a dict of named Columns (``n_words``, ``n_sentences``,
+    ``n_syllables``, ``flesch``) so callers select exactly what they
+    need; everything is a pure projection — zero shuffle, zero UDF.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    w = F.size(F.filter(words(c), lambda x: x != "")).cast("long")
+    s = F.regexp_count(c, F.lit(r"[.!?]+")).cast("long")
+    y = F.regexp_count(c, F.lit(r"[aeiouyAEIOUY]+")).cast("long")
+    flesch = F.when(
+        (w > 0) & (s > 0),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (w.cast("double") / s.cast("double"))
+            - F.lit(84.6) * (y.cast("double") / w.cast("double")),
+            6,
+        ),
+    )
+    return {
+        "n_words": w,
+        "n_sentences": s,
+        "n_syllables": y,
+        "flesch": flesch,
+    }

@@ -87,3 +87,118 @@ def cuped_adjust(
         F.round(theta, dp).alias("theta"),
         F.round(rho2, dp).alias("rho2"),
     )
+
+
+def variant_summary(
+    df: DataFrame,
+    variant_col: str,
+    y_col: str,
+    z: float = 1.96,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-variant metric readout with a normal-approximation
+    confidence interval — the table every experiment dashboard shows:
+    ``n``, mean, sample standard deviation, standard error, and
+    ``mean ± z*se``.
+
+    Same exact-sums discipline as :func:`cuped_adjust`: three decimal
+    aggregates per variant (n, Σy, Σy²), closed-form combine in
+    double (``var = (Σy² − (Σy)²/n) / (n−1)``), so partial-agg order
+    can't change a bit and a SQL engine replays the arithmetic.
+    Degenerate groups are honest: ``n = 1`` → NULL sd/se/CI.
+
+    Output: ``(variant, n_units, mean_y, sd_y, se_y, ci_lo, ci_hi)``.
+    """
+    yd = F.col(y_col).cast("double").cast("decimal(18,6)")
+    d = df.filter(F.col(y_col).isNotNull()).select(
+        F.col(variant_col).alias("variant"), yd.alias("__y")
+    )
+    agg = d.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("__y").cast("double").alias("sy"),
+        F.sum(F.col("__y") * F.col("__y")).cast("double").alias("syy"),
+    )
+    n = F.col("n_units")
+    mean = F.col("sy") / n
+    var = F.when(
+        n > 1, (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    )
+    sd = F.sqrt(var)
+    se = F.sqrt(var / n)
+    return agg.select(
+        "variant",
+        n.cast("long").alias("n_units"),
+        F.round(mean, dp).alias("mean_y"),
+        F.round(sd, dp).alias("sd_y"),
+        F.round(se, dp).alias("se_y"),
+        F.round(mean - z * se, dp).alias("ci_lo"),
+        F.round(mean + z * se, dp).alias("ci_hi"),
+    )
+
+
+def srm_check(
+    df: DataFrame,
+    variant_col: str,
+    expected: dict,
+    critical: float = 3.841,
+    dp: int = 6,
+) -> DataFrame:
+    """Sample-ratio-mismatch check — the first gate on any experiment:
+    does the observed variant split match the intended allocation?
+    A failed SRM invalidates every downstream metric (some segment is
+    being dropped or double-bucketed), so this runs before
+    :func:`variant_summary` is even looked at.
+
+    Pearson chi-square against the expected weights, computed WITHOUT
+    a totals cross-join via the algebraic identity
+    ``chi2 = (W/T)·Σ(oᵢ²/wᵢ) − T`` (T = total rows, W = Σ weights
+    over ALL expected variants — variants with zero observed rows
+    contribute exactly their expectation through the −T term). One
+    count-by-variant agg + one scalar agg; rows observed under a
+    variant missing from ``expected`` NULL the statistic and the flag
+    (a typo'd allocation must not silently skew T — counts stay
+    visible, the verdict refuses to render).
+
+    Output: one row ``(n_total, n_variants, chi2, srm)`` with ``srm``
+    true when ``chi2 > critical`` (default 3.841 = χ²₀.₀₅ at 1 dof —
+    pass the right critical value for >2 variants).
+    """
+    w_total = float(sum(expected.values()))
+    wmap = None
+    for k, v in expected.items():
+        cond = F.col("variant") == F.lit(k)
+        wmap = F.when(cond, F.lit(float(v))) if wmap is None else wmap.when(
+            cond, F.lit(float(v))
+        )
+    counts = (
+        df.select(F.col(variant_col).alias("variant"))
+        .groupBy("variant")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .withColumn("w", wmap)
+    )
+    agg = counts.agg(
+        F.sum("o").alias("t"),
+        F.count(F.lit(1)).alias("k_obs"),
+        F.sum(F.col("o") * F.col("o") / F.col("w")).alias("oow"),
+        F.sum(F.col("w").isNull().cast("long")).alias("unknown"),
+    )
+    chi2 = F.round(
+        F.lit(w_total) / F.col("t") * F.col("oow") - F.col("t"), dp
+    )
+    out = agg.select(
+        F.col("t").cast("long").alias("n_total"),
+        F.col("k_obs").cast("long").alias("n_variants"),
+        chi2.alias("chi2"),
+        (
+            F.lit(w_total) / F.col("t") * F.col("oow") - F.col("t")
+            > F.lit(float(critical))
+        ).alias("srm"),
+        F.col("unknown"),
+    )
+    # fail loudly on unknown variants rather than mis-normalizing
+    return out.select(
+        "n_total",
+        "n_variants",
+        F.when(F.col("unknown") == 0, F.col("chi2")).alias("chi2"),
+        F.when(F.col("unknown") == 0, F.col("srm")).alias("srm"),
+    )

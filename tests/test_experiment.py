@@ -66,3 +66,79 @@ def test_robust_outliers_flags_whale_not_tail(spark):
         "value", F.when(F.col("event_id") == 3, None).otherwise(F.col("value"))
     )
     assert robust_outliers(df2, "event_type", "value").count() == len(rows) - 1
+
+
+def test_variant_summary_exact_and_degenerate(spark):
+    import math
+
+    from feat_spark.operators.experiment import variant_summary
+
+    rows = [(0, float(v)) for v in (1, 2, 3, 4)] + [(1, 10.0)]
+    rows.append((0, None))  # null metric dropped
+    df = spark.createDataFrame(rows, "variant int, y double")
+    out = {r["variant"]: r for r in variant_summary(df, "variant", "y").collect()}
+    a = out[0]
+    assert a["n_units"] == 4 and a["mean_y"] == 2.5
+    # sample sd of 1..4 = sqrt(5/3)
+    assert a["sd_y"] == pytest.approx(math.sqrt(5 / 3), abs=1e-6)
+    se = math.sqrt(5 / 3 / 4)
+    assert a["se_y"] == pytest.approx(se, abs=1e-6)
+    assert a["ci_lo"] == pytest.approx(2.5 - 1.96 * se, abs=1e-5)
+    assert a["ci_hi"] == pytest.approx(2.5 + 1.96 * se, abs=1e-5)
+    # singleton variant: NULL dispersion, honest mean
+    b = out[1]
+    assert b["n_units"] == 1 and b["mean_y"] == 10.0
+    assert b["sd_y"] is None and b["ci_lo"] is None
+
+
+def test_srm_check_detects_mismatch(spark):
+    from feat_spark.operators.experiment import srm_check
+
+    even = [(i, i % 2) for i in range(1000)]
+    df = spark.createDataFrame(even, "id long, variant int")
+    ok = srm_check(df, "variant", {0: 1, 1: 1}).collect()[0]
+    assert ok["n_total"] == 1000 and ok["chi2"] == 0.0 and ok["srm"] is False
+    # 600/400 split against 50/50: chi2 = (100^2/500)*2 = 40 -> SRM
+    skew = [(i, 0 if i < 600 else 1) for i in range(1000)]
+    bad = srm_check(
+        spark.createDataFrame(skew, "id long, variant int"), "variant", {0: 1, 1: 1}
+    ).collect()[0]
+    assert bad["chi2"] == pytest.approx(40.0, abs=1e-6) and bad["srm"] is True
+    # weighted allocation: 900/100 vs 9:1 is perfectly on-target
+    w = [(i, 0 if i < 900 else 1) for i in range(1000)]
+    onw = srm_check(
+        spark.createDataFrame(w, "id long, variant int"), "variant", {0: 9, 1: 1}
+    ).collect()[0]
+    assert onw["chi2"] == pytest.approx(0.0, abs=1e-9) and onw["srm"] is False
+    # unknown variant refuses to render a verdict
+    unk = srm_check(df, "variant", {0: 1}).collect()[0]
+    assert unk["chi2"] is None and unk["srm"] is None
+
+
+def test_readability_formula(spark):
+    from feat_spark.functions.text import readability_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),
+            (2, "no terminator here"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    feats = readability_features("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *(feats[k].alias(k) for k in feats)
+        ).collect()
+    }
+    r1 = out[1]
+    assert r1["n_words"] == 6 and r1["n_sentences"] == 2
+    # vowel groups: e,a,a,e,o,a -> The(1) cat(1) sat(1) The(1) dog(1) ran(1)
+    assert r1["n_syllables"] == 6
+    expected = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert r1["flesch"] == pytest.approx(expected, abs=1e-6)
+    # no sentence terminator -> unscorable, counts still real
+    assert out[2]["n_sentences"] == 0 and out[2]["flesch"] is None
+    assert out[3]["n_words"] == 0 and out[3]["flesch"] is None
