@@ -2503,6 +2503,41 @@ def _q_readability(spark, sf_dir):
     )
 
 
+def _q_histogram(spark, sf_dir):
+    """Equal-width value histogram (profile.histogram_bins): 20 bins
+    over exact integer cents, min/max folded in as driver-scalar
+    literals (the quantile_bin device), pure integer bin assignment —
+    engines cannot disagree on an edge. The oracle recomputes min/max
+    and replays the floor arithmetic."""
+    from feat_spark.operators.profile import histogram_bins
+
+    e = _events(spark, sf_dir)
+    return histogram_bins(e, value_col="value", n_bins=20)
+
+
+def _q_km_curve(spark, sf_dir):
+    """Kaplan-Meier survival curve (labels.km_curve) over the
+    hour-bucketed time-to-purchase labels of the time_to_event gate:
+    S(t) as exp of a decimal-summed, 12dp-rounded sum of log terms
+    (the PageRank device) — running product with zero float-order
+    hazard. The oracle unrolls the same spine arithmetic."""
+    from feat_spark.operators.labels import km_curve, time_to_event
+
+    e = _events(spark, sf_dir)
+    tte = time_to_event(
+        e,
+        entity_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        target_filter=F.col("event_type") == "purchase",
+        horizon_sec=259200,
+    )
+    hours = tte.select(
+        (F.col("tte_sec") / 3600).cast("long").alias("t_hr"), "observed"
+    )
+    return km_curve(hours, duration_col="t_hr", observed_col="observed")
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2714,6 +2749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_summary": _q_variant_summary,
         "srm_check": _q_srm_check,
         "readability": _q_readability,
+        "histogram": _q_histogram,
+        "km_curve": _q_km_curve,
     }
 
 
@@ -4565,4 +4602,75 @@ def oracle_sql() -> dict[str, str]:
                    206.835::DOUBLE - 1.015::DOUBLE * (w / s)
                    - 84.6::DOUBLE * (y / w), 6) end as flesch
           from c""",
+        "histogram": """
+          with d as (
+            select (value::decimal(18,2) * 100)::BIGINT as c
+            from events where value is not null),
+          mm as (select min(c) as lo, max(c) as hi,
+                        max(c) - min(c) as span, count(*) as total
+                 from d),
+          b as (
+            select least(19, ((c - mm.lo) * 20) // mm.span) as bin_id
+            from d, mm),
+          a as (select bin_id, count(*) as n from b group by 1)
+          select cast(bin_id as bigint) as bin_id,
+                 cast(mm.lo + (bin_id * mm.span) // 20 as bigint)
+                   as lo_cents,
+                 cast(mm.lo + ((bin_id + 1) * mm.span) // 20 as bigint)
+                   as hi_cents,
+                 cast(n as bigint) as n,
+                 round(n / mm.total, 6) as share
+          from a, mm""",
+        "km_curve": """
+          with e as (
+            select event_id, user_id, event_type, epoch_us(ts) as ts_us
+            from events),
+          nx as (
+            select event_id, ts_us,
+                   min(case when event_type = 'purchase' then ts_us end)
+                     over (partition by user_id order by ts_us, event_id
+                           rows between 1 following
+                             and unbounded following) as nxt
+            from e),
+          tte as (
+            select case when nxt is not null
+                         and (nxt - ts_us) // 1000000 <= 259200
+                   then (nxt - ts_us) // 1000000 else 259200 end as tte_sec,
+                   (nxt is not null
+                    and (nxt - ts_us) // 1000000 <= 259200) as observed
+            from nx),
+          hours as (select tte_sec // 3600 as t, observed from tte),
+          agg as (
+            select t,
+                   sum(case when observed then 1 else 0 end) as d,
+                   sum(case when not observed then 1 else 0 end) as c
+            from hours group by 1),
+          spine as (
+            select *, coalesce(sum(d + c) over
+              (order by t rows between unbounded preceding
+                 and 1 preceding), 0) as before
+            from agg),
+          s as (
+            select t, (select count(*) from hours) - before as n_at_risk,
+                   d, c
+            from spine),
+          tm as (
+            select *,
+                   case when d < n_at_risk then cast(
+                     round(ln(1.0::DOUBLE - d / n_at_risk), 12)
+                     as decimal(27,12)) end as term,
+                   max(case when d >= n_at_risk then 1 else 0 end) over
+                     (order by t rows between unbounded preceding
+                        and current row) as dead
+            from s)
+          select cast(t as bigint) as t,
+                 cast(n_at_risk as bigint) as n_at_risk,
+                 cast(d as bigint) as d,
+                 cast(c as bigint) as c,
+                 case when dead = 0 then round(exp(cast(
+                        sum(term) over (order by t rows between
+                          unbounded preceding and current row)
+                        as double)), 6)
+                      else 0.0::DOUBLE end as survival
+          from tm""",
     }

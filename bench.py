@@ -120,6 +120,8 @@ BENCH_QUERIES = (
     "variant_summary",
     "srm_check",
     "readability",
+    "histogram",
+    "km_curve",
 )
 
 

@@ -135,3 +135,69 @@ def negative_sample(
     return untouched.groupBy(entity_col, item_col, "neg_item").agg(
         F.min("j").cast("long").alias("j")
     )
+
+
+def km_curve(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+) -> DataFrame:
+    """Kaplan–Meier survival curve over the censored durations that
+    :func:`time_to_event` produces — the population-level readout of
+    the same label ("what fraction of users still hadn't purchased
+    after t?"), and the standard churn/conversion-lag plot.
+
+    At each distinct duration ``t`` (ascending): ``n_at_risk`` =
+    units with duration ≥ t, ``d`` = observed events at t, and
+    ``S(t) = Π_{t'<=t} (1 − d/n)``. The product is computed as
+    ``exp(Σ ln(1 − d/n))`` with each log-term ROUNDED TO 12dp AND
+    DECIMAL-SUMMED over an ordered window (the PageRank contribution
+    device) — so the running product is exact-replayable in any
+    engine, with no float-accumulation-order hazard. Once ``d = n``
+    (everyone at risk exits), survival is exactly 0 from there on.
+
+    Scale shape: the corpus-sized work is ONE groupBy(duration); the
+    ordered window then runs over the AGGREGATED duration spine —
+    bucket durations (hours/days) upstream so that spine stays
+    dimension-scale, as the gate query does. Output:
+    ``(t, n_at_risk, d, c, survival)`` with survival at 6dp.
+    """
+    agg = df.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(F.col(observed_col).cast("long")).alias("d"),
+        F.sum((~F.col(observed_col)).cast("long")).alias("c"),
+    )
+    w = Window.orderBy("t")
+    exits = (F.col("d") + F.col("c")).alias("__x")
+    spine = agg.select("t", "d", "c", exits).withColumn(
+        "__before", F.coalesce(
+            F.sum("__x").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+    )
+    total = df.count()
+    n_at_risk = (F.lit(total) - F.col("__before")).cast("long")
+    factor = F.lit(1.0) - F.col("d") / n_at_risk
+    term = F.when(
+        F.col("d") < n_at_risk, F.round(F.log(factor), 12)
+    ).cast("decimal(27,12)")
+    dead = F.max((F.col("d") >= n_at_risk).cast("int")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    surv = F.when(
+        dead == 0,
+        F.round(
+            F.exp(
+                F.sum(term)
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("double")
+            ),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return spine.select(
+        "t",
+        n_at_risk.alias("n_at_risk"),
+        F.col("d").cast("long").alias("d"),
+        F.col("c").cast("long").alias("c"),
+        surv.alias("survival"),
+    )

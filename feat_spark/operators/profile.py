@@ -292,3 +292,65 @@ def robust_outliers(
             ).alias("is_outlier"),
         )
     )
+
+
+def histogram_bins(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Equal-WIDTH histogram over integer cents — the shape profile
+    that complements :func:`~feat_spark.operators.encoding.quantile_bin`
+    (equal-frequency): fixed edges make two runs comparable, which is
+    what a drift dashboard plots.
+
+    Bin assignment is pure integer arithmetic —
+    ``least(n_bins-1, (c - lo) * n_bins // span)`` on exact cents —
+    so no float edge can disagree between engines; edges are emitted
+    as exact integer cents. The global ``lo``/``hi`` come from one
+    tiny min/max aggregate collected to the driver and folded into
+    the plan as literals (the :func:`quantile_bin` device), keeping
+    the data pass a single map-side-combinable groupBy. Degenerate
+    span (all values equal) collapses to one bin.
+
+    Output per (group,) bin: ``(group?, bin_id, lo_cents, hi_cents,
+    n, share)`` — only non-empty bins appear.
+    """
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    d = df.filter(F.col(value_col).isNotNull())
+    keys = [group_col] if group_col else []
+    d = d.select(*keys, cents.alias("__c"))
+    mm = d.agg(F.min("__c").alias("lo"), F.max("__c").alias("hi")).collect()[0]
+    lo, hi = mm["lo"], mm["hi"]
+    if lo is None:
+        return d.select(
+            *keys,
+            F.lit(0).cast("long").alias("bin_id"),
+            F.lit(0).cast("long").alias("lo_cents"),
+            F.lit(0).cast("long").alias("hi_cents"),
+            F.lit(0).cast("long").alias("n"),
+            F.lit(0.0).alias("share"),
+        ).limit(0)
+    span = hi - lo
+    if span == 0:
+        bin_id = F.lit(0).cast("long")
+    else:
+        bin_id = F.least(
+            F.lit(n_bins - 1).cast("long"),
+            ((F.col("__c") - F.lit(lo)) * n_bins / F.lit(span)).cast("long"),
+        )
+    total = d.count()
+    agg = d.withColumn("bin_id", bin_id).groupBy(*keys, "bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    edge_lo = F.lit(lo) + (F.col("bin_id") * span / n_bins).cast("long")
+    edge_hi = F.lit(lo) + ((F.col("bin_id") + 1) * span / n_bins).cast("long")
+    return agg.select(
+        *keys,
+        F.col("bin_id"),
+        edge_lo.cast("long").alias("lo_cents"),
+        edge_hi.cast("long").alias("hi_cents"),
+        "n",
+        F.round(F.col("n") / F.lit(total), 6).alias("share"),
+    )

@@ -142,3 +142,43 @@ def test_readability_formula(spark):
     # no sentence terminator -> unscorable, counts still real
     assert out[2]["n_sentences"] == 0 and out[2]["flesch"] is None
     assert out[3]["n_words"] == 0 and out[3]["flesch"] is None
+
+
+def test_histogram_bins_integer_edges(spark):
+    from feat_spark.operators.profile import histogram_bins
+
+    vals = [(i, float(i)) for i in range(0, 10)]  # 0..9 dollars
+    df = spark.createDataFrame(vals, "id long, value double")
+    out = {r["bin_id"]: r for r in histogram_bins(df, "value", n_bins=5).collect()}
+    # cents 0..900, span 900: two values per bin, max value clipped in
+    assert [out[b]["n"] for b in range(5)] == [2, 2, 2, 2, 2]
+    assert out[0]["lo_cents"] == 0 and out[0]["hi_cents"] == 180
+    assert out[4]["lo_cents"] == 720 and out[4]["hi_cents"] == 900
+    assert out[0]["share"] == 0.2
+    # degenerate span: one bin holding everything
+    same = spark.createDataFrame([(1, 5.0), (2, 5.0)], "id long, value double")
+    d = histogram_bins(same, "value", n_bins=5).collect()
+    assert len(d) == 1 and d[0]["bin_id"] == 0 and d[0]["n"] == 2
+    # all-null column: empty result, stable schema
+    nul = spark.createDataFrame([(1, None)], "id long, value double")
+    assert histogram_bins(nul, "value").count() == 0
+
+
+def test_km_curve_textbook(spark):
+    from feat_spark.operators.labels import km_curve
+
+    rows = (
+        [(1, True)] * 2                     # t=1: 2 events of 10 at risk
+        + [(2, True), (2, False)]           # t=2: 1 event + 1 censor of 8
+        + [(3, False)] * 2                  # t=3: censoring only
+        + [(5, True)] * 4                   # t=5: everyone left exits
+    )
+    df = spark.createDataFrame(rows, "t long, observed boolean")
+    out = {r["t"]: r for r in km_curve(df, "t", "observed").collect()}
+    assert out[1]["n_at_risk"] == 10 and out[1]["survival"] == pytest.approx(0.8, abs=1e-6)
+    assert out[2]["n_at_risk"] == 8
+    assert out[2]["survival"] == pytest.approx(0.8 * (1 - 1 / 8), abs=1e-6)
+    # censoring-only time: survival unchanged
+    assert out[3]["survival"] == out[2]["survival"]
+    # final time exhausts the risk set: survival exactly 0
+    assert out[5]["n_at_risk"] == 4 and out[5]["survival"] == 0.0
