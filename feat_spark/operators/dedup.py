@@ -855,18 +855,27 @@ def fuzzy_pairs(
         b.alias("__b"),
     ).filter(F.col("__s").isNotNull())
     a, c = d.alias("a"), d.alias("c")
+    # two semantics-preserving prunes: |len(a)-len(b)| <= d is IMPLIED
+    # by dist <= d (each edit changes length by at most 1), so it can
+    # sit in the join condition; and the thresholded levenshtein stops
+    # the DP at d+1 (O(d*min_len) per pair instead of O(n*m)),
+    # returning -1 for pairs past the cutoff
     return (
         a.join(
             c,
             (F.col("a.__b") == F.col("c.__b"))
-            & (F.col("a.__id") < F.col("c.__id")),
+            & (F.col("a.__id") < F.col("c.__id"))
+            & (
+                F.abs(F.length(F.col("a.__s")) - F.length(F.col("c.__s")))
+                <= max_dist
+            ),
         )
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("c.__id").alias("id_b"),
-            F.levenshtein(F.col("a.__s"), F.col("c.__s"))
+            F.levenshtein(F.col("a.__s"), F.col("c.__s"), max_dist)
             .cast("int")
             .alias("dist"),
         )
-        .filter(F.col("dist") <= max_dist)
+        .filter(F.col("dist") >= 0)
     )
