@@ -117,7 +117,9 @@ def write_md(turns: int) -> dict:
             "before citing them.**"
         )
     else:
-        rev_note = f"All rows below were measured at git rev `{rev}` (HEAD)."
+        # name the literal rev, never "(HEAD)" — HEAD moves with every
+        # doc commit and the claim goes stale the moment it lands
+        rev_note = f"All rows below were measured at git rev `{rev}`."
     if not tps:  # no campaign at HEAD yet: fall back, but say so
         tps = all_runs(turns)
         rev_note = (
