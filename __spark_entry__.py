@@ -2613,11 +2613,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # feature-matrix / leakage-audit / encoding gates; LSH star cap;
     # 2-table recall; kmeans lineage truncation; curation default cap;
     # salted type filter; lsh_bucketed_topk refactor). The WINDOW CUTS
-    # at `winsorize` (position 50): the new gates from `rolling_zscore`
-    # through `impute_group_mean` plus every r2-green trailer ride on
-    # local selfcheck evidence this round — ROTATE THEM TO THE FRONT
-    # IN ROUND 4 (r2-green trailers first: they'll be 2 rounds stale;
-    # then the new locally-proven gates).
+    # at `winsorize` (position 50).
+    # ROUND-4 ROTATION PLAN (134 registered, 84 outside the r3 window):
+    # move to the front, in this order: (1) the r2-green refill block
+    # `jaccard_pairs`..`asof_join_nearest` — their newest driver row
+    # will be 2 rounds old; (2) every never-driver-checked gate from
+    # `rolling_zscore` through `km_curve` (sessions 2-4 additions, all
+    # green in local selfcheck + r3 CORRECTNESS if the driver reached
+    # them); (3) the r2-green trailers `stable_order`..`feature_extract`.
+    # Keep `partition_lineage` in the window until its driver row is
+    # green.
     return {
         # --- last driver row = r1 (stalest first) -------------------
         "feature_extract_union": _q_feature_extract_union,
