@@ -2004,6 +2004,33 @@ def _q_semantic_dedup(spark, sf_dir):
     )
 
 
+def _q_semantic_dedup_largek(spark, sf_dir):
+    """SemDeDup at a LARGE coarse quantizer (n_centroids=256 — toward
+    the paper's cited ~1e5-cluster regime): assignment goes through
+    ``assign_clusters(strategy="join")`` — broadcast centroid frame +
+    per-row ``max(struct(cos, -cid))`` — whose expression size is O(1)
+    in k, where the literal-fold projection used at k=16 would be a
+    256-branch ``greatest`` chain (similarity.LITERAL_MAX_K draws the
+    line; the n*k candidate stream collapses to n rows in the MAP-SIDE
+    partial aggregate before the single exchange). Centroids = the 256
+    lowest-id vectors (no Lloyd: training is already oracle-checked by
+    knn_cosine_ivf/semantic_dedup; this gate isolates the large-k
+    assignment path). The oracle replays assignment (same cos-desc,
+    cid-asc tie break) and the within-cluster pair scan."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = (
+        e.orderBy(F.col("vec_id").asc())
+        .limit(256)
+        .select(F.col("vec_id").alias("__cid"), F.col("embedding").alias("__cent"))
+    )
+    # materialize: feeds the broadcast in assign_clusters (256 rows)
+    cents = spark.createDataFrame(cents.collect(), cents.schema)
+    return S.semantic_dedup(
+        e, centroids=cents, threshold=0.35, id_col="vec_id",
+        vec_col="embedding", assign_strategy="join",
+    )
+
+
 def _q_classifier_scores(spark, sf_dir):
     """Frozen-linear-head inference over the embeddings corpus
     (similarity.linear_classifier_scores): the md5-derived weight
@@ -2444,6 +2471,70 @@ def _q_fuzzy_pairs(spark, sf_dir):
     )
 
 
+def _q_fuzzy_pairs_recall(spark, sf_dir):
+    """OR-construction recall for blocked edit distance
+    (dedup.fuzzy_pairs ``blocks=``) — the fuzzy twin of
+    `knn_lsh_recall`, against PLANTED second-token typos built to
+    escape the single composite block. For every part name with a
+    second token, a typo'd copy (id + 10,000,000) substitutes the
+    second token's first character ('q', or 'z' when it already is
+    'q') — Levenshtein distance exactly 1, but OUTSIDE block
+    b1 = (token1, first char of token2) by construction. Block
+    b2 = (token1, length) catches every substitution (length is
+    edit-invariant for substitutions), so the union of the two
+    candidate sets recovers recall the way a second LSH table does; a
+    planted pair is missed only if EVERY block misses it. Output: one
+    row per planted original, ``found`` = did the OR'd blocks emit the
+    (orig, typo) pair. The oracle replays typo planting, both block
+    joins, the pair-level dedup, and the Levenshtein cut; the 1.0
+    multi-block vs 0.0 single-block recall floor is asserted in
+    tests/test_dedup.py."""
+    from feat_spark.operators.dedup import fuzzy_pairs
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    sp = F.instr(F.col("p_name"), " ")
+    base = (
+        p.filter(
+            F.col("p_name").isNotNull()
+            & (sp > 0)
+            & (F.length("p_name") > sp)
+        )
+        .select("p_partkey", "p_name", sp.alias("__sp"))
+    )
+    typo_char = F.when(
+        F.substr(F.col("p_name"), F.col("__sp") + F.lit(1), F.lit(1)) == "q",
+        F.lit("z"),
+    ).otherwise(F.lit("q"))
+    typo = F.concat(
+        F.substr(F.col("p_name"), F.lit(1), F.col("__sp")),
+        typo_char,
+        F.substr(F.col("p_name"), F.col("__sp") + F.lit(2), F.length("p_name")),
+    )
+    corpus = base.select(
+        F.col("p_partkey").cast("long").alias("id"), F.col("p_name").alias("s")
+    ).unionByName(
+        base.select(
+            (F.col("p_partkey") + F.lit(10000000)).cast("long").alias("id"),
+            typo.alias("s"),
+        )
+    )
+    toks = F.split(F.col("s"), " ")
+    b1 = F.concat_ws(":", toks[0], F.substring(toks[1], 1, 1))
+    b2 = F.concat_ws(":", toks[0], F.length("s").cast("string"))
+    pairs = fuzzy_pairs(corpus, id_col="id", str_col="s", max_dist=2, blocks=[b1, b2])
+    # planted pair = (orig, orig + 1e7): part keys are << 1e7, typo ids
+    # all > 1e7, and within-side id gaps are < 1e7, so the delta test
+    # identifies exactly the planted pairs
+    hits = pairs.filter(F.col("id_b") - F.col("id_a") == 10000000).select(
+        F.col("id_a").alias("p_partkey"), F.lit(True).alias("__hit")
+    )
+    return (
+        base.select("p_partkey")
+        .join(hits, "p_partkey", "left")
+        .select("p_partkey", F.coalesce("__hit", F.lit(False)).alias("found"))
+    )
+
+
 def _q_vocab_coverage(spark, sf_dir):
     """OOV-rate audit (encoding.vocab_coverage): every document scored
     against the min_count=3 / cap-500 vocabulary that build_vocab
@@ -2604,27 +2695,124 @@ _ROLLING_ZSCORE_SQL = """
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
-    # oracle was touched this round moves into the window regardless —
-    # so no query's newest driver row is ever more than one round old.
-    # Round-3 order: first the 20 queries whose last driver row is r1
-    # (rotated out of the r2 window); then every row repaired, touched
-    # or NEW this round (partition_lineage oracle cast; star-contraction
-    # CC; decontamination / packing / mixture / ngram / stream-dedup /
-    # feature-matrix / leakage-audit / encoding gates; LSH star cap;
-    # 2-table recall; kmeans lineage truncation; curation default cap;
-    # salted type filter; lsh_bucketed_topk refactor). The WINDOW CUTS
-    # at `winsorize` (position 50).
-    # ROUND-4 ROTATION PLAN (134 registered, 84 outside the r3 window):
-    # move to the front, in this order: (1) the r2-green refill block
-    # `jaccard_pairs`..`asof_join_nearest` — their newest driver row
-    # will be 2 rounds old; (2) every never-driver-checked gate from
-    # `rolling_zscore` through `km_curve` (sessions 2-4 additions, all
-    # green in local selfcheck + r3 CORRECTNESS if the driver reached
-    # them); (3) the r2-green trailers `stable_order`..`feature_extract`.
-    # Keep `partition_lineage` in the window until its driver row is
-    # green.
+    # oracle was touched this round moves into the window regardless.
+    # ROUND-4 WINDOW (cuts at `embedding_near_dup`, position 50), in
+    # priority order:
+    #   (1) positions 1-5: gates whose executed code changed this round
+    #       (assign_clusters strategy="join" + semantic_dedup pass-
+    #       through; fuzzy_pairs blocks= OR-construction; pagerank
+    #       persist/reliable-checkpoint rework) or are NEW
+    #       (semantic_dedup_largek, fuzzy_pairs_recall);
+    #   (2) positions 6-44: every never-driver-checked gate
+    #       (rolling_zscore..psi_drift from r3 sessions 1-3,
+    #       time_to_event..km_curve from session 4; rolling_zscore and
+    #       stream_zscore adjacent so the batch/stream bit-parity claim
+    #       gets same-round driver rows);
+    #   (3) positions 45-50: the six stalest r2-green refill gates.
+    # Coverage ledger: r4 window re-spends ONE slot on an r3-green gate
+    # (semantic_dedup - its assignment code changed, freshness beats
+    # distinct-count), so CORRECTNESS_r04 + r03 cover 99 distinct gates
+    # of 136; everything else rides on green r2/r3 rows with code
+    # untouched since. ROUND-5 PLAN: remaining r2-green refill
+    # (media_features..asof_join_nearest) and the r2-green trailers
+    # (stable_order..feature_extract) rotate in; they will then be the
+    # oldest rows (r2, 3 rounds) with untouched code.
     return {
-        # --- last driver row = r1 (stalest first) -------------------
+        # --- (1) touched or NEW this round ---------------------------
+        "semantic_dedup": _q_semantic_dedup,
+        "semantic_dedup_largek": _q_semantic_dedup_largek,
+        "fuzzy_pairs": _q_fuzzy_pairs,
+        "fuzzy_pairs_recall": _q_fuzzy_pairs_recall,
+        "pagerank": _q_pagerank,
+        # --- (2) never driver-checked until now ----------------------
+        "rolling_zscore": _q_rolling_zscore,
+        "stream_zscore": _q_stream_zscore,
+        "profile_columns": _q_profile_columns,
+        "decayed_sum": _q_decayed_sum,
+        "transition_matrix": _q_transition_matrix,
+        "classifier_scores": _q_classifier_scores,
+        "source_stats": _q_source_stats,
+        "skew_report": _q_skew_report,
+        "group_centroids": _q_group_centroids,
+        "calendar_features": _q_calendar_features,
+        "impute_group_mean": _q_impute_group_mean,
+        "sentence_split_udtf": _q_sentence_udtf,
+        "group_trend": _q_group_trend,
+        "cohort_retention": _q_cohort_retention,
+        "active_days": _q_active_days,
+        "weighted_sample": _q_weighted_sample,
+        "psi_drift": _q_psi_drift,
+        "time_to_event": _q_time_to_event,
+        "negative_sample": _q_negative_sample,
+        "cooccurrence_pmi": _q_cooccurrence_pmi,
+        "random_projection": _q_random_projection,
+        "snapshot_diff": _q_snapshot_diff,
+        "rolling_active_users": _q_rolling_active_users,
+        "remove_dup_spans": _q_remove_dup_spans,
+        "table_fingerprint": _q_table_fingerprint,
+        "behavior_entropy": _q_behavior_entropy,
+        "temporal_split": _q_temporal_split,
+        "interval_coverage": _q_interval_coverage,
+        "sequence_audit": _q_sequence_audit,
+        "cuped_adjust": _q_cuped,
+        "robust_outliers": _q_robust_outliers,
+        "build_vocab": _q_build_vocab,
+        "fk_coverage": _q_fk_coverage,
+        "vocab_coverage": _q_vocab_coverage,
+        "variant_summary": _q_variant_summary,
+        "srm_check": _q_srm_check,
+        "readability": _q_readability,
+        "histogram": _q_histogram,
+        "km_curve": _q_km_curve,
+        # --- (3) stalest r2-green refill (newest row 2 rounds old) ---
+        "jaccard_pairs": _q_jaccard_pairs,
+        "minhash_signatures": _q_minhash_sigs,
+        "simhash": _q_simhash,
+        "simhash_near_dups": _q_simhash_near,
+        "knn_cosine": _q_knn,
+        "embedding_near_dup": _q_embedding_near_dup,
+        # =========== WINDOW CUTS HERE (position 50) ==================
+        # --- r2-green refill, rotates into the r5 window -------------
+        "media_features": _q_media_features,
+        "sketches": _q_sketches,
+        "stream_turn_features": _q_stream_turn_features,
+        "stream_asof": _q_stream_asof,
+        "repetition_stats": _q_repetition_stats,
+        "pii_scrub": _q_pii_scrub,
+        "stratified_sample": _q_stratified_sample,
+        "tfidf_keywords": _q_tfidf,
+        "chunked_cumulative": _q_chunked_cumulative,
+        "asof_join": _q_asof("union_window"),
+        "asof_join_broadcast": _q_asof("broadcast"),
+        "asof_join_skew": _q_asof("skew_aware"),
+        "asof_join_tolerance": _q_asof_tolerance,
+        "asof_join_cogroup_pandas": _q_asof("cogroup_pandas"),
+        "asof_join_forward": _q_asof_dir("forward"),
+        "asof_join_nearest": _q_asof_dir("nearest"),
+        # --- r2-green trailers, rotate into the r5 window ------------
+        "stable_order": _q_stable_order,
+        "lag_lead": _q_lag_lead,
+        "cumulative": _q_cumulative,
+        "forward_fill": _q_ffill,
+        "backward_fill": _q_bfill,
+        "time_range_rolling": _q_time_range_rolling,
+        "range_join": _q_range_join,
+        "semi_join": _q_semi_join,
+        "anti_join": _q_anti_join,
+        "grouping_sets": _q_grouping_sets,
+        "cube_agg": _q_cube,
+        "except_all": _q_except_all,
+        "intersect_all": _q_intersect_all,
+        "percentiles": _q_percentiles,
+        "distinct_agg": _q_distinct_agg,
+        "sessionize": _q_sessionize,
+        "session_agg": _q_session_agg,
+        "tumbling_window": _q_tumbling,
+        "sliding_window": _q_sliding,
+        "feature_compare": _q_feature_compare,
+        "feature_extract": _q_feature_extract,
+        # --- r3-green (driver rows in CORRECTNESS_r03, code untouched
+        # --- this round) ---------------------------------------------
         "feature_extract_union": _q_feature_extract_union,
         "feature_extract_set": _q_feature_extract_set,
         "topk_per_group": _q_topk,
@@ -2645,7 +2833,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score_pandas_udf": _q_quality_udf,
         "value_spread_grouped_udf": _q_value_spread_udf,
         "dedup_exact": _q_dedup_exact,
-        # --- repaired / touched / NEW this round --------------------
         "partition_lineage": _q_partition_lineage,
         "dedup_components_star": _q_dedup_components_star,
         "decontamination": _q_decontamination,
@@ -2673,98 +2860,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _q_curation_pipeline,
         "dedup_components": _q_dedup_components,
         "knn_cosine_lsh": _q_knn_lsh,
-        "semantic_dedup": _q_semantic_dedup,
         "cap_per_group": _q_cap_per_group,
         "winsorize": _q_winsorize,
-        "rolling_zscore": _q_rolling_zscore,
-        "profile_columns": _q_profile_columns,
-        "decayed_sum": _q_decayed_sum,
-        "transition_matrix": _q_transition_matrix,
-        "pagerank": _q_pagerank,
-        "classifier_scores": _q_classifier_scores,
-        "source_stats": _q_source_stats,
-        "skew_report": _q_skew_report,
-        "group_centroids": _q_group_centroids,
-        "calendar_features": _q_calendar_features,
-        "impute_group_mean": _q_impute_group_mean,
-        "sentence_split_udtf": _q_sentence_udtf,
-        "stream_zscore": _q_stream_zscore,
-        "group_trend": _q_group_trend,
-        "cohort_retention": _q_cohort_retention,
-        "active_days": _q_active_days,
-        "weighted_sample": _q_weighted_sample,
-        "psi_drift": _q_psi_drift,
-        # --- r2-green refill ----------------------------------------
-        "jaccard_pairs": _q_jaccard_pairs,
-        "minhash_signatures": _q_minhash_sigs,
-        "simhash": _q_simhash,
-        "simhash_near_dups": _q_simhash_near,
-        "knn_cosine": _q_knn,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "media_features": _q_media_features,
-        "sketches": _q_sketches,
-        "stream_turn_features": _q_stream_turn_features,
-        "stream_asof": _q_stream_asof,
-        "repetition_stats": _q_repetition_stats,
-        "pii_scrub": _q_pii_scrub,
-        "stratified_sample": _q_stratified_sample,
-        "tfidf_keywords": _q_tfidf,
-        "chunked_cumulative": _q_chunked_cumulative,
-        "asof_join": _q_asof("union_window"),
-        "asof_join_broadcast": _q_asof("broadcast"),
-        "asof_join_skew": _q_asof("skew_aware"),
-        "asof_join_tolerance": _q_asof_tolerance,
-        "asof_join_cogroup_pandas": _q_asof("cogroup_pandas"),
-        "asof_join_forward": _q_asof_dir("forward"),
-        "asof_join_nearest": _q_asof_dir("nearest"),
-        # --- r2-green trailers (rotate into the window next round) --
-        "stable_order": _q_stable_order,
-        "lag_lead": _q_lag_lead,
-        "cumulative": _q_cumulative,
-        "forward_fill": _q_ffill,
-        "backward_fill": _q_bfill,
-        "time_range_rolling": _q_time_range_rolling,
-        "range_join": _q_range_join,
-        "semi_join": _q_semi_join,
-        "anti_join": _q_anti_join,
-        "grouping_sets": _q_grouping_sets,
-        "cube_agg": _q_cube,
-        "except_all": _q_except_all,
-        "intersect_all": _q_intersect_all,
-        "percentiles": _q_percentiles,
-        "distinct_agg": _q_distinct_agg,
-        "sessionize": _q_sessionize,
-        "session_agg": _q_session_agg,
-        "tumbling_window": _q_tumbling,
-        "sliding_window": _q_sliding,
-        "feature_compare": _q_feature_compare,
-        "feature_extract": _q_feature_extract,
-        # --- NEW this session (local selfcheck evidence only — rotate
-        # --- into the driver window in round 4 with the trailers) ----
-        "time_to_event": _q_time_to_event,
-        "negative_sample": _q_negative_sample,
-        "cooccurrence_pmi": _q_cooccurrence_pmi,
-        "random_projection": _q_random_projection,
-        "snapshot_diff": _q_snapshot_diff,
-        "rolling_active_users": _q_rolling_active_users,
-        "remove_dup_spans": _q_remove_dup_spans,
-        "table_fingerprint": _q_table_fingerprint,
-        "behavior_entropy": _q_behavior_entropy,
-        "temporal_split": _q_temporal_split,
-        "interval_coverage": _q_interval_coverage,
-        "sequence_audit": _q_sequence_audit,
-        "cuped_adjust": _q_cuped,
-        "robust_outliers": _q_robust_outliers,
-        "build_vocab": _q_build_vocab,
-        "fk_coverage": _q_fk_coverage,
-        "fuzzy_pairs": _q_fuzzy_pairs,
-        "vocab_coverage": _q_vocab_coverage,
-        "variant_summary": _q_variant_summary,
-        "srm_check": _q_srm_check,
-        "readability": _q_readability,
-        "histogram": _q_histogram,
-        "km_curve": _q_km_curve,
     }
+
 
 
 _WIN = "partition by user_id order by ts, event_id"
@@ -3142,6 +3241,29 @@ def oracle_sql() -> dict[str, str]:
       with v as (select vec_id, embedding::DOUBLE[] as v from embeddings),
       {lloyd_ctes},
       cent as (select cid, cv from cent2),
+      assign as (
+        select vec_id, v, cid from (
+          select v.vec_id, v.v, cent.cid,
+                 row_number() over (partition by v.vec_id
+                                    order by {_c('v.v', 'cent.cv')} desc, cent.cid) as rn
+          from v cross join cent)
+        where rn = 1),
+      dups as (
+        select b.vec_id
+        from assign a join assign b using (cid)
+        where a.vec_id < b.vec_id and {_c('a.v', 'b.v')} > 0.35
+        group by b.vec_id)
+      select a.vec_id, cast(a.cid as bigint) as cluster_id,
+             (d.vec_id is not null) as semantic_dup
+      from assign a left join dups d on a.vec_id = d.vec_id
+    """
+    # Large-k SemDeDup twin (assign_clusters strategy="join"): no Lloyd
+    # — centroids are the 256 lowest-id vectors; the same cos-desc,
+    # cid-asc argmin and within-cluster pair scan as semantic_dedup_sql
+    semantic_dedup_largek_sql = f"""
+      with v as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+      cent as (
+        select vec_id as cid, v as cv from v order by vec_id limit 256),
       assign as (
         select vec_id, v, cid from (
           select v.vec_id, v.v, cent.cid,
@@ -4099,6 +4221,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh_recall": knn_lsh_recall_sql,
         "knn_cosine_ivf": ivf_sql,
         "semantic_dedup": semantic_dedup_sql,
+        "semantic_dedup_largek": semantic_dedup_largek_sql,
         "pagerank": pagerank_sql,
         "skew_report": """
           with c as (select cast(user_id as varchar) as key_value, count(*) as n
@@ -4527,6 +4650,43 @@ def oracle_sql() -> dict[str, str]:
             on a.b = c.b and a.id < c.id
            and abs(len(a.s) - len(c.s)) <= 2
           where levenshtein(a.s, c.s) <= 2""",
+        "fuzzy_pairs_recall": """
+          with base as (
+            select p_partkey, p_name as s, instr(p_name, ' ') as sp
+            from part
+            where p_name is not null and instr(p_name, ' ') > 0
+              and len(p_name) > instr(p_name, ' ')),
+          corpus as (
+            select cast(p_partkey as bigint) as id, s from base
+            union all
+            select cast(p_partkey + 10000000 as bigint) as id,
+                   substr(s, 1, sp)
+                   || case when substr(s, sp + 1, 1) = 'q'
+                           then 'z' else 'q' end
+                   || substr(s, sp + 2, len(s)) as s
+            from base),
+          d as (
+            select id, s,
+                   concat_ws(':', split_part(s, ' ', 1),
+                     nullif(substr(split_part(s, ' ', 2), 1, 1), '')) as b1,
+                   concat_ws(':', split_part(s, ' ', 1),
+                     cast(len(s) as varchar)) as b2
+            from corpus),
+          cand as (
+            select a.id as id_a, c.id as id_b, a.s as sa, c.s as sb
+            from d a join d c
+              on a.b1 = c.b1 and a.id < c.id
+             and abs(len(a.s) - len(c.s)) <= 2
+            union
+            select a.id, c.id, a.s, c.s
+            from d a join d c
+              on a.b2 = c.b2 and a.id < c.id
+             and abs(len(a.s) - len(c.s)) <= 2),
+          hits as (
+            select id_a from cand
+            where id_b = id_a + 10000000 and levenshtein(sa, sb) <= 2)
+          select b.p_partkey, (h.id_a is not null) as found
+          from base b left join hits h on h.id_a = b.p_partkey""",
         "vocab_coverage": f"""
           with w as (
             select unnest({_WS}) as word from documents),

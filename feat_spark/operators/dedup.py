@@ -830,6 +830,7 @@ def fuzzy_pairs(
     str_col: str,
     max_dist: int = 2,
     block: Column | None = None,
+    blocks: list[Column] | None = None,
 ) -> DataFrame:
     """Blocked edit-distance candidate pairs — the record-linkage /
     fuzzy-dedup primitive (near-identical product names, typo'd
@@ -841,27 +842,34 @@ def fuzzy_pairs(
     the cross-pair explosion is bounded by the largest block, so pick
     a blocking key with bounded fan-out (first token + length bucket,
     phonetic code, …) exactly as you would pick LSH bands. Recall is
-    bounded by the block: a typo in the blocking token itself escapes
-    — compose multiple blocks (union) for OR-construction recall,
-    as with multi-table LSH.
+    bounded by a single block: a typo in the blocking token itself
+    escapes. ``blocks=[b1, b2, ...]`` is the OR-construction fix —
+    candidates from each blocking key are unioned and deduped on the
+    id pair BEFORE the Levenshtein DP (so a pair found by several
+    blocks pays the edit distance once); a pair is missed only if
+    EVERY block misses it, the exact device of multi-table LSH
+    (``lsh_bucketed_topk(tables=...)``). Cost grows linearly in the
+    number of blocks; each block is still an equi-join.
 
     Output: ``(id_a, id_b, dist)`` with ``id_a < id_b`` and
     ``dist <= max_dist``, deterministic, no RNG.
     """
-    b = block if block is not None else F.split(F.col(str_col), " ")[0]
-    d = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(str_col).alias("__s"),
-        b.alias("__b"),
-    ).filter(F.col("__s").isNotNull())
-    a, c = d.alias("a"), d.alias("c")
-    # two semantics-preserving prunes: |len(a)-len(b)| <= d is IMPLIED
-    # by dist <= d (each edit changes length by at most 1), so it can
-    # sit in the join condition; and the thresholded levenshtein stops
-    # the DP at d+1 (O(d*min_len) per pair instead of O(n*m)),
-    # returning -1 for pairs past the cutoff
-    return (
-        a.join(
+    if blocks is None:
+        blocks = [block if block is not None else F.split(F.col(str_col), " ")[0]]
+    elif block is not None:
+        raise ValueError("fuzzy_pairs: pass block= or blocks=, not both")
+    cand: DataFrame | None = None
+    for b in blocks:
+        d = df.select(
+            F.col(id_col).alias("__id"),
+            F.col(str_col).alias("__s"),
+            b.alias("__b"),
+        ).filter(F.col("__s").isNotNull())
+        a, c = d.alias("a"), d.alias("c")
+        # |len(a)-len(b)| <= d is IMPLIED by dist <= d (each edit
+        # changes length by at most 1), so it can sit in the join
+        # condition as a semantics-preserving prune
+        pairs = a.join(
             c,
             (F.col("a.__b") == F.col("c.__b"))
             & (F.col("a.__id") < F.col("c.__id"))
@@ -869,11 +877,25 @@ def fuzzy_pairs(
                 F.abs(F.length(F.col("a.__s")) - F.length(F.col("c.__s")))
                 <= max_dist
             ),
-        )
-        .select(
+        ).select(
             F.col("a.__id").alias("id_a"),
             F.col("c.__id").alias("id_b"),
-            F.levenshtein(F.col("a.__s"), F.col("c.__s"), max_dist)
+            F.col("a.__s").alias("__sa"),
+            F.col("c.__s").alias("__sb"),
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    if len(blocks) > 1:
+        # rows for the same id pair are identical (the strings ride
+        # along), so the dedup is deterministic — and it runs BEFORE
+        # the DP, so multi-block candidates pay Levenshtein once
+        cand = cand.dropDuplicates(["id_a", "id_b"])
+    # thresholded levenshtein stops the DP at d+1 (O(d*min_len) per
+    # pair instead of O(n*m)), returning -1 for pairs past the cutoff
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("__sa"), F.col("__sb"), max_dist)
             .cast("int")
             .alias("dist"),
         )

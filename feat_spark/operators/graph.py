@@ -9,9 +9,20 @@ determinism discipline as ``similarity.kmeans_centroids`` and
   before the sum, so partial-agg order cannot change the result;
 * each iteration's ranks are rounded to 12dp doubles, so iteration
   i+1 starts from bit-identical inputs cross-engine;
-* the rank frame is ``localCheckpoint``-ed per iteration — the
+* the rank frame's lineage is truncated per iteration — the
   iterative-plan rule (lineage re-analysis goes superlinear in
-  iterations otherwise, measured on connected_components).
+  iterations otherwise, measured on connected_components). Default is
+  ``localCheckpoint`` (fast, executor-local blocks); pass
+  ``reliable_checkpoint_dir=`` on a real cluster so a lost executor
+  mid-iteration recovers from the checkpoint store instead of killing
+  the job — localCheckpoint blocks die with their executor.
+
+The loop-invariant frames (``edges ⋈ out_degree``, the node list) are
+``persist()``-ed, NOT eagerly localCheckpoint-ed: they are scanned once
+per iteration, the cache keeps lineage constant-depth without
+compounding, and cached partitions lost with an executor recompute
+from lineage (a localCheckpoint there would be both slower — three
+eager materializations per call — and less fault-tolerant).
 
 Simplifications vs "full" PageRank, stated up front: iteration count
 is fixed (no convergence test — convergence checks on doubles are the
@@ -40,12 +51,19 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     undirected: bool = True,
+    reliable_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration deterministic PageRank.
 
     Returns ``(node, rank)`` over every node that appears in the edge
     set. ``undirected=True`` (default) mirrors every edge so the walk
     is symmetric and no node dangles.
+
+    ``reliable_checkpoint_dir``: when set, per-iteration rank frames
+    checkpoint to that (HDFS/object-store) path instead of
+    executor-local blocks — the cluster-scale option (localCheckpoint
+    blocks are lost with their executor, killing a long job
+    mid-iteration; reliable checkpoints survive).
     """
     e = edges.select(
         F.col(src).cast("string").alias("src"), F.col(dst).cast("string").alias("dst")
@@ -54,32 +72,35 @@ def pagerank(
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    e = e.distinct().localCheckpoint(eager=True)
+    e = e.distinct()
     # nodes = src UNION dst: in directed mode a sink that never emits
     # still receives mass and must get a rank row
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist()
     )
-    n = nodes.count()
+    n = nodes.count()  # materializes the persisted node list
+    # hoist the loop-invariant edges ⋈ out_degree join: computed once,
+    # cached, reused by every iteration (was a second join per round)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
+    e2 = e.join(deg, "src").select("src", "dst", "__d").persist()
     teleport = (1.0 - damping) / n
+    if reliable_checkpoint_dir is not None:
+        e2.sparkSession.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
+        truncate = lambda df: df.checkpoint(eager=True)
+    else:
+        truncate = lambda df: df.localCheckpoint(eager=True)
     ranks = nodes.withColumn("r", F.lit(1.0 / n))
     for _ in range(iters):
-        contrib = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(deg, "src")
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("r") / F.col("__d")).cast("decimal(27,12)").alias("__c"),
-            )
+        contrib = e2.join(ranks, e2["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"),
+            (F.col("r") / F.col("__d")).cast("decimal(27,12)").alias("__c"),
         )
         sums = contrib.groupBy("node").agg(F.sum("__c").alias("__c"))
-        ranks = (
-            nodes.join(sums, "node", "left")
-            .select(
+        ranks = truncate(
+            nodes.join(sums, "node", "left").select(
                 "node",
                 F.round(
                     F.lit(teleport)
@@ -88,6 +109,9 @@ def pagerank(
                     12,
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
         )
+    # the final ranks frame is checkpoint-truncated — it no longer
+    # references the cached inputs, so they can be dropped eagerly
+    e2.unpersist(blocking=False)
+    nodes.unpersist(blocking=False)
     return ranks.select("node", F.col("r").alias("pagerank"))

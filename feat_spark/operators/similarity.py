@@ -405,36 +405,88 @@ def embedding_near_dup_pairs(
     )
 
 
+#: above this many centroids, ``assign_clusters(strategy="auto")``
+#: switches from the literal-fold projection to the broadcast-join
+#: argmax — a ``greatest`` chain over thousands of per-centroid struct
+#: expressions blows up analysis/codegen long before SemDeDup's cited
+#: ~1e5-cluster regime, while the join path is O(1) in expression size.
+LITERAL_MAX_K = 100
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "cluster_id",
+    strategy: str = "auto",
 ) -> DataFrame:
-    """Nearest-centroid assignment as a PURE PROJECTION — zero shuffle.
+    """Nearest-centroid assignment. Ties -> smallest centroid id,
+    matching the oracle's ``order by cos desc, cid asc`` in every
+    strategy. ``centroids`` is a materialized ``(__cid, __cent)``
+    frame from ``kmeans_centroids`` (driver-small by construction).
 
-    ``centroids`` is a materialized ``(__cid, __cent)`` frame from
-    ``kmeans_centroids`` (driver-small by construction). Instead of a
-    cross join + per-id window (one shuffle per assignment), the
-    centroid list is folded into the projection itself: per row,
-    ``greatest`` over 16 ``struct(cos, -cid)`` candidates picks the
-    best cluster (ties -> smallest cid, matching the oracle's
-    ``order by cos desc, cid asc``). At 100 TB this is the difference
-    between a map-only stage and a full-corpus shuffle.
+    Two plan shapes, picked by ``strategy``:
+
+    * ``"literal"`` — a PURE PROJECTION, zero shuffle: the centroid
+      list is folded into the plan itself; per row, ``greatest`` over
+      k ``struct(cos, -cid)`` candidates picks the best cluster. At
+      100 TB this is the difference between a map-only stage and a
+      full-corpus shuffle — but the expression tree is O(k·dim)
+      literals, so it only fits small quantizers (k <= ~1e2).
+    * ``"join"`` — the paper-scale path (SemDeDup cites ~1e5 clusters):
+      broadcast the centroid frame, cross every row with it, and take
+      ``max(struct(cos, -cid))`` per row. Expression size is O(1) in
+      k; the n·k candidate stream is collapsed to n rows BY THE
+      MAP-SIDE PARTIAL AGGREGATE before the single exchange (the
+      shuffle carries one (row, best-struct) record per input row, not
+      n·k). Requires ``df``'s rows to be unique — the row's own
+      columns are the grouping key.
+    * ``"auto"`` (default) — ``literal`` when the centroid frame has
+      <= ``LITERAL_MAX_K`` rows, else ``join``.
     """
-    rows = centroids.collect()
-    if not rows:
+    if strategy == "auto":
+        # bounded probe, never a full collect: the join path exists
+        # precisely because the centroid frame may be too big to fold
+        # into the plan (1e5 rows x dim floats) — deciding the strategy
+        # must not pull it to the driver either
+        k = centroids.limit(LITERAL_MAX_K + 1).count()
+        strategy = "literal" if k <= LITERAL_MAX_K else "join"
+    if strategy == "literal":
+        rows = centroids.collect()
+        if not rows:
+            raise ValueError("assign_clusters: centroids frame is empty")
+        best = None
+        for r in rows:
+            cent = F.array(*[F.lit(float(x)) for x in r["__cent"]])
+            cand = F.struct(
+                cosine(F.col(vec_col), cent).alias("c"),
+                F.lit(-int(r["__cid"])).cast("long").alias("n"),
+            )
+            best = cand if best is None else F.greatest(best, cand)
+        return df.withColumn(out_col, (-best["n"]).cast("long"))
+    if strategy != "join":
+        raise ValueError(f"assign_clusters: unknown strategy {strategy!r}")
+    if not centroids.head(1):
+        # an empty broadcast side would silently drop EVERY input row
+        # (cross join with zero rows), not assign a null cluster — fail
         raise ValueError("assign_clusters: centroids frame is empty")
-    best = None
-    for r in rows:
-        cent = F.array(*[F.lit(float(x)) for x in r["__cent"]])
-        cand = F.struct(
-            cosine(F.col(vec_col), cent).alias("c"),
-            F.lit(-int(r["__cid"])).cast("long").alias("n"),
-        )
-        best = cand if best is None else F.greatest(best, cand)
-    return df.withColumn(out_col, (-best["n"]).cast("long"))
+    cent = centroids.select(
+        F.col("__cid").cast("long").alias("__cid"),
+        F.transform("__cent", lambda x: x.cast("double")).alias("__cent"),
+    )
+    cand = F.struct(
+        cosine(F.col(vec_col), F.col("__cent")).alias("c"),
+        (-F.col("__cid")).cast("long").alias("n"),
+    )
+    passthrough = df.columns
+    return (
+        df.join(F.broadcast(cent), F.lit(True))
+        .groupBy(*passthrough)
+        .agg(F.max(cand).alias("__best"))
+        .withColumn(out_col, (-F.col("__best")["n"]).cast("long"))
+        .drop("__best")
+    )
 
 
 def semantic_dedup(
@@ -445,6 +497,7 @@ def semantic_dedup(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_strategy: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus with the deterministic
@@ -456,19 +509,25 @@ def semantic_dedup(
     Returns one row per input row: ``(id_col, cluster_id,
     semantic_dup)`` — callers drop ``semantic_dup`` rows to dedup.
 
-    Scale shape: assignment is shuffle-free (``assign_clusters``);
-    the pairwise step is a self-join keyed on ``cluster_id``, so the
-    quadratic blowup is bounded per cluster — ``n_centroids`` is the
-    knob (the paper uses ~100k clusters at web scale so clusters stay
-    ~1e4 rows; here 16 fits the test corpus). Training reads only the
-    frame passed to ``kmeans_centroids`` (callers pass a bounded
-    sample at scale).
+    Scale shape: assignment is shuffle-free for small quantizers and
+    a broadcast-join argmax above ``LITERAL_MAX_K`` centroids (see
+    ``assign_clusters`` — ``assign_strategy`` passes through, so the
+    paper's ~100k-cluster regime takes the O(1)-expression-size path
+    automatically); the pairwise step is a self-join keyed on
+    ``cluster_id``, so the quadratic blowup is bounded per cluster —
+    ``n_centroids`` is the knob (the paper uses ~100k clusters at web
+    scale so clusters stay ~1e4 rows; here 16 fits the test corpus).
+    Training reads only the frame passed to ``kmeans_centroids``
+    (callers pass a bounded sample at scale).
     """
     if centroids is None:
         centroids = kmeans_centroids(
             df, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
         )
-    assigned = assign_clusters(df, centroids, id_col, vec_col).select(
+    assigned = assign_clusters(
+        df.select(F.col(id_col), F.col(vec_col)),
+        centroids, id_col, vec_col, strategy=assign_strategy,
+    ).select(
         F.col(id_col), F.col(vec_col), F.col("cluster_id")
     )
     a = assigned.select(

@@ -93,3 +93,24 @@ def test_pagerank_directed_includes_sink_nodes(spark):
            pagerank(df, iters=2, undirected=False).collect()}
     assert set(out) == {"a", "b"}
     assert out["b"] > out["a"]  # b receives a's whole contribution
+
+
+def test_pagerank_reliable_checkpoint_matches_local(spark, tmp_path):
+    """reliable_checkpoint_dir= (the cluster-scale lineage-truncation
+    option) is numerically identical to the default localCheckpoint —
+    the decimal-sum + 12dp-round discipline makes materialization
+    strategy irrelevant to the result."""
+    from feat_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        "src string, dst string",
+    )
+    base = {(r.node, r.pagerank) for r in pagerank(edges, iters=3).collect()}
+    rel = {
+        (r.node, r.pagerank)
+        for r in pagerank(
+            edges, iters=3, reliable_checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert base == rel

@@ -267,3 +267,60 @@ def test_group_centroids_long_and_assembled(spark, vectors):
     row = wide[wide["grp"] == rows[0].label].iloc[0]
     lab_long = long[long["grp"] == rows[0].label].sort_values("pos")
     assert list(row["centroid"]) == list(lab_long["mean_val"])
+
+
+def test_assign_clusters_join_matches_literal_and_scales_in_k(spark, vectors):
+    """The broadcast-join argmax (strategy='join') is bit-identical to
+    the literal-fold projection, 'auto' switches above LITERAL_MAX_K,
+    and the join plan is O(1) in k — no per-centroid expression blowup
+    (the large-k SemDeDup regime, ~1e5 clusters, needs this path)."""
+    from feat_spark.operators.similarity import (
+        LITERAL_MAX_K,
+        assign_clusters,
+        kmeans_centroids,
+    )
+
+    e, _ = vectors
+    cents = kmeans_centroids(e, n_centroids=8, iters=1)
+    lit = assign_clusters(e, cents, strategy="literal").orderBy("vec_id")
+    jn = assign_clusters(e, cents, strategy="join").orderBy("vec_id")
+    assert [r.asDict() for r in lit.collect()] == [r.asDict() for r in jn.collect()]
+
+    # auto picks join above LITERAL_MAX_K and agrees with explicit join
+    big = (
+        e.orderBy("vec_id")
+        .limit(LITERAL_MAX_K + 20)
+        .select(F.col("vec_id").alias("__cid"), F.col("embedding").alias("__cent"))
+    )
+    auto_big = assign_clusters(e, big)
+    join_big = assign_clusters(e, big, strategy="join")
+    assert sorted(
+        (r.vec_id, r.cluster_id) for r in auto_big.collect()
+    ) == sorted((r.vec_id, r.cluster_id) for r in join_big.collect())
+
+    # plan-shape: the literal path folds one struct per centroid into
+    # the projection ('greatest' chain); the join path must contain
+    # NONE of that, and its plan text must not grow with k
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    small = (
+        e.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("__cid"), F.col("embedding").alias("__cent"))
+    )
+    p_lit = plan(assign_clusters(e, cents, strategy="literal"))
+    p_small = plan(assign_clusters(e, small, strategy="join"))
+    p_big = plan(assign_clusters(e, big, strategy="join"))
+    assert "greatest" in p_lit
+    assert "greatest" not in p_small and "greatest" not in p_big
+    assert len(p_big) < 1.3 * len(p_small)  # O(1) in k, not O(k)
+
+    # an empty broadcast side would silently drop every row -> must raise
+    empty = cents.filter(F.lit(False))
+    with pytest.raises(ValueError):
+        assign_clusters(e, empty, strategy="join")
+    with pytest.raises(ValueError):
+        assign_clusters(e, empty, strategy="literal")
+    with pytest.raises(ValueError):
+        assign_clusters(e, cents, strategy="bogus")

@@ -94,3 +94,48 @@ def test_vocab_coverage_oov(spark):
     assert out[2]["n_tokens"] == 2 and out[2]["n_oov"] == 1  # "zz"
     # empty doc keeps its row: 0 tokens, NULL rate (not 0% OOV)
     assert out[3]["n_tokens"] == 0 and out[3]["oov_rate"] is None
+
+
+def test_fuzzy_pairs_or_blocks_recall(spark):
+    """blocks=[b1, b2] is the OR-construction: a typo in the second
+    token's first character escapes b1 = (token1, first char of
+    token2) but is caught by b2 = (token1, length) — union recall, the
+    multi-table LSH device. Pairs found by several blocks appear once
+    and pay Levenshtein once."""
+    import pytest as _pytest
+
+    from feat_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta"),
+            (2, "alpha ceta"),       # dist 1 via 2nd-token 1st char
+            (3, "gamma delta"),
+            (4, "gamma felta"),      # same planted shape
+            (5, "alpha beta xyzzy"), # same b1 as 1, length separates
+        ],
+        "id long, name string",
+    )
+    toks = F.split(F.col("name"), " ")
+    b1 = F.concat_ws(":", toks[0], F.substring(toks[1], 1, 1))
+    b2 = F.concat_ws(":", toks[0], F.length("name").cast("string"))
+
+    single = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_pairs(df, "id", "name", max_dist=2, block=b1).collect()
+    }
+    multi = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_pairs(df, "id", "name", max_dist=2, blocks=[b1, b2]).collect()
+    }
+    # single-block recall floor on the planted typos: 0 of 2
+    assert (1, 2) not in single and (3, 4) not in single
+    # OR-construction recovers both planted pairs at the exact distance
+    assert multi[(1, 2)] == 1 and multi[(3, 4)] == 1
+    # and never loses what a single block found
+    assert set(single) <= set(multi)
+    # the pair-level dedup keeps exactly one row per id pair
+    rows = fuzzy_pairs(df, "id", "name", max_dist=2, blocks=[b1, b2]).collect()
+    assert len(rows) == len({(r.id_a, r.id_b) for r in rows})
+    with _pytest.raises(ValueError):
+        fuzzy_pairs(df, "id", "name", max_dist=2, block=b1, blocks=[b1, b2])

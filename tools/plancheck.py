@@ -45,7 +45,12 @@ NL_EXEMPT = {"knn_cosine", "embedding_near_dup", "knn_cosine_ivf",
              "psi_drift",
              # same class: the 1-row pooled-theta aggregate crossed
              # onto the variant-count-row per-variant frame
-             "cuped_adjust"}
+             "cuped_adjust",
+             # large-k assignment crosses every row with the BROADCAST
+             # centroid frame by contract (assign_clusters
+             # strategy="join"); the map-side partial max collapses the
+             # n*k stream to n rows before the one exchange
+             "semantic_dedup_largek"}
 
 #: max Exchange nodes allowed (shuffles; BroadcastExchange excluded).
 #: window/sessionize pipelines must reuse ONE exchange.
