@@ -2698,22 +2698,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle was touched this round moves into the window regardless.
     # ROUND-4 WINDOW (cuts at `embedding_near_dup`, position 50), in
     # priority order:
-    #   (1) positions 1-5: gates whose executed code changed this round
+    #   (1) positions 1-6: gates whose executed code changed this round
     #       (assign_clusters strategy="join" + semantic_dedup pass-
-    #       through; fuzzy_pairs blocks= OR-construction; pagerank
-    #       persist/reliable-checkpoint rework) or are NEW
+    #       through; kmeans/ivf assignment now routes through
+    #       assign_clusters; fuzzy_pairs blocks= OR-construction;
+    #       pagerank persist/reliable-checkpoint rework) or are NEW
     #       (semantic_dedup_largek, fuzzy_pairs_recall);
-    #   (2) positions 6-44: every never-driver-checked gate
+    #   (2) positions 7-45: every never-driver-checked gate
     #       (rolling_zscore..psi_drift from r3 sessions 1-3,
     #       time_to_event..km_curve from session 4; rolling_zscore and
     #       stream_zscore adjacent so the batch/stream bit-parity claim
     #       gets same-round driver rows);
-    #   (3) positions 45-50: the six stalest r2-green refill gates.
-    # Coverage ledger: r4 window re-spends ONE slot on an r3-green gate
-    # (semantic_dedup - its assignment code changed, freshness beats
-    # distinct-count), so CORRECTNESS_r04 + r03 cover 99 distinct gates
-    # of 136; everything else rides on green r2/r3 rows with code
-    # untouched since. ROUND-5 PLAN: remaining r2-green refill
+    #   (3) positions 46-50: the five stalest r2-green refill gates.
+    # Coverage ledger: r4 window re-spends TWO slots on r3-green gates
+    # (semantic_dedup, knn_cosine_ivf - their assignment code changed,
+    # freshness beats distinct-count), so CORRECTNESS_r04 + r03 cover
+    # 98 distinct gates of 136; everything else rides on green r2/r3
+    # rows with code untouched since. ROUND-5 PLAN: remaining r2-green refill
     # (media_features..asof_join_nearest) and the r2-green trailers
     # (stable_order..feature_extract) rotate in; they will then be the
     # oldest rows (r2, 3 rounds) with untouched code.
@@ -2724,6 +2725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": _q_fuzzy_pairs,
         "fuzzy_pairs_recall": _q_fuzzy_pairs_recall,
         "pagerank": _q_pagerank,
+        "knn_cosine_ivf": _q_knn_ivf,
         # --- (2) never driver-checked until now ----------------------
         "rolling_zscore": _q_rolling_zscore,
         "stream_zscore": _q_stream_zscore,
@@ -2770,9 +2772,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "simhash_near_dups": _q_simhash_near,
         "knn_cosine": _q_knn,
-        "embedding_near_dup": _q_embedding_near_dup,
         # =========== WINDOW CUTS HERE (position 50) ==================
         # --- r2-green refill, rotates into the r5 window -------------
+        "embedding_near_dup": _q_embedding_near_dup,
         "media_features": _q_media_features,
         "sketches": _q_sketches,
         "stream_turn_features": _q_stream_turn_features,
@@ -2856,7 +2858,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,
         "minhash_lsh_dedup": _q_minhash_lsh,
         "knn_lsh_recall": _q_knn_lsh_recall,
-        "knn_cosine_ivf": _q_knn_ivf,
         "curation_pipeline": _q_curation_pipeline,
         "dedup_components": _q_dedup_components,
         "knn_cosine_lsh": _q_knn_lsh,

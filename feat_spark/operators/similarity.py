@@ -212,7 +212,8 @@ def kmeans_centroids(
 
     Init = the ``n_centroids`` lowest-id vectors (seeded, zero-config,
     reproducible). Each iteration: nearest-centroid assignment by
-    cosine (centroids broadcast, corpus never shuffled), then the
+    cosine (``assign_clusters`` — the centroid list folds into the
+    projection, so the corpus never shuffles for assignment), then the
     element-wise cluster mean. The mean is summed in DECIMAL(27,12),
     not double: decimal addition is associative, so the result is
     bit-identical regardless of partitioning/partial-agg order — which
@@ -231,17 +232,19 @@ def kmeans_centroids(
         .select(F.col(id_col).alias("__cid"), as_double(vec_col).alias("__cent"))
     )
     base = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    assign_w = Window.partitionBy("__id").orderBy(
-        F.col("__ccos").desc(), F.col("__cid").asc()
-    )
     for _ in range(iters):
-        assigned = (
-            base.join(F.broadcast(cent), F.lit(True))
-            .withColumn("__ccos", cosine(F.col("__v"), F.col("__cent")))
-            .withColumn("__rn", F.row_number().over(assign_w))
-            .filter(F.col("__rn") == 1)
-            .select("__id", "__v", "__cid")
-        )
+        # assignment through assign_clusters' literal fold: a pure
+        # projection, so each Lloyd iteration costs ONE shuffle (the
+        # (cid,pos) mean partial-agg) instead of two — the previous
+        # cross-join + per-id row_number window shuffled the full n*k
+        # candidate stream every iteration. cent is localCheckpoint-ed
+        # k rows, so the literal path's collect() is a constant-time
+        # driver fetch. Identical selection: max(cos, -cid) == first
+        # row of (cos desc, cid asc).
+        assigned = assign_clusters(
+            base, cent, id_col="__id", vec_col="__v", out_col="__cid",
+            strategy="literal" if n_centroids <= LITERAL_MAX_K else "join",
+        ).select("__id", "__v", "__cid")
         means = (
             assigned.select("__cid", F.posexplode("__v").alias("__pos", "__x"))
             .groupBy("__cid", "__pos")
@@ -321,16 +324,16 @@ def ivf_topk(
             F.col(cid).alias("__cid"), F.col(cvec).alias("__cent")
         )
 
-    assign_w = Window.partitionBy("neighbor_id").orderBy(
-        F.col("__ccos").desc(), F.col("__cid").asc()
-    )
-    assigned = (
-        c.join(F.broadcast(centroids), F.lit(True))
-        .withColumn("__ccos", cosine(F.col("__cv"), F.col("__cent")))
-        .withColumn("__rn", F.row_number().over(assign_w))
-        .filter(F.col("__rn") == 1)
-        .select("neighbor_id", "__cv", "__cid")
-    )
+    # build-side assignment through assign_clusters: for small
+    # quantizers it is a PURE PROJECTION over the corpus scan (zero
+    # shuffle — the previous cross-join + per-id row_number window
+    # shuffled all n*k candidate rows); above LITERAL_MAX_K it becomes
+    # the broadcast-join argmax whose map-side partial max still ships
+    # only n rows. Identical selection: max(cos, -cid) == first row of
+    # (cos desc, cid asc).
+    assigned = assign_clusters(
+        c, centroids, id_col="neighbor_id", vec_col="__cv", out_col="__cid"
+    ).select("neighbor_id", "__cv", "__cid")
 
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
@@ -440,8 +443,8 @@ def assign_clusters(
       k; the n·k candidate stream is collapsed to n rows BY THE
       MAP-SIDE PARTIAL AGGREGATE before the single exchange (the
       shuffle carries one (row, best-struct) record per input row, not
-      n·k). Requires ``df``'s rows to be unique — the row's own
-      columns are the grouping key.
+      n·k). Requires ``id_col`` to be unique — it is the grouping key
+      (the remaining columns ride along via ``first()``).
     * ``"auto"`` (default) — ``literal`` when the centroid frame has
       <= ``LITERAL_MAX_K`` rows, else ``join``.
     """
@@ -479,13 +482,21 @@ def assign_clusters(
         cosine(F.col(vec_col), F.col("__cent")).alias("c"),
         (-F.col("__cid")).cast("long").alias("n"),
     )
-    passthrough = df.columns
+    # group by the id ALONE (long key -> cheap hash/sort agg), not the
+    # full row: grouping on the embedding array forces a SortAggregate
+    # that compares 64-float keys (~3x slower measured). Within a
+    # group every non-id column is constant (id_col unique by
+    # contract), so first() is deterministic in value.
+    others = [c for c in df.columns if c != id_col]
     return (
         df.join(F.broadcast(cent), F.lit(True))
-        .groupBy(*passthrough)
-        .agg(F.max(cand).alias("__best"))
+        .groupBy(id_col)
+        .agg(
+            F.max(cand).alias("__best"),
+            *[F.first(c).alias(c) for c in others],
+        )
         .withColumn(out_col, (-F.col("__best")["n"]).cast("long"))
-        .drop("__best")
+        .select(*df.columns, out_col)
     )
 
 
