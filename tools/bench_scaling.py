@@ -19,6 +19,19 @@ rebuilt from the best-per-level over ALL recorded runs on the same
 input size — the right estimator on a box whose outside interference
 is one-sided (it can only slow a run down, never speed it up).
 
+Rows are gated by FLAGSHIP-PATH CONTENT HASH, not git rev: the hash
+covers bench.py plus the transitive closure of feat_spark modules the
+flagship pipeline imports, so a row is published iff the code that
+PRODUCED the measurement is byte-identical to the code at the current
+tree — which is the actual claim a scaling table makes. The round-3
+table was repeatedly invalidated by commits that never touched the
+flagship path (doc edits, new unrelated operators); the content hash
+keeps those campaign rows valid, so campaigns can start early in a
+session and keep appending while unrelated work lands. The git rev is
+still recorded per row for provenance, and the table warns when the
+flagship files carry uncommitted edits (a hash that matches no commit
+is not a publishable identity).
+
 Env: SPARK_GRAFT_SCALE_CONVS (input scale, default 400000),
 SPARK_GRAFT_SCALE_ROUNDS (interleaved rounds, default 2),
 SPARK_GRAFT_SCALE_LEVELS (comma list, default "2,8,32").
@@ -33,6 +46,57 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RUNS = os.path.join(REPO, "BENCH", "runs.jsonl")
+
+_CLOSURE: list[str] | None = None
+
+
+def flagship_closure() -> list[str]:
+    """Repo-relative paths of every source file the flagship
+    measurement executes: bench.py itself plus the transitive closure
+    of feat_spark modules importing it pulls in. Computed by actually
+    importing, so a new transitive dependency joins the hash the day
+    it appears — the list cannot silently go stale."""
+    global _CLOSURE
+    if _CLOSURE is None:
+        if REPO not in sys.path:
+            sys.path.insert(0, REPO)
+        import bench  # noqa: F401  (side effect: loads flagship deps)
+
+        files = {os.path.join(REPO, "bench.py")}
+        for name, mod in list(sys.modules.items()):
+            if name.split(".")[0] == "feat_spark" and getattr(mod, "__file__", None):
+                files.add(mod.__file__)
+        _CLOSURE = sorted(os.path.relpath(f, REPO) for f in files)
+    return _CLOSURE
+
+
+def flagship_hash() -> str:
+    """12-hex content hash of the flagship closure — the identity a
+    scaling row is published under."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for rel in flagship_closure():
+        h.update(rel.encode())
+        h.update(b"\0")
+        with open(os.path.join(REPO, rel), "rb") as f:
+            h.update(f.read())
+        h.update(b"\0")
+    return h.hexdigest()[:12]
+
+
+def flagship_dirty() -> bool:
+    """True when any flagship-closure file has uncommitted edits —
+    the current hash then matches no commit and must not be published
+    as a commit's numbers."""
+    try:
+        status = subprocess.run(
+            ["git", "status", "--porcelain", "--"] + flagship_closure(),
+            cwd=REPO, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        return bool(status)
+    except Exception:
+        return True
 
 
 def git_rev() -> str:
@@ -86,45 +150,58 @@ def record(row: dict) -> None:
         f.write(json.dumps(row) + "\n")
 
 
-def all_runs(turns: int, rev: str | None = None) -> dict[int, list[float]]:
-    """Recorded throughputs per level at this input size. ``rev``
-    restricts to rows stamped with that git revision — the published
-    numbers must describe HEAD, not a historical best from older code
-    (a regression would otherwise hide behind history)."""
+def all_runs(
+    turns: int, fhash: str | None = None
+) -> tuple[dict[int, list[float]], set[str]]:
+    """Recorded throughputs per level at this input size, plus the git
+    revs those rows were measured at. ``fhash`` restricts to rows whose
+    flagship-path content hash matches — the published numbers must
+    describe the code currently in the tree, not a historical best from
+    an older engine (a regression would otherwise hide behind history).
+    Rows predating the fhash stamp never match a hash filter."""
     tps: dict[int, list[float]] = {}
+    revs: set[str] = set()
     if os.path.exists(RUNS):
         with open(RUNS) as f:
             for line in f:
                 r = json.loads(line)
                 if r.get("turns") != turns:
                     continue
-                if rev is not None and r.get("rev") != rev:
+                if fhash is not None and r.get("fhash") != fhash:
                     continue
                 tps.setdefault(int(r["cpus"]), []).append(float(r["tps"]))
-    return tps
+                revs.add(str(r.get("rev", "unknown")))
+    return tps, revs
 
 
 def write_md(turns: int) -> dict:
-    rev = git_rev()
-    tps = all_runs(turns, rev=rev)
-    if rev.endswith("-dirty") or rev == "unknown":
-        # dirty-tree rows must never masquerade as a commit's published
-        # numbers — say so instead of claiming "(HEAD)"
+    fhash = flagship_hash()
+    tps, revs = all_runs(turns, fhash=fhash)
+    if flagship_dirty():
+        # a hash that matches no commit is not a publishable identity
         rev_note = (
-            f"**WARNING: working tree dirty (`{rev}`) — these are "
-            "provisional numbers for uncommitted code, NOT the published "
-            "figures of any commit. Re-run the campaign at a clean HEAD "
-            "before citing them.**"
+            f"**WARNING: flagship-path files carry uncommitted edits "
+            f"(content hash `{fhash}`) — these are provisional numbers "
+            "for uncommitted code, NOT the published figures of any "
+            "commit. Commit (or revert) and re-run `write_md` before "
+            "citing them.**"
         )
     else:
-        # name the literal rev, never "(HEAD)" — HEAD moves with every
-        # doc commit and the claim goes stale the moment it lands
-        rev_note = f"All rows below were measured at git rev `{rev}`."
-    if not tps:  # no campaign at HEAD yet: fall back, but say so
-        tps = all_runs(turns)
+        rev_list = ", ".join(f"`{r}`" for r in sorted(revs)) or "—"
         rev_note = (
-            "**WARNING: no runs recorded at the current git rev — the "
-            "numbers below mix historical engine revisions.**"
+            f"All rows below were measured with flagship-path content "
+            f"hash `{fhash}` — byte-identical to the flagship path "
+            f"(bench.py + its transitive feat_spark imports) at the "
+            f"current tree. Measuring revs: {rev_list}. Rows from "
+            "campaigns at other hashes are kept in runs.jsonl but "
+            "excluded here."
+        )
+    if not tps:  # no campaign at this engine content yet: fall back
+        tps, _ = all_runs(turns)
+        rev_note = (
+            "**WARNING: no runs recorded at the current flagship-path "
+            "content hash — the numbers below mix historical engine "
+            "revisions.**"
         )
     levels = sorted(tps)
     best = {c: max(v) for c, v in tps.items()}
@@ -196,7 +273,7 @@ def main() -> None:
             turns = r["turns"]
             record({
                 "cpus": c, "tps": r["value"], "turns": turns, "convs": convs,
-                "rev": git_rev(), "reps": 3,
+                "rev": git_rev(), "fhash": flagship_hash(), "reps": 3,
             })
 
     summary = write_md(turns)
