@@ -2692,36 +2692,106 @@ _ROLLING_ZSCORE_SQL = """
           from z"""
 
 
+def _q_welch_ttest(spark, sf_dir):
+    """Welch unequal-variance t-test between the user_id%2 arms
+    (experiment.welch_ttest): per-arm (n, Σy, Σy²) in exact decimal,
+    then the closed-form t and Welch–Satterthwaite dof in double. Same
+    per-user integer-cent metric as the variant_summary gate; the
+    oracle replays the sums and every double op in order."""
+    from feat_spark.operators.experiment import welch_ttest
+
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    cut = 1705276800000000
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(ts_us >= cut, cents)).alias("y")
+    )
+    units = per_user.withColumn("variant", F.col("user_id") % 2)
+    return welch_ttest(
+        units, variant_col="variant", y_col="y", control=0, treatment=1
+    )
+
+
+def _q_bm25_keywords(spark, sf_dir):
+    """Okapi BM25 top-5 terms per document (keywords.bm25_topk):
+    saturating tf + doc-length norm, corpus stats derived from the tf
+    frame (no second input scan), N/avgdl as driver scalars. The
+    oracle rebuilds tf/df/dl and replays the double expression tree
+    verbatim (all float literals ::DOUBLE — DuckDB bare literals parse
+    DECIMAL and would change the arithmetic)."""
+    from feat_spark.operators.keywords import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), k=5)
+
+
+def _q_rolling_median(spark, sf_dir):
+    """Exact rolling median of integer cents over a trailing 5-row
+    frame per user (rolling.rolling_median): declarative
+    percentile-over-window, no UDF; medians of ≤5 integers are
+    integers or half-integers — exact in double — so DuckDB
+    quantile_cont replays them bit-for-bit."""
+    from feat_spark.operators.rolling import rolling_median
+
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull()).select(
+        "event_id", "user_id", "ts",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    return rolling_median(
+        e, part_col="user_id", order_cols=["ts", "event_id"],
+        value_col="cents", window_rows=5,
+    ).select("event_id", "user_id", "cents", "rolling_median")
+
+
+def _q_dedup_canonical(spark, sf_dir):
+    """Survivor selection per dup cluster (dedup.canonical_docs):
+    same simhash near-dup graph + components as the dedup_components
+    gate, then canonical = longest doc (ties to smallest id) via a
+    map-side-combinable max(struct(len, -id)) — no giant-cluster
+    window sort. The oracle recomputes components with the recursive
+    CTE and replays the selection with a per-component rank."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    )
+    sims = D.simhash32(corpus, id_col="doc_id", text_col="text")
+    pairs = D.simhash_near_pairs(sims, id_col="doc_id", max_hamming=6)
+    comps = D.connected_components(pairs)
+    return D.canonical_docs(comps, corpus)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
     # oracle was touched this round moves into the window regardless.
     # ROUND-4 WINDOW (cuts at `embedding_near_dup`, position 50), in
     # priority order:
-    #   (1) positions 1-4: gates whose executed code changed this round
+    #   (1) positions 1-8: gates whose executed code changed this round
     #       and are NEW (semantic_dedup_largek exercises the new
     #       assign_clusters strategy="join" path end to end at k=256;
-    #       fuzzy_pairs_recall the new blocks= OR-construction) or
-    #       changed+stale (fuzzy_pairs; pagerank persist/reliable-
-    #       checkpoint rework — never driver-checked);
-    #   (2) positions 5-43: every other never-driver-checked gate
+    #       fuzzy_pairs_recall the new blocks= OR-construction;
+    #       welch_ttest / bm25_keywords / rolling_median /
+    #       dedup_canonical are round-4 operators) or changed+stale
+    #       (fuzzy_pairs; pagerank persist/reliable-checkpoint rework —
+    #       never driver-checked);
+    #   (2) positions 9-47: every other never-driver-checked gate
     #       (rolling_zscore..psi_drift from r3 sessions 1-3,
     #       time_to_event..km_curve from session 4; rolling_zscore and
     #       stream_zscore adjacent so the batch/stream bit-parity claim
     #       gets same-round driver rows);
-    #   (3) positions 44-50: the seven stalest r2-green refill gates.
-    # Coverage ledger: every window slot is a DISTINCT never-checked or
-    # r2-stale gate, so CORRECTNESS_r04 + r03 cover 100 distinct gates
-    # of 136. The two r3-green gates whose assignment code was also
-    # touched this round (semantic_dedup k<=100 literal routing,
-    # knn_cosine_ivf join routing) yield their slots to distinct
-    # coverage per the r3 verdict's done-bar; their changed code is
-    # locally oracle-verified (dtype-strict selfcheck, this session)
-    # and the SAME new code path gets its driver row via
+    #   (3) positions 48-50: the three stalest r2-green refill gates.
+    # Coverage ledger: every window slot is a DISTINCT new,
+    # never-checked, or r2-stale gate, so CORRECTNESS_r04 + r03 cover
+    # 100 distinct gates of 140. The two r3-green gates whose
+    # assignment code was also touched this round (semantic_dedup
+    # k<=100 literal routing, knn_cosine_ivf join routing) yield their
+    # slots to distinct coverage per the r3 verdict's done-bar; their
+    # changed code is locally oracle-verified (dtype-strict selfcheck,
+    # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST. ROUND-5 PLAN: semantic_dedup +
-    # knn_cosine_ivf, then remaining r2-green refill
-    # (sketches..asof_join_nearest) and the r2-green trailers
+    # knn_cosine_ivf, then the r2-green refill
+    # (simhash_near_dups..asof_join_nearest) and the r2-green trailers
     # (stable_order..feature_extract); they will then be the
     # oldest rows (r2, 3 rounds) with untouched code.
     return {
@@ -2730,6 +2800,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": _q_fuzzy_pairs,
         "fuzzy_pairs_recall": _q_fuzzy_pairs_recall,
         "pagerank": _q_pagerank,
+        "welch_ttest": _q_welch_ttest,
+        "bm25_keywords": _q_bm25_keywords,
+        "rolling_median": _q_rolling_median,
+        "dedup_canonical": _q_dedup_canonical,
         # --- (2) never driver-checked until now ----------------------
         "rolling_zscore": _q_rolling_zscore,
         "stream_zscore": _q_stream_zscore,
@@ -2774,16 +2848,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_signatures": _q_minhash_sigs,
         "simhash": _q_simhash,
-        "simhash_near_dups": _q_simhash_near,
-        "knn_cosine": _q_knn,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "media_features": _q_media_features,
         # =========== WINDOW CUTS HERE (position 50) ==================
         # --- r3-green, code touched r4 (locally oracle-verified);
         # --- rotate into the r5 window FIRST ---------------------
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
+        "simhash_near_dups": _q_simhash_near,
+        "knn_cosine": _q_knn,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "media_features": _q_media_features,
         "sketches": _q_sketches,
         "stream_turn_features": _q_stream_turn_features,
         "stream_asof": _q_stream_asof,
@@ -4859,4 +4933,108 @@ def oracle_sql() -> dict[str, str]:
                         as double)), 6)
                       else 0.0::DOUBLE end as survival
           from tm""",
+        "welch_ttest": """
+          with per as (
+            select user_id, user_id % 2 as variant,
+                   sum(case when epoch_us(ts) >= 1705276800000000
+                       then (value::decimal(18,2) * 100)::BIGINT end) as y
+            from events where value is not null
+            group by 1, 2),
+          d as (
+            select variant, cast(y as decimal(28,6)) as yd
+            from per where y is not null),
+          a as (
+            select variant, count(*) as n,
+                   cast(sum(yd) as double) as sy,
+                   cast(sum(yd * yd) as double) as syy
+            from d group by 1),
+          w as (
+            select max(case when variant = 0 then n end) as nc,
+                   max(case when variant = 0 then sy end) as syc,
+                   max(case when variant = 0 then syy end) as syyc,
+                   max(case when variant = 1 then n end) as nt,
+                   max(case when variant = 1 then sy end) as syt,
+                   max(case when variant = 1 then syy end) as syyt
+            from a),
+          v as (
+            select nc, nt, syc / nc as mc, syt / nt as mt,
+                   case when nc > 1 then
+                     (syyc - syc * syc / nc) / (nc - 1) end as vc,
+                   case when nt > 1 then
+                     (syyt - syt * syt / nt) / (nt - 1) end as vt
+            from w),
+          s as (select *, vc / nc + vt / nt as se2 from v)
+          select cast(nc as bigint) as n_c, cast(nt as bigint) as n_t,
+                 round(mc, 6) as mean_c, round(mt, 6) as mean_t,
+                 round(mt - mc, 6) as diff,
+                 case when se2 > 0 then
+                   round((mt - mc) / sqrt(se2), 6) end as t_stat,
+                 case when se2 > 0 then
+                   round(se2 * se2 / ((vc / nc) * (vc / nc) / (nc - 1)
+                         + (vt / nt) * (vt / nt) / (nt - 1)), 6)
+                 end as dof
+          from s""",
+        "bm25_keywords": f"""
+          with w as (select doc_id, unnest({_WS}) as word from documents),
+          tf as (select doc_id, word, count(*) as tf from w group by 1, 2),
+          dfreq as (select word, count(*) as df from tf group by 1),
+          dl as (select doc_id, sum(tf) as dl from tf group by 1),
+          stats as (
+            select cast(count(distinct doc_id) as double) as n,
+                   cast(sum(tf) as double) / count(distinct doc_id) as avgdl
+            from tf),
+          scored as (
+            select tf.doc_id, tf.word,
+                   round(ln(1.0::DOUBLE + (n - df + 0.5::DOUBLE)
+                            / (df + 0.5::DOUBLE))
+                         * (tf * (1.2::DOUBLE + 1.0)
+                            / (tf + 1.2::DOUBLE
+                               * (1.0::DOUBLE - 0.75::DOUBLE
+                                  + 0.75::DOUBLE * dl.dl / avgdl))),
+                         6) as bm25
+            from tf join dfreq using (word) join dl using (doc_id)
+            cross join stats)
+          select doc_id, word, bm25,
+                 cast(row_number() over (partition by doc_id
+                                         order by bm25 desc, word)
+                      as bigint) as rank
+          from scored qualify rank <= 5""",
+        "rolling_median": """
+          with e as (
+            select event_id, user_id, ts,
+                   (value::decimal(18,2) * 100)::BIGINT as cents
+            from events where value is not null)
+          select event_id, user_id, cents,
+                 quantile_cont(cents, 0.5) over (
+                   partition by user_id order by ts, event_id
+                   rows between 4 preceding and current row)
+                   as rolling_median
+          from e""",
+        "dedup_canonical": f"""
+          with recursive pairs as ({_SIMHASH_NEAR_SQL}),
+          e as (select id_a as a, id_b as b from pairs
+                union
+                select id_b as a, id_a as b from pairs),
+          reach(v, r) as (
+            select a, a from e
+            union
+            select e.a, reach.r from e join reach on reach.v = e.b
+          ),
+          comp as (select v as doc_id, min(r) as component
+                   from reach group by v),
+          corpus as (
+            select doc_id, text from documents
+            union all
+            select doc_id + 200000, text from documents),
+          ranked as (
+            select comp.doc_id, comp.component,
+                   row_number() over (partition by component
+                                      order by length(text) desc,
+                                               comp.doc_id asc) as rn
+            from comp join corpus using (doc_id)),
+          canon as (select component, doc_id as canonical_id
+                    from ranked where rn = 1)
+          select r.doc_id, r.component, c.canonical_id,
+                 r.doc_id = c.canonical_id as is_canonical
+          from ranked r join canon c using (component)""",
     }

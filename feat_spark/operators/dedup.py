@@ -901,3 +901,59 @@ def fuzzy_pairs(
         )
         .filter(F.col("dist") >= 0)
     )
+
+
+def canonical_docs(
+    components: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    comp_col: str = "component",
+    length_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pick the document every dup cluster KEEPS — the step between
+    :func:`connected_components` and the filtered corpus. ``component``
+    (= min reachable id) is a fine cluster LABEL but a poor survivor
+    policy: the lowest id is arbitrary, while curation wants the most
+    complete copy. Survivor = longest document, ties to the smallest
+    id (deterministic).
+
+    Input: ``components`` as ``(id_col, comp_col)`` from
+    :func:`connected_components`; ``docs`` holding ``id_col`` plus
+    either a precomputed ``length_col`` or ``text_col`` to measure.
+    Output: ``(doc_id, component, canonical_id, is_canonical)`` — one
+    row per clustered doc; downstream keeps ``is_canonical`` and
+    anti-joins the rest out of the corpus.
+
+    Scale shape: the survivor per component is a MAP-SIDE-COMBINABLE
+    ``max(struct(len, -id))`` aggregate — a web-scale dup cluster
+    (mirrored boilerplate with millions of members) collapses in the
+    combiner instead of sorting one giant window partition — followed
+    by a component-keyed equi-join back onto the membership frame.
+    Two exchanges on the same key, no window sort, no skew cliff.
+    """
+    length = (
+        F.col(length_col)
+        if length_col is not None
+        else F.length(F.col(text_col))
+    ).cast("long")
+    member = components.select(
+        F.col(id_col).alias("doc_id"), F.col(comp_col).alias("component")
+    ).join(
+        docs.select(F.col(id_col).alias("doc_id"), length.alias("__len")),
+        "doc_id",
+    )
+    survivors = member.groupBy("component").agg(
+        F.max(F.struct(F.col("__len"), (-F.col("doc_id")).alias("__nid"))).alias("__best")
+    ).select(
+        "component", (-F.col("__best")["__nid"]).cast("long").alias("canonical_id")
+    )
+    return (
+        member.join(survivors, "component")
+        .select(
+            "doc_id",
+            "component",
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )

@@ -202,3 +202,83 @@ def srm_check(
         F.when(F.col("unknown") == 0, F.col("chi2")).alias("chi2"),
         F.when(F.col("unknown") == 0, F.col("srm")).alias("srm"),
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    variant_col: str,
+    y_col: str,
+    control,
+    treatment,
+    dp: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test between two named
+    variants — the decision statistic an experiment readout ends with
+    (``variant_summary`` shows the per-arm CIs; this one row answers
+    "is the difference real?").
+
+    Same exact-sums discipline as :func:`variant_summary`: per arm
+    (n, Σy, Σy²) in decimal — partial-agg order cannot change a bit —
+    then the closed forms in double::
+
+        vᵢ   = (Σy²ᵢ − (Σyᵢ)²/nᵢ) / (nᵢ−1)      (sample variance)
+        se²  = v_c/n_c + v_t/n_t
+        t    = (m_t − m_c) / sqrt(se²)
+        dof  = se²² / ((v_c/n_c)²/(n_c−1) + (v_t/n_t)²/(n_t−1))
+
+    (Welch–Satterthwaite). Because every input to the double math is
+    an exact decimal sum, a SQL engine replaying the same expression
+    tree reproduces the statistic bit-for-bit.
+
+    Scale shape: one map-side-combinable two-group aggregate over the
+    unit frame, then a 2-row conditional pivot — nothing downstream of
+    the partial agg scales with row count. Degenerate arms are honest:
+    n ≤ 1 in either arm, or zero variance in both, → NULL t/dof.
+
+    Output (single row): ``(n_c, n_t, mean_c, mean_t, diff, t_stat,
+    dof)``.
+    """
+    yd = F.col(y_col).cast("double").cast("decimal(18,6)")
+    d = df.filter(
+        F.col(y_col).isNotNull()
+        & F.col(variant_col).isin([control, treatment])
+    ).select(
+        (F.col(variant_col) == F.lit(treatment)).alias("__t"),
+        yd.alias("__y"),
+    )
+    per = d.groupBy("__t").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").cast("double").alias("sy"),
+        F.sum(F.col("__y") * F.col("__y")).cast("double").alias("syy"),
+    )
+
+    def arm(flag: bool, c: str):
+        return F.max(F.when(F.col("__t") == flag, F.col(c)))
+
+    w = per.agg(
+        arm(False, "n").alias("nc"), arm(False, "sy").alias("syc"),
+        arm(False, "syy").alias("syyc"),
+        arm(True, "n").alias("nt"), arm(True, "sy").alias("syt"),
+        arm(True, "syy").alias("syyt"),
+    )
+    nc, nt = F.col("nc"), F.col("nt")
+    mc = F.col("syc") / nc
+    mt = F.col("syt") / nt
+    vc = F.when(nc > 1, (F.col("syyc") - F.col("syc") * F.col("syc") / nc) / (nc - 1))
+    vt = F.when(nt > 1, (F.col("syyt") - F.col("syt") * F.col("syt") / nt) / (nt - 1))
+    se2 = vc / nc + vt / nt
+    t = F.when(se2 > 0, (mt - mc) / F.sqrt(se2))
+    dof = F.when(
+        se2 > 0,
+        se2 * se2
+        / ((vc / nc) * (vc / nc) / (nc - 1) + (vt / nt) * (vt / nt) / (nt - 1)),
+    )
+    return w.select(
+        nc.cast("long").alias("n_c"),
+        nt.cast("long").alias("n_t"),
+        F.round(mc, dp).alias("mean_c"),
+        F.round(mt, dp).alias("mean_t"),
+        F.round(mt - mc, dp).alias("diff"),
+        F.round(t, dp).alias("t_stat"),
+        F.round(dof, dp).alias("dof"),
+    )

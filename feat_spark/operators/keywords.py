@@ -147,3 +147,69 @@ def bigram_lm_scores(
     )
     ids = df.select(F.col(id_col)).distinct()
     return ids.join(out, id_col, "left")
+
+
+def bm25_topk(
+    df: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, word, bm25, rank)`` — top ``k`` terms per document
+    by Okapi BM25 (Robertson et al.), the retrieval-grade salience
+    score :func:`tfidf_topk` approximates: term frequency saturates at
+    ``k1`` and long documents are penalized through the ``b``-weighted
+    length norm, so boilerplate-heavy long docs stop dominating::
+
+        idf(t)  = ln(1 + (N − df + 0.5)/(df + 0.5))      (Lucene form,
+                                                          never negative)
+        s(d, t) = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Same relational shape as :func:`tfidf_topk` — one explode, two
+    partial-agg group-bys (tf; df), one word-keyed equi-join, one
+    per-doc top-k window — so the Zipf-hot word is bounded by map-side
+    combine and the plan survives a 100x scale-up unchanged. The doc
+    length ``dl = Σ tf`` and the corpus stats (N docs, avg dl) are
+    DERIVED FROM the tf frame (no second scan of the input); N/avgdl
+    enter as driver-side scalars, keeping the plan free of a 1-row
+    broadcast-nested-loop join. N counts documents with at least one
+    word — empty docs have no terms to rank and don't dilute avgdl.
+
+    Ties break by word ascending; every float op is replayed in the
+    same order by the oracle, so the rounded score is bit-portable.
+    """
+    w = df.select(F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("word"))
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    tf.cache()  # reused by df-counts, corpus stats, and the join below
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    n_docs, sum_dl = tf.agg(
+        F.countDistinct("doc_id"), F.sum("tf")
+    ).first()
+    avgdl = sum_dl / n_docs  # exact ints -> one correctly-rounded div
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = (
+        F.col("tf") * (F.lit(float(k1)) + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(float(k1))
+            * (F.lit(1.0) - F.lit(float(b)) + F.lit(float(b)) * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    scored = (
+        tf.join(dfreq, "word")
+        .join(dl, "doc_id")
+        .withColumn("bm25", F.round(idf * norm, 6))
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("bm25").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "word", "bm25", "rank")
+    )

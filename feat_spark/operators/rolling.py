@@ -1,0 +1,66 @@
+"""Rolling order statistics over bounded row frames.
+
+Rolling mean/sum have exact closed forms (``operators/windows.py``,
+``operators/chunked.py``); a rolling MEDIAN does not — it is an order
+statistic, the robust location estimate a monitoring or feature
+pipeline wants when the signal has fat tails (a single spiked value
+drags a rolling mean for the whole window but moves the median one
+rank). Spark's window machinery accepts ANY aggregate over a frame, so
+the operator stays fully declarative: ``percentile(x, 0.5)`` over a
+``ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW`` frame — JVM-side,
+whole-stage-codegen framed, no UDF.
+
+Exactness discipline (the repo-wide device): the caller hands an
+INTEGER-valued column (e.g. cents). The median of ≤k integers is
+either an integer or a half-integer — both exact in double — so the
+statistic is bit-portable to any engine whose median interpolates
+(DuckDB ``quantile_cont`` on integers replays it bit-for-bit; the
+selfcheck memory note pins this equivalence).
+
+Scale shape: one hash exchange on the partition key + one sort — the
+same single (exchange, sort) pair every windowed operator in this
+engine rides; the frame is ROW-BOUNDED (k rows buffered per task,
+O(k) memory regardless of partition size), so a hot entity makes a
+long sorted run, not a blown buffer. For pathological single-key skew
+the chunked prefix-sum device does not apply (medians don't combine),
+but a bounded frame keeps the per-row cost O(k) — at k≤100 this is
+compute-bound, not memory-bound, at any partition size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rolling_median(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window_rows: int = 5,
+    out_col: str = "rolling_median",
+) -> DataFrame:
+    """Append ``out_col``: the exact median of ``value_col`` over the
+    trailing ``window_rows``-row frame (current row inclusive) within
+    each ``part_col`` partition, ordered by ``order_cols``.
+
+    ``order_cols`` must be a TOTAL order within each partition (pass a
+    unique tiebreaker last) — otherwise the frame contents, and hence
+    the median, are nondeterministic under shuffle order.
+
+    ``value_col`` should be integer-valued (cast your metric to cents
+    first) for cross-engine bit-exactness; rows with NULL values are
+    skipped by the aggregate, and a frame of all-NULLs yields NULL.
+    Fewer than ``window_rows`` preceding rows → median of what exists
+    (both Spark and SQL engines agree on this semantics).
+    """
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    med: Column = F.percentile(F.col(value_col), F.lit(0.5)).over(w)
+    return df.withColumn(out_col, med)
