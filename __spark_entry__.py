@@ -2760,6 +2760,91 @@ def _q_dedup_canonical(spark, sf_dir):
     return D.canonical_docs(comps, corpus)
 
 
+def _q_scd2_build(spark, sf_dir):
+    """SCD-2 dimension builder (plans/snapshot.scd2_build): collapse
+    the per-user event_type change log into validity intervals —
+    gaps-and-islands running-sum run detector, ONE shuffle + three
+    windows over one sort. Timestamps surface as epoch-us BIGINTs so
+    both engines hash identical integers; the oracle replays the
+    row_number/lag/lead pipeline verbatim."""
+    from feat_spark.plans.snapshot import scd2_build
+
+    e = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    out = scd2_build(
+        e, key_col="user_id", ts_col="ts",
+        attr_cols=["event_type"], tiebreak_col="event_id",
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    return out.select(
+        "user_id", "event_type",
+        us("valid_from").alias("valid_from_us"),
+        us("valid_to").alias("valid_to_us"),
+        "version", "is_current",
+    )
+
+
+def _q_tree_ancestry(spark, sf_dir):
+    """Forest flattening by pointer doubling (graph.tree_ancestry):
+    root + depth for every node of a synthetic doc-id forest
+    (parent = id div 4, ids < 4 are roots) in O(log depth) self-join
+    rounds — the hierarchy primitive SQL needs a recursive CTE for,
+    which is exactly what the oracle uses. All-integer outputs."""
+    from feat_spark.operators.graph import tree_ancestry
+
+    nodes = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("doc_id") >= 4, F.expr("doc_id div 4")).alias("parent_id"),
+    )
+    return tree_ancestry(nodes, id_col="id", parent_col="parent_id")
+
+
+def _q_containment_pairs(spark, sf_dir):
+    """Asymmetric n-gram containment |A∩B|/|A| (dedup.containment_
+    pairs) over the augmented corpus — the truncated copies are
+    CONTAINED in their originals (C=1.0) while Jaccard alone would
+    discount them; the sub-document / contamination detector. Integer
+    counts, one division, 6dp round."""
+    return D.containment_pairs(
+        _augmented_docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        n=3, threshold=0.9,
+    )
+
+
+def _q_prefix_filter_pairs(spark, sf_dir):
+    """EXACT Jaccard self-join via rarest-first positional prefix
+    filtering (dedup.prefix_filter_pairs, Bayardo et al. WWW'07).
+    The oracle is the NAIVE all-pairs join — equality of the two
+    result sets IS the proof that the prefix pruning is lossless."""
+    return D.prefix_filter_pairs(
+        _augmented_docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        threshold=0.9,
+    )
+
+
+def _q_bpe_pairs(spark, sf_dir):
+    """One BPE tokenizer-training merge step (keywords.bpe_pair_
+    counts): corpus-wide adjacent character-pair counts, weighted by
+    word frequency so the pair frame is vocabulary-sized, top-50 by
+    (count desc, pair) — integer counts, fully deterministic ties."""
+    from feat_spark.operators.keywords import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"), k=50)
+
+
+def _q_source_kl(spark, sf_dir):
+    """Per-source unigram KL(P_s || P_global) with add-one smoothing
+    (mixture.source_kl): the absent-vocabulary mass folds to a closed
+    form, so cost is linear in (source, word) pairs; the three
+    per-source folds and the one global fold all run in lexicographic
+    word order (sorted-fold device) and the oracle replays every
+    double op in sequence."""
+    from feat_spark.operators.mixture import source_kl
+
+    return source_kl(
+        _t(spark, sf_dir, "documents"), stratum_col="source", text_col="text"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -2849,8 +2934,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_sigs,
         "simhash": _q_simhash,
         # =========== WINDOW CUTS HERE (position 50) ==================
-        # --- r3-green, code touched r4 (locally oracle-verified);
-        # --- rotate into the r5 window FIRST ---------------------
+        # --- NEW late-r4 gates (post-window-freeze; dtype-strict
+        # --- selfcheck-verified this round) + r3-green gates whose
+        # --- code was touched r4: ALL rotate into the r5 window FIRST
+        "scd2_build": _q_scd2_build,
+        "tree_ancestry": _q_tree_ancestry,
+        "containment_pairs": _q_containment_pairs,
+        "prefix_filter_pairs": _q_prefix_filter_pairs,
+        "bpe_pair_counts": _q_bpe_pairs,
+        "source_kl": _q_source_kl,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -5037,4 +5129,125 @@ def oracle_sql() -> dict[str, str]:
           select r.doc_id, r.component, c.canonical_id,
                  r.doc_id = c.canonical_id as is_canonical
           from ranked r join canon c using (component)""",
+        "scd2_build": """
+          with e as (
+            select user_id, epoch_us(ts) as ts_us, event_id, event_type
+            from events),
+          f as (
+            select *,
+                   case when row_number() over w = 1
+                        or event_type is distinct from lag(event_type) over w
+                        then 1 else 0 end as chg
+            from e
+            window w as (partition by user_id order by ts_us, event_id)),
+          r as (
+            select *,
+                   sum(chg) over (partition by user_id order by ts_us, event_id
+                                  rows between unbounded preceding
+                                  and current row) as ver
+            from f),
+          g as (
+            select user_id, ver, min(event_type) as event_type,
+                   min(ts_us) as valid_from_us
+            from r group by 1, 2)
+          select user_id, event_type, valid_from_us,
+                 lead(valid_from_us) over wv as valid_to_us,
+                 cast(ver as bigint) as version,
+                 lead(valid_from_us) over wv is null as is_current
+          from g
+          window wv as (partition by user_id order by ver)""",
+        "tree_ancestry": """
+          with recursive nodes as (
+            select doc_id as id,
+                   case when doc_id >= 4 then doc_id // 4 end as parent
+            from documents),
+          walk as (
+            select id, id as cur, 0 as d from nodes
+            union all
+            select w.id, n.parent, w.d + 1
+            from walk w join nodes n on w.cur = n.id
+            where n.parent is not null)
+          select w.id, w.cur as root_id, cast(w.d as bigint) as depth
+          from walk w join nodes n on w.cur = n.id
+          where n.parent is null""",
+        "containment_pairs": f"""
+          with corpus as ({_AUG_DOCS_SQL}),
+          sh as (select doc_id, unnest({_SHINGLES_SQL.format(ws=_WS)}) as s
+                 from corpus),
+          sz as (select doc_id, count(*) as n from sh group by 1),
+          inter as (
+            select a.doc_id id_a, b.doc_id id_b, count(*) i
+            from sh a join sh b on a.s = b.s and a.doc_id <> b.doc_id
+            group by 1, 2)
+          select id_a, id_b, round(i * 1.0 / sa.n, 6) as containment
+          from inter join sz sa on inter.id_a = sa.doc_id
+          where round(i * 1.0 / sa.n, 6) >= 0.9""",
+        "prefix_filter_pairs": f"""
+          with corpus as ({_AUG_DOCS_SQL}),
+          w as (select doc_id, unnest(list_distinct({_WS})) as s from corpus),
+          sz as (select doc_id, count(*) as n from w group by 1),
+          inter as (
+            select a.doc_id id_a, b.doc_id id_b, count(*) i
+            from w a join w b on a.s = b.s and a.doc_id < b.doc_id
+            group by 1, 2)
+          select id_a, id_b,
+                 round(i * 1.0 / (sa.n + sb.n - i), 6) as jaccard
+          from inter
+          join sz sa on inter.id_a = sa.doc_id
+          join sz sb on inter.id_b = sb.doc_id
+          where round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.9""",
+        "bpe_pair_counts": f"""
+          with w as (select unnest({_WS}) as wrd from documents),
+          wc as (select wrd, count(*) as c from w group by 1),
+          p as (
+            select unnest(list_transform(range(1, length(wrd)),
+                                         i -> substr(wrd, i, 2))) as pair,
+                   c
+            from wc)
+          select pair, cast(sum(c) as bigint) as count
+          from p group by 1
+          order by count desc, pair
+          limit 50""",
+        "source_kl": f"""
+          with w as (select source, unnest({_WS}) as wrd from documents),
+          sc as (select source, wrd, count(*) as c from w group by 1, 2),
+          gc as (select wrd, sum(c) as g from sc group by 1),
+          tot as (select count(*) as v,
+                         cast(sum(g) as bigint) + count(*) as qd
+                  from gc),
+          lnqall as (
+            select list_reduce(
+                     list_prepend(0.0::DOUBLE,
+                       list(ln((g + 1.0::DOUBLE) / qd::DOUBLE)
+                            order by wrd)),
+                     (a, b) -> a + b) as f
+            from gc, tot group by qd),
+          per as (
+            select source,
+                   cast(sum(c) as bigint) as n_tokens,
+                   count(*) as n_types,
+                   list_reduce(
+                     list_prepend(0.0::DOUBLE,
+                       list((c + 1.0::DOUBLE) * ln(c + 1.0::DOUBLE)
+                            order by wrd)),
+                     (a, b) -> a + b) as g1,
+                   list_reduce(
+                     list_prepend(0.0::DOUBLE,
+                       list((c + 1.0::DOUBLE)
+                            * ln((g + 1.0::DOUBLE) / qd::DOUBLE)
+                            order by wrd)),
+                     (a, b) -> a + b) as g2,
+                   list_reduce(
+                     list_prepend(0.0::DOUBLE,
+                       list(ln((g + 1.0::DOUBLE) / qd::DOUBLE)
+                            order by wrd)),
+                     (a, b) -> a + b) as g3
+            from sc join gc using (wrd) cross join tot
+            group by source, qd)
+          select source, n_tokens, n_types,
+                 round((g1 - g2 + g3 - lnqall.f)
+                       / ((n_tokens + (select v from tot))::DOUBLE)
+                       - ln((n_tokens + (select v from tot))::DOUBLE), 6)
+                   as kl
+          from per, lnqall""",
     }

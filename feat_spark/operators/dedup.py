@@ -957,3 +957,127 @@ def canonical_docs(
             (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram containment C(A,B) = |A∩B| / |A| over distinct
+    word shingles — the sub-document detector Jaccard misses: a doc
+    quoted whole inside a much longer one scores J ~ |A|/|B| (tiny)
+    but C(A,B) = 1. This is the standard benchmark-contamination and
+    quote-chain test (a contaminated training doc CONTAINS the eval
+    item; it is rarely EQUAL to it).
+
+    Directional output ``(id_a, id_b, containment)`` = share of A's
+    shingles present in B, both orientations of each co-shingled pair,
+    ``containment >= threshold``. With ``candidates`` only those pairs
+    are scored (LSH/banding upstream — the scale path; containment
+    pairs route through the same equi-join-per-shingle plan as
+    :func:`shingle_jaccard_pairs`). Without, all co-shingled pairs
+    (oracle / small inputs only). Integer intersection and size counts
+    divide once at the end — bit-stable cross-engine.
+    """
+    sh = _shingle_rows(df, id_col, text_col, n)
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    if candidates is not None:
+        cand = candidates.select("id_a", "id_b").distinct()
+        shb = sh.select(F.col("__id").alias("__idb"), F.col("__sh").alias("__sh_b"))
+        inter = (
+            cand.join(sh.withColumnRenamed("__id", "id_a"), on="id_a")
+            .join(
+                shb,
+                (F.col("id_b") == F.col("__idb")) & (F.col("__sh") == F.col("__sh_b")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__inter"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.__sh") == F.col("b.__sh"))
+                & (F.col("a.__id") != F.col("b.__id")),
+            )
+            .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("__inter"))
+        )
+    sa = sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na")
+    return (
+        inter.join(sa, "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("__inter") / F.col("__na"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """EXACT Jaccard-similarity self-join via positional prefix
+    filtering (Chaudhuri et al. SSJoin / Bayardo et al. "Scaling Up
+    All Pairs", WWW'07) — the lossless alternative to MinHash when the
+    contract is "every pair with J >= t, no recall haircut".
+
+    The theorem: order every doc's distinct tokens by ONE global total
+    order (rarest-first — ascending document frequency, ties by
+    token), and two sets with ``J >= t`` MUST share a token within
+    each one's first ``|X| - ceil(t * |X|) + 1`` tokens. So: equi-join
+    docs on PREFIX tokens only, then exact-verify the candidates. The
+    rarest-first order makes prefixes collide as little as possible —
+    candidate volume tracks the true-pair count, not the quadratic
+    co-token count (a stopword like "the" never enters a prefix of a
+    doc with more than a handful of tokens).
+
+    Scale shape: token df is a word-keyed partial agg; prefix
+    extraction is a per-doc sort of its OWN tokens (array_sort on a
+    struct, no window, no shuffle); candidates come from one
+    shuffle-join keyed by prefix token; verification reuses
+    :func:`shingle_jaccard_pairs`'s per-pair equi-join routing.
+    Output: ``(id_a, id_b, jaccard)``, ``id_a < id_b``, exact — the
+    oracle gate replays it as the NAIVE all-pairs join and equality IS
+    the losslessness proof.
+    """
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_shingles(text_col, 1)).alias("__w"),
+    )
+    dfreq = tok.groupBy("__w").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = tok.join(dfreq, "__w").groupBy("__id").agg(
+        F.array_sort(F.collect_list(F.struct("__df", "__w"))).alias("__toks"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    # prefix length L = n - ceil(t*n) + 1; ceil via integer arithmetic
+    # on cents of t (t given to 2dp) so no float boundary flake
+    t_cents = int(round(threshold * 100))
+    lcol = F.col("__n") - F.floor((F.col("__n") * t_cents + 99) / 100).cast(
+        "long"
+    ) + 1
+    pref = ranked.select(
+        "__id",
+        F.explode(F.slice("__toks", 1, lcol)).alias("__p"),
+    ).select("__id", F.col("__p.__w").alias("__w"))
+    a = pref.alias("a")
+    b = pref.alias("b")
+    cand = (
+        a.join(b, (F.col("a.__w") == F.col("b.__w")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    return shingle_jaccard_pairs(
+        df, id_col=id_col, text_col=text_col, n=1,
+        threshold=threshold, candidates=cand,
+    )

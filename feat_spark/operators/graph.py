@@ -115,3 +115,88 @@ def pagerank(
     e2.unpersist(blocking=False)
     nodes.unpersist(blocking=False)
     return ranks.select("node", F.col("r").alias("pagerank"))
+
+
+def tree_ancestry(
+    nodes: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent_id",
+    max_iters: int = 40,
+    reliable_checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Root and depth of every node in a forest, by pointer doubling.
+
+    Input: one row per node with ``parent_col`` NULL on roots. Output:
+    ``(id, root_id, depth)`` with ``depth`` 0 on roots — the
+    flatten-a-hierarchy primitive (org charts, threaded transcripts,
+    category trees, reply chains) that SQL needs a recursive CTE for
+    and Spark has no operator for.
+
+    The naive walk-up joins once per LEVEL — O(depth) shuffles, fatal
+    on deep chains. Pointer doubling instead keeps, per node, its
+    current known ancestor and the hop distance to it, and each round
+    joins that frame WITH ITSELF: a node pointing d hops up at an
+    ancestor pointing d' hops up now points d+d' hops up. Settled
+    nodes (ancestor is a root) carry a NULL hop and drop out of the
+    join. Rounds needed: ceil(log2(max depth)) — a 1-million-deep
+    chain resolves in 20 self-joins, each a plain equi-join shuffle
+    keyed by the ancestor id. Per-round lineage truncation and the
+    ``reliable_checkpoint_dir`` escape hatch follow :func:`pagerank`.
+
+    All outputs are integers (ids and hop counts) — bit-stable in any
+    engine; the oracle gate replays the result with a recursive CTE.
+    Cycles (bad parent data) never settle: iteration stops when the
+    unsettled count is 0 or ``max_iters`` is hit, and leftover rows
+    surface with NULL root/depth rather than hanging the job.
+    """
+    p = nodes.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(parent_col).cast("long").alias("anc"),
+    )
+    if reliable_checkpoint_dir is not None:
+        p.sparkSession.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
+        truncate = lambda df: df.checkpoint(eager=True)
+    else:
+        truncate = lambda df: df.localCheckpoint(eager=True)
+    # state: (id, anc, d) — anc NULL means "settled, I am my own
+    # subtree's proof": roots start settled with root=id, depth=0.
+    # root_id/depth are filled in the moment a node settles.
+    state = p.select(
+        "id",
+        F.when(F.col("anc").isNotNull(), F.col("anc")).alias("anc"),
+        F.when(F.col("anc").isNull(), F.col("id")).alias("root_id"),
+        F.when(F.col("anc").isNull(), F.lit(0).cast("long")).alias("depth"),
+        F.when(F.col("anc").isNotNull(), F.lit(1).cast("long")).alias("d"),
+    )
+    state = truncate(state)
+    for _ in range(max_iters):
+        open_cnt = state.filter(F.col("anc").isNotNull()).limit(1).count()
+        if open_cnt == 0:
+            break
+        # look up each open node's current ancestor in the SAME frame:
+        # if that ancestor is settled, the node settles (root/depth
+        # known); else the pointer doubles.
+        anc_side = state.select(
+            F.col("id").alias("__aid"),
+            F.col("anc").alias("__aanc"),
+            F.col("root_id").alias("__aroot"),
+            F.col("depth").alias("__adepth"),
+            F.col("d").alias("__ad"),
+        )
+        settled = state.filter(F.col("anc").isNull())
+        open_ = state.filter(F.col("anc").isNotNull())
+        stepped = open_.join(
+            anc_side, open_["anc"] == anc_side["__aid"], "left"
+        ).select(
+            "id",
+            F.when(F.col("__aanc").isNotNull(), F.col("__aanc")).alias("anc"),
+            F.when(F.col("__aanc").isNull(), F.col("__aroot")).alias("root_id"),
+            F.when(
+                F.col("__aanc").isNull(), F.col("d") + F.col("__adepth")
+            ).alias("depth"),
+            F.when(
+                F.col("__aanc").isNotNull(), F.col("d") + F.col("__ad")
+            ).alias("d"),
+        )
+        state = truncate(settled.unionByName(stepped))
+    return state.select("id", "root_id", "depth")

@@ -213,3 +213,51 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("doc_id", "word", "bm25", "rank")
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """One merge step of byte-pair-encoding tokenizer training: count
+    every adjacent symbol pair inside words, corpus-wide, and return
+    the top-k merge candidates — the inner loop of Sennrich et al.
+    (ACL 2016), the operator a tokenizer-training pipeline runs
+    hundreds of times over the full corpus.
+
+    Relational shape: explode words (weighted by their occurrence
+    count — aggregate words FIRST so a word repeated a million times
+    is one row with weight 10^6, the standard BPE trick), generate the
+    length-1 character-pair array per distinct word with ``transform``
+    over ``sequence`` (pure JVM, no UDF), explode, and one weighted
+    partial-agg sum keyed by pair. Zipf-hot pairs ("e " "th") are
+    bounded by map-side combine; the distinct-word frame is vocabulary
+    -sized, not corpus-sized, so later merge steps iterate over a
+    frame ~10^6 rows regardless of corpus bytes. Top-k via
+    orderBy+limit = TakeOrdered on integer counts, ties broken by pair
+    text for cross-engine determinism.
+    """
+    wc = (
+        df.select(F.explode(words(text_col)).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    pairs = wc.select(
+        F.explode(
+            F.when(
+                F.length("__w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("__w") - 1),
+                    lambda i: F.col("__w").substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+        F.col("__c"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("__c").alias("count"))
+        .orderBy(F.col("count").desc(), F.col("pair"))
+        .limit(k)
+    )

@@ -147,3 +147,82 @@ def mixture_sample(
     return df.withColumn("__rate", stratum_rate).filter(
         F.col("__rate").isNotNull() & (gate < F.col("__rate"))
     ).drop("__rate")
+
+
+def source_kl(
+    df: DataFrame,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum unigram KL divergence ``KL(P_s || P_global)`` — the
+    "how far is this source's language from the corpus" ranking a
+    data-mixing stage runs per source (the lexical sibling of
+    embedding-space PSI drift).
+
+    Add-one smoothing over the observed global vocabulary V:
+    ``p_w = (c_w+1)/(n_s+V)``, ``q_w = (g_w+1)/(N+V)``. Summing the
+    ``p ln(p/q)`` term for every word ABSENT from a stratum would
+    explode |strata| x V rows, so the absent mass is folded in closed
+    form. With per-stratum sorted folds over PRESENT words only —
+    ``g1 = sum (c+1) ln(c+1)``, ``g2 = sum (c+1) ln q``,
+    ``g3 = sum ln q`` — and one global sorted fold
+    ``lnq_all = sum_w ln q_w``, the whole divergence collapses to
+
+        KL = (g1 - g2 + g3 - lnq_all) / den - ln(den),  den = n_s + V
+
+    (derivation: split present/absent, factor 1/den out of every p,
+    and note absent-count A = V - n_types makes the ln(den)
+    coefficients telescope to den). Exactly linear in (stratum, word)
+    pairs; the global V-sized fold happens once, not per stratum.
+
+    Every fold runs in lexicographic word order (the
+    ``behavior_entropy`` sorted-fold device) and the final expression
+    is a fixed chain of double ops — an external engine replays the
+    bits. Shape: two word-keyed partial aggs, one word equi-join, one
+    per-stratum fold agg, two driver scalars (V, N). Output:
+    ``(stratum, n_tokens, n_types, kl)``, kl rounded to 6dp.
+    """
+    w = df.select(
+        F.col(stratum_col).alias("__s"), F.explode(words(text_col)).alias("__w")
+    )
+    sc = w.groupBy("__s", "__w").agg(F.count(F.lit(1)).alias("__c"))
+    gc = sc.groupBy("__w").agg(F.sum("__c").alias("__g"))
+    tot = gc.agg(F.count(F.lit(1)).alias("__v"), F.sum("__g").alias("__n")).collect()[0]
+    v = int(tot["__v"])
+    qden = float(int(tot["__n"]) + v)
+
+    def _fold(term):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__w", "__c", "__g"))),
+                term,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    lnq = lambda s: F.log((s["__g"].cast("double") + F.lit(1.0)) / F.lit(qden))
+    cp1 = lambda s: s["__c"].cast("double") + F.lit(1.0)
+    # global fold of ln q over ALL words — one driver scalar
+    lnq_all = float(
+        gc.select(F.col("__w"), F.lit(0).alias("__c"), "__g")
+        .agg(_fold(lnq).alias("f"))
+        .collect()[0]["f"]
+    )
+    per = sc.join(gc, "__w").groupBy("__s").agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        _fold(lambda s: cp1(s) * F.log(cp1(s))).alias("__g1"),
+        _fold(lambda s: cp1(s) * lnq(s)).alias("__g2"),
+        _fold(lnq).alias("__g3"),
+    )
+    den = (F.col("n_tokens") + F.lit(v)).cast("double")
+    kl = (
+        F.col("__g1") - F.col("__g2") + F.col("__g3") - F.lit(lnq_all)
+    ) / den - F.log(den)
+    return per.select(
+        F.col("__s").alias(stratum_col),
+        "n_tokens",
+        "n_types",
+        F.round(kl, 6).alias("kl"),
+    )

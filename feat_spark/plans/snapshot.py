@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -85,4 +85,60 @@ def snapshot_diff(
             .alias("changed_cols"),
         )
         .filter(F.col("status").isNotNull())
+    )
+
+
+def scd2_build(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: Sequence[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Collapse an append-only change log into SCD-2 validity
+    intervals — the dimension-table builder every feature store needs
+    (point-in-time joins consume its output via the as-of family).
+
+    Input: one row per observation ``(key, ts, attrs...)``. Output:
+    one row per RUN of consecutive identical attribute tuples per key:
+    ``(key, attrs..., valid_from, valid_to, version, is_current)``
+    with ``valid_to`` = next run's ``valid_from`` (NULL on the last —
+    the half-open convention), ``version`` = 1-based run index.
+
+    Shape: ONE shuffle (hash by key), then three window passes over
+    the same (key × order) sort — Catalyst reuses the single sort; no
+    self-join, no collect. The run detector is the classic
+    gaps-and-islands running-sum-of-change-flags, with NULL-safe
+    change tests (``eqNullSafe``) so a NULL->value attribute flip
+    opens a new version, same NULL discipline as the reference's
+    undefined-vs-value compare (/root/reference/src/feat.erl:278-289).
+    All outputs are input values or integer counters — bit-stable
+    cross-engine.
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col is not None else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changed = F.lit(False)
+    for a in attr_cols:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(F.col(a)).over(w))
+    # first row of each key: lag is null on every attr -> eqNullSafe
+    # false unless attr is null too; force a new run explicitly
+    first = F.row_number().over(w) == 1
+    runs = df.withColumn(
+        "__ver",
+        F.sum(F.when(first | changed, 1).otherwise(0)).over(w),
+    )
+    grouped = runs.groupBy(F.col(key_col), F.col("__ver")).agg(
+        *[F.first(a).alias(a) for a in attr_cols],
+        F.min(ts_col).alias("valid_from"),
+    )
+    wv = Window.partitionBy(key_col).orderBy("__ver")
+    return grouped.select(
+        F.col(key_col),
+        *[F.col(a) for a in attr_cols],
+        F.col("valid_from"),
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.col("__ver").cast("long").alias("version"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
     )
