@@ -2845,6 +2845,94 @@ def _q_source_kl(spark, sf_dir):
     )
 
 
+def _q_weighted_median(spark, sf_dir):
+    """Exact lower weighted median per (returnflag, linestatus)
+    (encoding.weighted_median): quantity-weighted price cents; ties
+    collapse in a pre-agg so the window spine is distinct-values-
+    sized; the 2*cum >= W gate is all-integer — bit-stable anywhere."""
+    from feat_spark.operators.encoding import weighted_median
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return weighted_median(
+        li, key_cols=["l_returnflag", "l_linestatus"],
+        value_col="cents", weight_col="qty",
+    )
+
+
+def _q_ks_test(spark, sf_dir):
+    """Two-sample KS between the user_id%2 arms' value distributions
+    (experiment.ks_test): D's numerator |cumA*nB - cumB*nA| is an
+    INTEGER at every distinct cent, one division at the end; the
+    oracle replays the same cumulative spine and double ops."""
+    from feat_spark.operators.experiment import ks_test
+
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull()).select(
+        (F.col("user_id") % 2).alias("grp"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    return ks_test(e, group_col="grp", value_col="cents", group_a=0, group_b=1)
+
+
+def _q_mutual_information(spark, sf_dir):
+    """MI feature ranking (profile.mutual_information): event_type and
+    day-of-week vs a user_id%3 label — one melt scan, integer cell
+    counts, lexicographic sorted fold; the oracle unions the melt and
+    replays every double op in (value,label) order."""
+    from feat_spark.operators.profile import mutual_information
+
+    e = _events(spark, sf_dir)
+    df = e.select(
+        "event_type",
+        F.expr(
+            "cast(((unix_micros(cast(ts as timestamp)) div 86400000000)"
+            " + 3) % 7 as string)"
+        ).alias("dow"),
+        (F.col("user_id") % 3).cast("string").alias("label"),
+    )
+    return mutual_information(df, ["event_type", "dow"], "label")
+
+
+def _q_semantic_decontam(spark, sf_dir):
+    """Embedding-space decontamination (similarity.semantic_
+    decontaminate): vec_id<25 is the broadcast "benchmark", the rest
+    the corpus; exact per-row argmax over the broadcast side (the kNN
+    exemption class), deterministic ties to the smallest bench id."""
+    from feat_spark.operators.similarity import semantic_decontaminate
+
+    v = _t(spark, sf_dir, "embeddings")
+    bench = v.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("bench_id"), "embedding"
+    )
+    # plant contamination: re-id'd copies of the benchmark vectors ride
+    # in the corpus (cos=1.0 with their source), alongside the natural
+    # corpus whose top cross-cosines sit just under 0.5 — the 0.45
+    # threshold exercises both the planted and the borderline band
+    corpus = v.filter(F.col("vec_id") >= 25).select(
+        F.col("vec_id").alias("corpus_id"), "embedding"
+    ).unionByName(
+        bench.select((F.col("bench_id") + 10000).alias("corpus_id"), "embedding")
+    )
+    return semantic_decontaminate(
+        corpus, bench, corpus_id="corpus_id", bench_id="bench_id",
+        vec_col="embedding", threshold=0.45,
+    )
+
+
+def _q_rare_collapse(spark, sf_dir):
+    """Long-tail category guard (encoding.rare_category_collapse):
+    sources under 20 docs collapse to __other__ via a broadcast
+    keep-list — the corpus never shuffles; NULL stays NULL."""
+    from feat_spark.operators.encoding import rare_category_collapse
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return rare_category_collapse(d, cat_col="source", min_count=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -2943,6 +3031,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_filter_pairs": _q_prefix_filter_pairs,
         "bpe_pair_counts": _q_bpe_pairs,
         "source_kl": _q_source_kl,
+        "weighted_median": _q_weighted_median,
+        "ks_test": _q_ks_test,
+        "mutual_information": _q_mutual_information,
+        "semantic_decontamination": _q_semantic_decontam,
+        "rare_category_collapse": _q_rare_collapse,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -5250,4 +5343,117 @@ def oracle_sql() -> dict[str, str]:
                        - ln((n_tokens + (select v from tot))::DOUBLE), 6)
                    as kl
           from per, lnqall""",
+        "weighted_median": """
+          with d as (
+            select l_returnflag, l_linestatus,
+                   (l_extendedprice::decimal(18,2) * 100)::BIGINT as v,
+                   cast(l_quantity as bigint) as w
+            from lineitem),
+          pv as (select l_returnflag, l_linestatus, v, sum(w) as w
+                 from d group by 1, 2, 3),
+          c as (
+            select l_returnflag, l_linestatus, v,
+                   sum(w) over (partition by l_returnflag, l_linestatus
+                                order by v rows between unbounded preceding
+                                and current row) as cum,
+                   sum(w) over (partition by l_returnflag, l_linestatus)
+                     as tot
+            from pv)
+          select l_returnflag, l_linestatus,
+                 min(v) as weighted_median
+          from c where cum * 2 >= tot
+          group by 1, 2""",
+        "ks_test": """
+          with d as (
+            select user_id % 2 as g,
+                   (value::decimal(18,2) * 100)::BIGINT as v
+            from events where value is not null),
+          pv as (
+            select v,
+                   sum(case when g = 0 then 1 else 0 end) as da,
+                   sum(case when g = 1 then 1 else 0 end) as db
+            from d group by 1),
+          c as (
+            select sum(da) over (order by v rows between unbounded
+                                 preceding and current row) as ca,
+                   sum(db) over (order by v rows between unbounded
+                                 preceding and current row) as cb,
+                   sum(da) over () as na,
+                   sum(db) over () as nb
+            from pv),
+          a as (
+            select cast(max(na) as bigint) as n_a,
+                   cast(max(nb) as bigint) as n_b,
+                   cast(max(abs(ca * nb - cb * na)) as bigint) as dnum
+            from c)
+          select n_a, n_b,
+                 round(dnum::DOUBLE / (n_a * n_b)::DOUBLE, 6) as d_stat,
+                 round((dnum::DOUBLE / (n_a * n_b)::DOUBLE)
+                       * sqrt((n_a * n_b)::DOUBLE
+                              / (n_a + n_b)::DOUBLE), 6) as ks_lambda
+          from a""",
+        "mutual_information": """
+          with base as (
+            select event_type,
+                   (((epoch_us(ts) // 86400000000) + 3) % 7)::varchar
+                     as dow,
+                   (user_id % 3)::varchar as y
+            from events),
+          m as (
+            select 'event_type' as f,
+                   coalesce(event_type, chr(0) || 'null' || chr(0)) as x,
+                   coalesce(y, chr(0) || 'null' || chr(0)) as y
+            from base
+            union all
+            select 'dow' as f,
+                   coalesce(dow, chr(0) || 'null' || chr(0)) as x,
+                   coalesce(y, chr(0) || 'null' || chr(0)) as y
+            from base),
+          cells as (select f, x, y, count(*) as c from m group by 1, 2, 3),
+          xm as (select f, x, sum(c) as cx from cells group by 1, 2),
+          ym as (select f, y, sum(c) as cy from cells group by 1, 2),
+          tot as (select f, sum(c) as n from cells group by 1),
+          j as (
+            select * from cells
+            join xm using (f, x) join ym using (f, y) join tot using (f))
+          select f as feature,
+                 cast(max(n) as bigint) as n_rows,
+                 count(*) as n_cells,
+                 round(list_reduce(list_prepend(0.0::DOUBLE,
+                   list((c::DOUBLE / n::DOUBLE)
+                        * ln((n::DOUBLE * c::DOUBLE)
+                             / (cx::DOUBLE * cy::DOUBLE))
+                        order by x, y)),
+                   (a, b) -> a + b), 6) as mi
+          from j group by f""",
+        "semantic_decontamination": """
+          with v as (select vec_id, embedding::DOUBLE[] as ve
+                     from embeddings),
+          b as (select vec_id as bench_id, ve from v where vec_id < 25),
+          c as (select vec_id as corpus_id, ve from v where vec_id >= 25
+                union all
+                select bench_id + 10000 as corpus_id, ve from b),
+          s as (
+            select corpus_id, bench_id,
+                   list_dot_product(c.ve, b.ve)
+                   / (sqrt(list_dot_product(c.ve, c.ve))
+                      * sqrt(list_dot_product(b.ve, b.ve))) as cs
+            from c cross join b),
+          r as (
+            select corpus_id, bench_id, cs,
+                   row_number() over (partition by corpus_id
+                                      order by cs desc, bench_id asc)
+                     as rn
+            from s)
+          select corpus_id, bench_id, round(cs, 6) as cos_sim
+          from r where rn = 1 and round(cs, 6) > 0.45""",
+        "rare_category_collapse": """
+          with k as (
+            select source from documents
+            group by source having count(*) >= 20)
+          select doc_id, source,
+                 case when source is null then null
+                      when source in (select source from k) then source
+                      else '__other__' end as source_collapsed
+          from documents""",
     }

@@ -350,3 +350,83 @@ def vocab_coverage(
             ).alias("oov_rate"),
         )
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    out_col: str = "weighted_median",
+) -> DataFrame:
+    """Exact lower weighted median per group: the smallest value ``v``
+    with ``sum(w | x <= v) * 2 >= W`` — the robust center for weighted
+    samples (duplicate-collapsed corpora where ``w`` = occurrence
+    count, importance-weighted metrics).
+
+    All arithmetic is integer (cast weights to long): the gate
+    ``2 * cumw >= W`` never touches a float, so every engine agrees on
+    the row. Shape: a (key, value) pre-aggregation collapses ties
+    FIRST (the frame entering the window is distinct-values-sized, not
+    row-sized — a million repeats of one price is one row), then one
+    cumulative window over the value order and a min() final agg.
+    Hot groups with few distinct values cost the combiner, not the
+    window task.
+    """
+    keys = [F.col(k) for k in key_cols]
+    per_val = df.groupBy(*keys, F.col(value_col).alias("__v")).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("__w")
+    )
+    w_cum = Window.partitionBy(*key_cols).orderBy("__v")
+    tot = Window.partitionBy(*key_cols)
+    cum = per_val.select(
+        *keys,
+        F.col("__v"),
+        F.sum("__w").over(
+            w_cum.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__cum"),
+        F.sum("__w").over(tot).alias("__tot"),
+    )
+    return (
+        cum.filter(F.col("__cum") * 2 >= F.col("__tot"))
+        .groupBy(*keys)
+        .agg(F.min("__v").alias(out_col))
+    )
+
+
+def rare_category_collapse(
+    df: DataFrame,
+    cat_col: str,
+    min_count: int = 100,
+    other_token: str = "__other__",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Collapse long-tail categories below ``min_count`` occurrences
+    into one ``other_token`` bucket — the standard cardinality guard
+    before one-hot/target encoding (a raw URL or user-agent column has
+    millions of singleton categories that would explode any encoder).
+
+    Shape: one partial-agg count keyed by category (vocabulary-sized),
+    broadcast back onto the corpus — the data pass is a broadcast-join
+    + conditional projection, no corpus shuffle. NULL categories stay
+    NULL (missingness is its own signal, per the reference's
+    undefined-vs-value discipline)."""
+    out = out_col or f"{cat_col}_collapsed"
+    counts = df.groupBy(F.col(cat_col).alias("__cat")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    keep = counts.filter(F.col("__n") >= min_count).select("__cat")
+    return (
+        df.join(
+            F.broadcast(keep.withColumn("__keep", F.lit(True))),
+            df[cat_col] == F.col("__cat"),
+            "left",
+        )
+        .withColumn(
+            out,
+            F.when(F.col(cat_col).isNull(), F.lit(None).cast("string"))
+            .when(F.col("__keep"), F.col(cat_col))
+            .otherwise(F.lit(other_token)),
+        )
+        .drop("__cat", "__keep")
+    )

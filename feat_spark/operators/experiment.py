@@ -21,7 +21,7 @@ scales with row count except the two partial-agg passes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -281,4 +281,68 @@ def welch_ttest(
         F.round(mt - mc, dp).alias("diff"),
         F.round(t, dp).alias("t_stat"),
         F.round(dof, dp).alias("dof"),
+    )
+
+
+def ks_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between two groups'
+    value distributions — the standard "did the metric's whole SHAPE
+    shift" test (mean-based tests miss variance/tail changes; PSI
+    needs binning choices — KS is binning-free).
+
+    Exactness device: with integer values (cents) and counts, at every
+    distinct value ``D_num = |cumA * nB - cumB * nA|`` is an INTEGER,
+    and ``D = max(D_num) / (nA * nB)`` divides once at the end — no
+    per-row float CDF subtraction, so any engine replays the bits.
+    Shape: one (group, value) partial agg, a pivot to per-value
+    (dA, dB) increments, one cumulative window over the distinct-value
+    spine (ties collapsed first — the spine is distinct-values-sized),
+    one max agg. Output one row: ``n_a, n_b, d_stat`` (6dp) and
+    ``ks_lambda = D * sqrt(nA*nB/(nA+nB))`` (the asymptotic test
+    statistic; compare to 1.36 for alpha=0.05).
+    """
+    g = F.col(group_col)
+    d = df.filter(g.isin([group_a, group_b]) & F.col(value_col).isNotNull())
+    per_val = d.groupBy(F.col(value_col).alias("__v")).agg(
+        F.sum(F.when(g == group_a, 1).otherwise(0)).alias("__da"),
+        F.sum(F.when(g == group_b, 1).otherwise(0)).alias("__db"),
+    )
+    # the cumulative spine is DISTINCT-values-sized (ties collapsed by
+    # the partial agg above) — the single-task global-order window is
+    # bounded by value cardinality, not row count; a multi-million-
+    # cent spine would route through the chunked prefix-sum device
+    # (operators/chunked.py) instead
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_val.select(
+        F.sum("__da").over(w).alias("__ca"),
+        F.sum("__db").over(w).alias("__cb"),
+        F.sum("__da").over(wall).alias("__na"),
+        F.sum("__db").over(wall).alias("__nb"),
+    )
+    out = cum.agg(
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+        F.max(
+            F.abs(F.col("__ca") * F.col("__nb") - F.col("__cb") * F.col("__na"))
+        ).alias("__dnum"),
+    )
+    nab = F.col("n_a") * F.col("n_b")
+    dstat = F.col("__dnum").cast("double") / nab.cast("double")
+    lam = dstat * F.sqrt(
+        nab.cast("double") / (F.col("n_a") + F.col("n_b")).cast("double")
+    )
+    return out.select(
+        "n_a",
+        "n_b",
+        F.round(dstat, 6).alias("d_stat"),
+        F.round(lam, 6).alias("ks_lambda"),
     )

@@ -354,3 +354,80 @@ def histogram_bins(
         "n",
         F.round(F.col("n") / F.lit(total), 6).alias("share"),
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+) -> DataFrame:
+    """Mutual information I(X; Y) between each categorical feature
+    column and a label — the model-free feature-selection ranking
+    (which raw columns carry signal about the label at all), run
+    before any encoder is fitted.
+
+    With integer cell counts ``c_xy`` (marginals ``c_x``, ``c_y``,
+    total ``n``): ``I = sum_xy (c_xy/n) * ln(n*c_xy/(c_x*c_y))`` —
+    every log argument a ratio of integers, the fold over cells in
+    lexicographic (value, label) order (the ``behavior_entropy``
+    sorted-fold device), so an external engine replays the bits.
+
+    Shape: the features MELT into long form (feature, value, label)
+    via one explode of a per-row struct array — ONE corpus scan for
+    all features — then three partial aggs (cells, value marginals,
+    label marginals per feature) and two vocabulary-sized equi-joins.
+    Nothing scales with corpus rows except the first agg; a Zipf-hot
+    (value,label) cell is bounded by map-side combine. NULLs in
+    feature or label count as their own category (missingness is
+    signal — the reference's undefined discipline), encoded by a
+    sentinel that cannot collide with real values.
+
+    Output: ``(feature, n_rows, n_cells, mi)`` with mi >= 0, 6dp.
+    """
+    sent = "\x00null\x00"
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("__f"),
+                F.coalesce(F.col(c).cast("string"), F.lit(sent)).alias("__x"),
+            )
+            for c in feature_cols
+        ]
+    )
+    melted = df.select(
+        F.explode(pairs).alias("__p"),
+        F.coalesce(F.col(label_col).cast("string"), F.lit(sent)).alias("__y"),
+    ).select(F.col("__p.__f").alias("__f"), F.col("__p.__x").alias("__x"), "__y")
+    cells = melted.groupBy("__f", "__x", "__y").agg(F.count(F.lit(1)).alias("__c"))
+    xm = cells.groupBy("__f", "__x").agg(F.sum("__c").alias("__cx"))
+    ym = cells.groupBy("__f", "__y").agg(F.sum("__c").alias("__cy"))
+    tot = cells.groupBy("__f").agg(F.sum("__c").alias("__n"))
+    j = (
+        cells.join(xm, ["__f", "__x"])
+        .join(ym, ["__f", "__y"])
+        .join(tot, "__f")
+    )
+    folded = j.groupBy("__f").agg(
+        F.max("__n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__x", "__y", "__c", "__cx", "__cy", "__n"))
+                ),
+                lambda s: (s["__c"].cast("double") / s["__n"].cast("double"))
+                * F.log(
+                    (s["__n"].cast("double") * s["__c"].cast("double"))
+                    / (s["__cx"].cast("double") * s["__cy"].cast("double"))
+                ),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("__mi"),
+    )
+    return folded.select(
+        F.col("__f").alias("feature"),
+        "n_rows",
+        "n_cells",
+        F.round(F.col("__mi"), 6).alias("mi"),
+    )

@@ -689,3 +689,59 @@ def random_project(
         ]
     )
     return df.withColumn(out_col, proj)
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    corpus_id: str = "vec_id",
+    bench_id: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every corpus
+    vector whose cosine to ANY benchmark vector exceeds ``threshold``
+    — the semantic sibling of the n-gram ``decontaminate`` operator
+    (paraphrased eval items share no 8-gram but sit at cosine ~0.97).
+
+    Contract mirrors n-gram decontamination: the benchmark set is
+    SMALL (eval suites are thousands of items, the corpus is the 100
+    TB side), so the benchmark frame is broadcast and the corpus is
+    scanned ONCE with a per-row argmax over the broadcast side —
+    an exact, shuffle-free plan (the corpus never repartitions; the
+    only "join" is broadcast-nested-loop by design, same exemption
+    class as exact kNN). For a benchmark too big to broadcast, bucket
+    both sides with ``with_lsh_bucket`` and pay the recall haircut —
+    that variant is ``lsh_bucketed_topk``'s shape, not this one.
+
+    Deterministic tie: the matching benchmark id is the argmax of
+    ``(cos, -bench_id)`` so equal cosines pick the smallest id.
+    Output: ``(corpus_id, bench_id, cos_sim)`` for flagged vectors
+    only — at a sane threshold the output is the (tiny) contamination
+    report, never corpus-sized. When both id columns share a name the
+    benchmark one surfaces as ``<name>_bench``.
+    """
+    bench_out = bench_id if bench_id != corpus_id else f"{bench_id}_bench"
+    c = corpus.select(F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cv"))
+    b = benchmark.select(
+        F.col(bench_id).alias("__bid"), F.col(vec_col).alias("__bv")
+    )
+    scored = c.join(F.broadcast(b)).select(
+        "__cid",
+        "__bid",
+        cosine(F.col("__cv"), F.col("__bv")).alias("__cos"),
+    )
+    best = (
+        scored.groupBy("__cid")
+        .agg(
+            F.max(
+                F.struct(F.col("__cos").alias("c"), (-F.col("__bid")).alias("nb"))
+            ).alias("__m")
+        )
+        .select(
+            F.col("__cid").alias(corpus_id),
+            (-F.col("__m.nb")).alias(bench_out),
+            F.round(F.col("__m.c"), 6).alias("cos_sim"),
+        )
+    )
+    return best.filter(F.col("cos_sim") > threshold)

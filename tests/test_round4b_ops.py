@@ -233,3 +233,136 @@ def test_source_kl_single_stratum_is_zero(spark):
     out = source_kl(df).collect()[0]
     assert out["kl"] == pytest.approx(0.0, abs=1e-9)
     assert out["n_tokens"] == 6 and out["n_types"] == 3
+
+
+# ------------------------------------------------------- weighted median
+
+
+def test_weighted_median_exact(spark):
+    from feat_spark.operators.encoding import weighted_median
+
+    # group g: values 1(w3), 5(w1), 9(w2): W=6, cum: 1->3, 5->4, 9->6
+    # 2*cum>=6 first at value 5? 2*3=6 >= 6 -> value 1 IS the lower
+    # weighted median (cum rule hits at the first value already)
+    rows = [("g", 1, 3), ("g", 5, 1), ("g", 9, 2),
+            ("h", 10, 1), ("h", 20, 9)]
+    df = spark.createDataFrame(rows, "k string, v long, w long")
+    out = {r["k"]: r["weighted_median"]
+           for r in weighted_median(df, ["k"], "v", "w").collect()}
+    assert out["g"] == 1
+    assert out["h"] == 20          # weight mass sits on 20
+
+
+def test_weighted_median_matches_repeat_expansion(spark):
+    from feat_spark.operators.encoding import weighted_median
+
+    # weighted median == plain median of the weight-expanded list
+    import statistics
+    rows = [("a", 3, 2), ("a", 7, 3), ("a", 11, 1)]
+    expanded = [3, 3, 7, 7, 7, 11]
+    df = spark.createDataFrame(rows, "k string, v long, w long")
+    got = weighted_median(df, ["k"], "v", "w").collect()[0]["weighted_median"]
+    assert got == statistics.median_low(expanded)
+
+
+# ---------------------------------------------------------------- ks_test
+
+
+def test_ks_identical_distributions_zero(spark):
+    from feat_spark.operators.experiment import ks_test
+
+    rows = [("a", v) for v in [1, 2, 3, 4]] + [("b", v) for v in [1, 2, 3, 4]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = ks_test(df, "g", "v", "a", "b").collect()[0]
+    assert out["d_stat"] == 0.0 and out["n_a"] == 4 and out["n_b"] == 4
+
+
+def test_ks_textbook_value(spark):
+    from feat_spark.operators.experiment import ks_test
+
+    a = [1, 2, 3, 4, 5]
+    b = [3, 4, 5, 6, 7]
+    df = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in b], "g string, v long"
+    )
+    out = ks_test(df, "g", "v", "a", "b").collect()[0]
+    # CDFs diverge most at v=2: F_a=2/5, F_b=0 -> D=0.4
+    assert out["d_stat"] == pytest.approx(0.4)
+
+
+def test_ks_disjoint_is_one(spark):
+    from feat_spark.operators.experiment import ks_test
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 10), ("b", 11)], "g string, v long"
+    )
+    out = ks_test(df, "g", "v", "a", "b").collect()[0]
+    assert out["d_stat"] == pytest.approx(1.0)
+
+
+# ------------------------------------------------------------ mutual info
+
+
+def test_mutual_information_perfect_and_independent(spark):
+    from feat_spark.operators.profile import mutual_information
+
+    # f_perf == label exactly -> MI = H(label) = ln 2 (balanced binary)
+    # f_indep constant -> MI = 0
+    rows = [(str(i % 2), "c", str(i % 2)) for i in range(8)]
+    df = spark.createDataFrame(rows, "f_perf string, f_indep string, y string")
+    out = {r["feature"]: r for r in
+           mutual_information(df, ["f_perf", "f_indep"], "y").collect()}
+    assert out["f_perf"]["mi"] == pytest.approx(math.log(2), abs=1e-6)
+    assert out["f_indep"]["mi"] == pytest.approx(0.0, abs=1e-9)
+    assert out["f_perf"]["n_rows"] == 8
+
+
+def test_mutual_information_null_is_category(spark):
+    from feat_spark.operators.profile import mutual_information
+
+    # NULL feature value perfectly predicts label=1
+    rows = [(None, "1")] * 4 + [("x", "0")] * 4
+    df = spark.createDataFrame(rows, "f string, y string")
+    out = mutual_information(df, ["f"], "y").collect()[0]
+    assert out["mi"] == pytest.approx(math.log(2), abs=1e-6)
+    assert out["n_cells"] == 2
+
+
+# ------------------------------------------------- semantic decontamination
+
+
+def test_semantic_decontaminate_flags_planted(spark):
+    from feat_spark.operators.similarity import semantic_decontaminate
+
+    bench = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [(10, [0.9, 0.1]),     # close to bench 1
+         (11, [-1.0, 0.0]),    # anti-parallel: cos -1
+         (12, [1.0, 1.0])],    # 45 deg: cos ~0.707 to both, tie -> bench 1
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: (r["vec_id_bench"], r["cos_sim"])
+           for r in semantic_decontaminate(
+               corpus, bench, corpus_id="vec_id", bench_id="vec_id",
+               threshold=0.7).collect()}
+    assert 11 not in out
+    assert out[10][0] == 1
+    assert out[12][0] == 1         # deterministic tie to smallest id
+    assert out[12][1] == pytest.approx(0.707107, abs=1e-6)
+
+
+# --------------------------------------------------- rare category collapse
+
+
+def test_rare_category_collapse(spark):
+    from feat_spark.operators.encoding import rare_category_collapse
+
+    rows = [(i, "big") for i in range(5)] + [(99, "tiny"), (100, None)]
+    df = spark.createDataFrame(rows, "id long, cat string")
+    out = {r["id"]: r["cat_collapsed"]
+           for r in rare_category_collapse(df, "cat", min_count=3).collect()}
+    assert out[0] == "big"
+    assert out[99] == "__other__"
+    assert out[100] is None        # NULL stays NULL

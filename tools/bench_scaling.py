@@ -34,7 +34,8 @@ is not a publishable identity).
 
 Env: SPARK_GRAFT_SCALE_CONVS (input scale, default 400000),
 SPARK_GRAFT_SCALE_ROUNDS (interleaved rounds, default 2),
-SPARK_GRAFT_SCALE_LEVELS (comma list, default "2,8,32").
+SPARK_GRAFT_SCALE_LEVELS (comma list, default "2,8,32"),
+SPARK_GRAFT_SCALE_REPS (in-JVM repetitions per run, default 3).
 """
 
 from __future__ import annotations
@@ -263,17 +264,18 @@ rebuilds this file from the full history.
 def main() -> None:
     convs = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "400000"))
     rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
     levels = [
         int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8,32").split(",")
     ]
     turns = None
     for _ in range(rounds):  # interleave levels so machine drift cancels
         for c in levels:
-            r = run_level(c, convs, reps=3)
+            r = run_level(c, convs, reps=reps)
             turns = r["turns"]
             record({
                 "cpus": c, "tps": r["value"], "turns": turns, "convs": convs,
-                "rev": git_rev(), "fhash": flagship_hash(), "reps": 3,
+                "rev": git_rev(), "fhash": flagship_hash(), "reps": reps,
             })
 
     summary = write_md(turns)

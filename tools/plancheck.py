@@ -37,6 +37,9 @@ NL_EXEMPT = {"knn_cosine", "embedding_near_dup", "knn_cosine_ivf",
              "knn_lsh_recall",
              # label-agreement metric is built on the exact kNN
              "knn_label_agreement",
+             # corpus x broadcast-benchmark argmax is broadcast-NL by
+             # contract (the benchmark side is eval-suite-small)
+             "semantic_decontamination",
              # joins the ONE-row grand-totals aggregate onto the
              # k-row top list — a 1xk broadcast NL join by design
              "skew_report",
