@@ -2933,6 +2933,51 @@ def _q_rare_collapse(spark, sf_dir):
     return rare_category_collapse(d, cat_col="source", min_count=20)
 
 
+def _q_woe_encode(spark, sf_dir):
+    """Weight-of-evidence + information-value table per event_type
+    against a user_id%2 label (encoding.woe_encode): integer counts,
+    driver-scalar smoothed totals (tfidf-N device, no 1-row cross
+    join), fixed double chain replayed by the oracle."""
+    from feat_spark.operators.encoding import woe_encode
+
+    e = _events(spark, sf_dir).withColumn("lbl", F.col("user_id") % 2)
+    return woe_encode(e, cat_col="event_type", label_col="lbl", smoothing=0.5)
+
+
+def _q_session_ngrams(spark, sf_dir):
+    """Top-50 3-step event paths per user stream (funnel.
+    session_ngrams): ordered sequences via array_sort(collect_list),
+    n-grams via transform+slice (no UDF), weighted partial-agg count,
+    TakeOrdered top-k with text tiebreak. The oracle replays with
+    list(... order by) + list_transform over range."""
+    from feat_spark.operators.funnel import session_ngrams
+
+    return session_ngrams(
+        _events(spark, sf_dir), key_cols=["user_id"],
+        event_col="event_type", order_cols=["ts", "event_id"], n=3, k=50,
+    )
+
+
+def _q_inverted_index(spark, sf_dir):
+    """Positional inverted index over documents (keywords.
+    build_inverted_index) with min_df=2 and a 0.5 max-df stopword
+    gate; the driver row flattens the posting structs to
+    (word, df, n_postings, doc_id, positions-csv) so both engines
+    hash identical scalars."""
+    from feat_spark.operators.keywords import build_inverted_index
+
+    idx = build_inverted_index(
+        _t(spark, sf_dir, "documents"), min_df=2, max_df_ratio=0.5
+    )
+    return idx.select(
+        "word", "df", "n_postings", F.explode("postings").alias("p")
+    ).select(
+        "word", "df", "n_postings",
+        F.col("p.doc_id").alias("doc_id"),
+        F.array_join(F.col("p.positions"), ",").alias("positions"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -3036,6 +3081,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_information": _q_mutual_information,
         "semantic_decontamination": _q_semantic_decontam,
         "rare_category_collapse": _q_rare_collapse,
+        "woe_encode": _q_woe_encode,
+        "session_ngrams": _q_session_ngrams,
+        "inverted_index": _q_inverted_index,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -5456,4 +5504,63 @@ def oracle_sql() -> dict[str, str]:
                       when source in (select source from k) then source
                       else '__other__' end as source_collapsed
           from documents""",
+        "woe_encode": """
+          with a as (
+            select event_type as category,
+                   sum(case when user_id % 2 = 1 then 1 else 0 end)
+                     as n_pos,
+                   sum(case when user_id % 2 = 1 then 0 else 1 end)
+                     as n_neg
+            from events group by 1),
+          t as (select cast(sum(n_pos) as bigint)::DOUBLE + 1.0 as pt,
+                       cast(sum(n_neg) as bigint)::DOUBLE + 1.0 as nt
+                from a)
+          select category,
+                 cast(n_pos as bigint) as n_pos,
+                 cast(n_neg as bigint) as n_neg,
+                 round(ln(((n_pos + 0.5::DOUBLE) / pt)
+                          / ((n_neg + 0.5::DOUBLE) / nt)), 6) as woe,
+                 round((((n_pos + 0.5::DOUBLE) / pt)
+                        - ((n_neg + 0.5::DOUBLE) / nt))
+                       * ln(((n_pos + 0.5::DOUBLE) / pt)
+                            / ((n_neg + 0.5::DOUBLE) / nt)), 6) as iv
+          from a, t""",
+        "session_ngrams": """
+          with s as (
+            select user_id,
+                   list(event_type order by ts, event_id) as seq
+            from events group by 1),
+          g as (
+            select unnest(list_transform(
+                     range(1, greatest(len(seq) - 2, 0) + 1),
+                     i -> array_to_string(seq[i:i+2], ' > '))) as ngram
+            from s)
+          select ngram, count(*) as count
+          from g group by 1
+          order by count desc, ngram
+          limit 50""",
+        "inverted_index": """
+          with ws as (
+            select doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') as arr
+            from documents),
+          w as (
+            select doc_id,
+                   unnest(list_transform(range(len(arr)),
+                     i -> struct_pack(p := i, w := arr[i+1]))) as x
+            from ws),
+          pd as (
+            select x.w as word, doc_id,
+                   list(x.p order by x.p) as positions
+            from w group by 1, 2),
+          idx as (
+            select word, count(*) as df,
+                   cast(sum(len(positions)) as bigint) as n_postings
+            from pd group by 1),
+          nd as (select count(distinct doc_id) as n from documents)
+          select word, df, n_postings, doc_id,
+                 array_to_string(positions, ',') as positions
+          from pd join idx using (word)
+          where df >= 2
+            and df <= (select cast(floor(0.5 * n) as bigint) from nd)""",
     }

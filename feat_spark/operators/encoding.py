@@ -430,3 +430,45 @@ def rare_category_collapse(
         )
         .drop("__cat", "__keep")
     )
+
+
+def woe_encode(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Weight-of-evidence table per category of a binary label — the
+    credit-scoring / churn-model encoder: ``WOE = ln((pos_c/POS) /
+    (neg_c/NEG))`` with additive smoothing so empty cells stay finite,
+    plus each category's information-value term
+    ``IV_c = (pos_c/POS - neg_c/NEG) * WOE_c`` (sum them for the
+    feature's IV).
+
+    Exact cross-engine: counts are integers, the two totals are driver
+    scalars (one tiny collect, the tfidf-N device — no 1-row
+    cross-join enters the plan), and the double expression is a fixed
+    chain: ``ln(((pos+s)/(POS+2s)) / ((neg+s)/(NEG+2s)))``. Shape: one
+    partial-agg keyed by category (vocabulary-sized output), nothing
+    else touches the corpus. NULL categories form their own row
+    (missingness is signal).
+
+    Output: ``(category, n_pos, n_neg, woe, iv)``, 6dp.
+    """
+    y = F.col(label_col).cast("long")
+    agg = df.groupBy(F.col(cat_col).alias("category")).agg(
+        F.sum(F.when(y == 1, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(y == 1, 0).otherwise(1)).alias("n_neg"),
+    )
+    tot = agg.agg(F.sum("n_pos").alias("p"), F.sum("n_neg").alias("n")).collect()[0]
+    pos_t, neg_t = float(tot["p"] + 2 * smoothing), float(tot["n"] + 2 * smoothing)
+    pr = (F.col("n_pos").cast("double") + F.lit(smoothing)) / F.lit(pos_t)
+    nr = (F.col("n_neg").cast("double") + F.lit(smoothing)) / F.lit(neg_t)
+    woe = F.log(pr / nr)
+    return agg.select(
+        "category",
+        "n_pos",
+        "n_neg",
+        F.round(woe, 6).alias("woe"),
+        F.round((pr - nr) * woe, 6).alias("iv"),
+    )

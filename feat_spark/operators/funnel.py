@@ -136,3 +136,56 @@ def cohort_retention(
             ),
         )
     )
+
+
+def session_ngrams(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    event_col: str,
+    order_cols: Sequence[str],
+    n: int = 3,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k length-``n`` event-type sequences across sessions — the
+    process-mining primitive ("which 3-step paths dominate") behind
+    funnel discovery, bot-pattern detection, and UX audits.
+
+    Shape: ONE shuffle groups each key's events; the ordered sequence
+    materializes per key via ``array_sort(collect_list(struct(order,
+    event)))`` (same device as the sorted folds — deterministic for
+    unique order keys); n-grams come from ``transform`` over
+    ``sequence`` + ``slice`` (pure JVM, zero UDF); one weighted
+    partial-agg counts them corpus-wide. The per-key array is
+    session-sized — bounded by the same argument as
+    ``pack_sequences``; a Zipf-hot n-gram is bounded by map-side
+    combine. Top-k via orderBy+limit = TakeOrdered, ties broken by the
+    gram text.
+
+    Output: ``(ngram, count)`` with ``ngram`` the ``" > "``-joined
+    event names, count long.
+    """
+    order_struct = F.struct(*[F.col(c) for c in order_cols], F.col(event_col))
+    seqs = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.transform(
+            F.array_sort(F.collect_list(order_struct)),
+            lambda s: s[event_col],
+        ).alias("__seq")
+    )
+    kcol = F.size("__seq") - F.lit(n - 1)
+    grams = seqs.select(
+        F.explode(
+            F.when(
+                kcol >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), kcol),
+                    lambda i: F.concat_ws(" > ", F.slice("__seq", i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.col("count").desc(), F.col("ngram"))
+        .limit(k)
+    )

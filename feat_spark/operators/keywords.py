@@ -261,3 +261,56 @@ def bpe_pair_counts(
         .orderBy(F.col("count").desc(), F.col("pair"))
         .limit(k)
     )
+
+
+def build_inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df_ratio: float = 1.0,
+) -> DataFrame:
+    """Positional inverted index: one row per word with its posting
+    list ``[(doc_id, positions[]), ...]`` sorted by doc id — the
+    retrieval structure a search/RAG pipeline builds over the corpus
+    (BM25 scoring and phrase queries both read it).
+
+    Shape: explode (word, position) pairs once; one partial agg packs
+    per-(word, doc) position arrays (``array_sort(collect_list)`` —
+    positions are unique per doc so the sort is total); one more agg
+    packs the doc-sorted posting list per word. Both aggregations key
+    on the word — the natural blocking key; a stopword's giant posting
+    list is ONE row built by map-side-combinable collect over its
+    (word, doc) groups, and the ``max_df_ratio`` gate (default off)
+    drops it before materialization the way real indexes do. Driver
+    holds only N (one count) for that gate. Output is
+    vocabulary-sized.
+
+    Output: ``(word, df, n_postings, postings:array<struct<doc_id,
+    positions:array<int>>>)``.
+    """
+    w = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(words(text_col)).alias("__pos", "__w"),
+    )
+    per_doc = w.groupBy("__w", "__id").agg(
+        F.array_sort(F.collect_list(F.col("__pos").cast("int"))).alias("__positions")
+    )
+    idx = per_doc.groupBy("__w").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum(F.size("__positions")).alias("n_postings"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("__id").alias("doc_id"),
+                    F.col("__positions").alias("positions"),
+                )
+            )
+        ).alias("postings"),
+    )
+    if max_df_ratio < 1.0:
+        n_docs = df.select(F.countDistinct(id_col)).collect()[0][0]
+        idx = idx.filter(F.col("df") <= int(max_df_ratio * n_docs))
+    return idx.filter(F.col("df") >= min_df).select(
+        F.col("__w").alias("word"), "df", "n_postings", "postings"
+    )

@@ -366,3 +366,91 @@ def test_rare_category_collapse(spark):
     assert out[0] == "big"
     assert out[99] == "__other__"
     assert out[100] is None        # NULL stays NULL
+
+
+# --------------------------------------------------------------- woe
+
+
+def test_woe_encode_textbook(spark):
+    from feat_spark.operators.encoding import woe_encode
+
+    # cat A: 3 pos / 1 neg; cat B: 1 pos / 3 neg; totals 4/4
+    rows = [("A", 1)] * 3 + [("A", 0)] + [("B", 1)] + [("B", 0)] * 3
+    df = spark.createDataFrame(rows, "cat string, y long")
+    out = {r["category"]: r for r in woe_encode(df, "cat", "y", 0.5).collect()}
+    pr_a, nr_a = 3.5 / 5.0, 1.5 / 5.0
+    woe_a = math.log(pr_a / nr_a)
+    assert out["A"]["woe"] == pytest.approx(woe_a, abs=1e-6)
+    assert out["A"]["iv"] == pytest.approx((pr_a - nr_a) * woe_a, abs=1e-6)
+    # symmetric label flip -> symmetric woe
+    assert out["B"]["woe"] == pytest.approx(-woe_a, abs=1e-6)
+    assert out["A"]["n_pos"] == 3 and out["A"]["n_neg"] == 1
+
+
+def test_woe_empty_cell_is_finite(spark):
+    from feat_spark.operators.encoding import woe_encode
+
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 1), ("B", 0)], "cat string, y long"
+    )
+    out = {r["category"]: r["woe"] for r in woe_encode(df, "cat", "y").collect()}
+    assert all(v is not None and math.isfinite(v) for v in out.values())
+
+
+# ----------------------------------------------------- session ngrams
+
+
+def test_session_ngrams_counts(spark):
+    from feat_spark.operators.funnel import session_ngrams
+
+    # user 1: a b c a b c -> 3-grams: abc, bca, cab, abc
+    # user 2: a b c       -> abc
+    rows = [(1, i, t) for i, t in enumerate("abcabc")] + [
+        (2, i, t) for i, t in enumerate("abc")
+    ]
+    df = spark.createDataFrame(rows, "u long, ts long, ev string")
+    out = {r["ngram"]: r["count"] for r in session_ngrams(
+        df, ["u"], "ev", ["ts"], n=3, k=10).collect()}
+    assert out["a > b > c"] == 3
+    assert out["b > c > a"] == 1
+    assert out["c > a > b"] == 1
+    assert len(out) == 3
+
+
+def test_session_ngrams_short_sessions_skipped(spark):
+    from feat_spark.operators.funnel import session_ngrams
+
+    df = spark.createDataFrame([(1, 0, "a"), (1, 1, "b")], "u long, ts long, ev string")
+    assert session_ngrams(df, ["u"], "ev", ["ts"], n=3, k=10).count() == 0
+
+
+# ---------------------------------------------------- inverted index
+
+
+def test_inverted_index_positions_and_df(spark):
+    from feat_spark.operators.keywords import build_inverted_index
+
+    df = spark.createDataFrame(
+        [(1, "to be or not to be"), (2, "be fast")],
+        "doc_id long, text string",
+    )
+    out = {r["word"]: r for r in build_inverted_index(df).collect()}
+    be = out["be"]
+    assert be["df"] == 2 and be["n_postings"] == 3
+    postings = [(p["doc_id"], list(p["positions"])) for p in be["postings"]]
+    assert postings == [(1, [1, 5]), (2, [0])]
+    assert out["to"]["postings"][0]["positions"] == [0, 4]
+
+
+def test_inverted_index_stopword_gate(spark):
+    from feat_spark.operators.keywords import build_inverted_index
+
+    # 'the' in all 4 docs (ratio 1.0 > 0.5: dropped); 'cat' in 2/4
+    # (exactly 0.5: kept); 'dog' in 1 doc (under min_df: dropped)
+    df = spark.createDataFrame(
+        [(1, "the cat"), (2, "the dog"), (3, "the cat"), (4, "the")],
+        "doc_id long, text string",
+    )
+    out = {r["word"] for r in build_inverted_index(
+        df, min_df=2, max_df_ratio=0.5).collect()}
+    assert out == {"cat"}
