@@ -182,7 +182,14 @@ def bm25_topk(
     """
     w = df.select(F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("word"))
     tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    tf.cache()  # reused by df-counts, corpus stats, and the join below
+    # tf is consumed three times (df-counts, corpus stats, the join) —
+    # deliberately NOT .cache()d here: marking this subtree in the
+    # session CacheManager makes Spark silently substitute it into any
+    # OTHER query whose tf fragment is structurally identical (tfidf's
+    # plan changed shape exactly this way), a construction-time side
+    # effect no operator should have. Callers that loop bm25 over one
+    # corpus can cache the input df themselves, which is scoped and
+    # explicit.
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     n_docs, sum_dl = tf.agg(
