@@ -2978,6 +2978,165 @@ def _q_inverted_index(spark, sf_dir):
     )
 
 
+def _q_autocorr(spark, sf_dir):
+    """Per-user lag-1 and lag-2 autocorrelation of integer-cent event
+    values (encoding.autocorrelation): one lag window + six exact
+    decimal sums per (user, lag), closed-form Pearson combine in
+    double — the group_linear_fit device. The oracle replays the lag
+    window, the decimal(28,6) sums, and every double op in order."""
+    from feat_spark.operators.encoding import autocorrelation
+
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull()).select(
+        "user_id", "ts", "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    a1 = autocorrelation(e, "user_id", ["ts", "event_id"], "cents", lag=1)
+    a2 = autocorrelation(e, "user_id", ["ts", "event_id"], "cents", lag=2)
+    return a1.unionByName(a2)
+
+
+def _q_triangle_count(spark, sf_dir):
+    """Per-node triangle counts over the part co-purchase graph
+    (graph.triangle_count): edges = distinct pairs of parts sharing a
+    lineitem order (restricted to partkey%4==0 to keep the projection
+    sparse), counted via degree-ordered orientation — each triangle
+    generated once at its (deg,id)-smallest vertex, wedge fan-out
+    bounded O(E^1.5) (Suri & Vassilvitskii). All-integer output; the
+    oracle replays the orientation and both equi-joins verbatim."""
+    from feat_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").filter(
+        F.col("l_partkey") % 4 == 0
+    )
+    x = li.alias("x")
+    y = li.alias("y")
+    pairs = x.join(y, "l_orderkey").filter(
+        F.col("x.l_partkey") < F.col("y.l_partkey")
+    ).select(
+        F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+    )
+    return triangle_count(pairs)
+
+
+def _q_quantize_embeddings(spark, sf_dir):
+    """Int8 embedding quantization (vectors.quantize_embeddings):
+    per-dim min/max params via one posexplode partial agg (driver-safe
+    64-row read), codes via a whole-stage-codegen transform — no UDF,
+    no shuffle on the data pass. The driver row is the (dim, code)
+    histogram: float->double widening and the fixed-order affine make
+    every code bit-replayable in DuckDB."""
+    from feat_spark.operators.vectors import quantize_embeddings
+
+    q = quantize_embeddings(
+        _t(spark, sf_dir, "embeddings"), vec_col="embedding", id_col="vec_id"
+    )
+    return (
+        q.select(F.posexplode("codes").alias("dim", "code"))
+        .groupBy("dim", "code")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_calibration_curve(spark, sf_dir):
+    """Reliability diagram (experiment.calibration_curve): a clamped
+    affine score from the first embedding dim vs the label's parity,
+    10 equal-width bins, mean score from exact integer micro-unit
+    sums. Every expression is fixed-order double/integer arithmetic —
+    no transcendentals — so the oracle replays it bit-for-bit."""
+    from feat_spark.operators.experiment import calibration_curve
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.least(
+            F.greatest(
+                (F.element_at("embedding", 1).cast("double") + F.lit(0.4))
+                / F.lit(0.8),
+                F.lit(0.0),
+            ),
+            F.lit(1.0),
+        ).alias("score"),
+        (F.col("label") % 2).alias("y"),
+    )
+    return calibration_curve(e, "score", "y", n_bins=10)
+
+
+def _q_chi2_assoc(spark, sf_dir):
+    """Chi-square association ranking (profile.chi2_assoc) of two
+    categorical features (event_type; floor(value/10) bucket with the
+    NULL sentinel path exercised) against user_id%3: one melt scan,
+    integer contingency counts, zero-cell correction in closed form
+    (chi2 = fold(c^2/e) - n), sorted fold over observed cells. The
+    oracle replays the melt, the marginals, and the fold order."""
+    from feat_spark.operators.profile import chi2_assoc
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.floor(F.col("value") / 10).cast("long").cast("string").alias(
+            "value_bucket"
+        ),
+        (F.col("user_id") % 3).alias("label"),
+    )
+    return chi2_assoc(e, ["event_type", "value_bucket"], "label")
+
+
+def _q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (keywords.rrf_fuse) of two per-language
+    top-20 document rankings (by n_chars, and by a multiplicative-hash
+    order standing in for a second retriever): rrf = sorted fold of
+    1/(60+rank), fused_rank a per-query row_number on the UNROUNDED
+    score with doc-id ties. The oracle rebuilds both lists with the
+    same windows and replays the fold."""
+    from feat_spark.operators.keywords import rrf_fuse
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    wa = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    la = d.select(
+        "lang", "doc_id", F.row_number().over(wa).cast("long").alias("rank")
+    ).filter(F.col("rank") <= 20)
+    dh = d.withColumn(
+        "__h", (F.col("doc_id") * F.lit(2654435761).cast("long")) % F.lit(1000003)
+    )
+    wb = Window.partitionBy("lang").orderBy(F.asc("__h"), F.asc("doc_id"))
+    lb = dh.select(
+        "lang", "doc_id", F.row_number().over(wb).cast("long").alias("rank")
+    ).filter(F.col("rank") <= 20)
+    return rrf_fuse(
+        [la, lb], query_col="lang", id_col="doc_id", rank_col="rank", k=60
+    )
+
+
+def _q_upsert_latest(spark, sf_dir):
+    """Type-1 CDC compaction (snapshot.upsert_latest): base = orders
+    with o_orderkey%3 != 0; the change feed doubles the cents of every
+    even orderkey and deletes multiples of 7. Latest-wins with changes
+    ranking above base at equal ts; union + one row_number window, no
+    join. All pass-through longs/dates — the oracle replays the
+    layered window verbatim."""
+    from feat_spark.plans.snapshot import upsert_latest
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    base = o.filter(F.col("o_orderkey") % 3 != 0)
+    changes = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        (F.col("cents") * 2).alias("cents"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return upsert_latest(
+        base, changes, key_col="o_orderkey", ts_col="o_orderdate",
+        op_col="op",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -3008,12 +3167,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-64, after the window froze):
-    # 14 brand-new gates (scd2_build..inverted_index) built AFTER the
-    # r4 window was fixed; all dtype-strict-selfcheck green at sf0.01
-    # this session, never driver-checked. ROUND-5 WINDOW PLAN, in
-    # order: (1) the 14 late-r4 gates + semantic_dedup + knn_cosine_ivf
-    # (positions 51-66 — pure registry slide, they are already first
+    # LATE-ROUND-4 ADDITIONS (positions 51-71, after the window froze):
+    # 21 brand-new gates (scd2_build..inverted_index, then
+    # autocorr..upsert_latest) built AFTER the r4 window was fixed;
+    # all dtype-strict-selfcheck green at sf0.01 in their build
+    # session, never driver-checked. ROUND-5 WINDOW PLAN, in order:
+    # (1) the 21 late-r4 gates + semantic_dedup + knn_cosine_ivf
+    # (positions 51-73 — pure registry slide, they are already first
     # after the cut); (2) the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
     # r5); (3) the r2-green trailers (stable_order..feature_extract)
@@ -3090,6 +3250,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "woe_encode": _q_woe_encode,
         "session_ngrams": _q_session_ngrams,
         "inverted_index": _q_inverted_index,
+        "autocorr": _q_autocorr,
+        "triangle_count": _q_triangle_count,
+        "quantize_embeddings": _q_quantize_embeddings,
+        "calibration_curve": _q_calibration_curve,
+        "chi2_assoc": _q_chi2_assoc,
+        "rrf_fusion": _q_rrf_fusion,
+        "upsert_latest": _q_upsert_latest,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -5569,4 +5736,208 @@ def oracle_sql() -> dict[str, str]:
           from pd join idx using (word)
           where df >= 2
             and df <= (select cast(floor(0.5 * n) as bigint) from nd)""",
+        "autocorr": """
+          with e as (
+            select user_id, ts, event_id,
+                   (value::decimal(18,2) * 100)::BIGINT as cents
+            from events where value is not null),
+          l as (
+            select user_id, 1 as k, cast(cents as double) as y,
+                   cast(lag(cents, 1) over (partition by user_id
+                        order by ts, event_id) as double) as x
+            from e
+            union all
+            select user_id, 2 as k, cast(cents as double) as y,
+                   cast(lag(cents, 2) over (partition by user_id
+                        order by ts, event_id) as double) as x
+            from e),
+          p as (select * from l where x is not null),
+          a as (
+            select user_id, k, count(*) as n_pairs,
+                   cast(sum(cast(x as decimal(28,6))) as double) as sx,
+                   cast(sum(cast(y as decimal(28,6))) as double) as sy,
+                   cast(sum(cast(x as decimal(28,6))
+                            * cast(y as decimal(28,6))) as double) as sxy,
+                   cast(sum(cast(x as decimal(28,6))
+                            * cast(x as decimal(28,6))) as double) as sxx,
+                   cast(sum(cast(y as decimal(28,6))
+                            * cast(y as decimal(28,6))) as double) as syy
+            from p group by 1, 2)
+          select user_id, k::INTEGER as lag, n_pairs,
+                 round(case when n_pairs >= 2
+                             and n_pairs * sxx - sx * sx > 0
+                             and n_pairs * syy - sy * sy > 0
+                       then (n_pairs * sxy - sx * sy)
+                            / (sqrt(n_pairs * sxx - sx * sx)
+                               * sqrt(n_pairs * syy - sy * sy))
+                       end, 6) as acf
+          from a""",
+        "triangle_count": """
+          with li as (
+            select l_orderkey, l_partkey from lineitem
+            where l_partkey % 4 = 0),
+          pr as (
+            select distinct x.l_partkey as a, y.l_partkey as b
+            from li x join li y using (l_orderkey)
+            where x.l_partkey < y.l_partkey),
+          nd as (select a as node from pr union select b from pr),
+          deg as (
+            select node, count(*) as d
+            from (select a as node from pr
+                  union all select b from pr)
+            group by 1),
+          rk as (select node, d * 4294967296 + node as r from deg),
+          o as (
+            select case when ra.r < rb.r then pr.a else pr.b end as lo,
+                   case when ra.r < rb.r then pr.b else pr.a end as hi,
+                   greatest(ra.r, rb.r) as rkhi
+            from pr join rk ra on pr.a = ra.node
+                    join rk rb on pr.b = rb.node),
+          w as (
+            select o1.lo, o1.hi as h1, o2.hi as h2
+            from o o1 join o o2
+              on o1.lo = o2.lo and o1.rkhi < o2.rkhi),
+          t as (
+            select w.lo, w.h1, w.h2 from w
+            join o on o.lo = w.h1 and o.hi = w.h2),
+          pn as (
+            select node, count(*) as c
+            from (select lo as node from t
+                  union all select h1 from t
+                  union all select h2 from t)
+            group by 1)
+          select nd.node, coalesce(pn.c, 0)::BIGINT as n_triangles
+          from nd left join pn on nd.node = pn.node""",
+        "quantize_embeddings": """
+          with x as (
+            select unnest(range(len(embedding))) as dim,
+                   unnest(embedding)::DOUBLE as xv
+            from embeddings),
+          p as (
+            select dim, min(xv) as vmin, max(xv) as vmax
+            from x where xv is not null group by 1),
+          c as (
+            select x.dim,
+                   case when p.vmax - p.vmin > 0
+                        then least(floor((x.xv - p.vmin) * 255.0::DOUBLE
+                                         / (p.vmax - p.vmin)),
+                                   255.0::DOUBLE)
+                        else 0.0 end as code
+            from x join p using (dim))
+          select dim::INTEGER as dim, code::INTEGER as code,
+                 count(*) as n
+          from c group by 1, 2""",
+        "calibration_curve": """
+          with s as (
+            select least(greatest((embedding[1]::DOUBLE + 0.4::DOUBLE)
+                                  / 0.8::DOUBLE, 0.0::DOUBLE),
+                         1.0::DOUBLE) as score,
+                   (label % 2)::BIGINT as y
+            from embeddings),
+          d as (
+            select least(greatest(floor(score * 10.0::DOUBLE),
+                                  0.0::DOUBLE), 9.0::DOUBLE)::BIGINT as bin,
+                   floor(score * 1000000.0::DOUBLE)::DECIMAL(28,0) as sppm,
+                   y
+            from s where score is not null and y is not null),
+          a as (
+            select bin, count(*) as n,
+                   cast(sum(sppm) as double) as ss,
+                   sum(y)::BIGINT as pos
+            from d group by 1)
+          select bin, n,
+                 round(ss / n / 1000000.0::DOUBLE, 6) as mean_score,
+                 round(pos::DOUBLE / n::DOUBLE, 6) as frac_pos
+          from a""",
+        "chi2_assoc": """
+          with base as (
+            select event_type,
+                   cast(floor(value / 10) as BIGINT)::varchar
+                     as value_bucket,
+                   (user_id % 3)::varchar as y
+            from events),
+          m as (
+            select 'event_type' as f,
+                   coalesce(event_type, chr(0) || 'null' || chr(0)) as x,
+                   coalesce(y, chr(0) || 'null' || chr(0)) as y
+            from base
+            union all
+            select 'value_bucket' as f,
+                   coalesce(value_bucket, chr(0) || 'null' || chr(0)) as x,
+                   coalesce(y, chr(0) || 'null' || chr(0)) as y
+            from base),
+          cells as (select f, x, y, count(*) as c from m group by 1, 2, 3),
+          xm as (select f, x, sum(c) as cx from cells group by 1, 2),
+          ym as (select f, y, sum(c) as cy from cells group by 1, 2),
+          nxx as (select f, count(*) as nx from xm group by 1),
+          nyy as (select f, count(*) as ny from ym group by 1),
+          tot as (select f, sum(c) as n from cells group by 1),
+          j as (
+            select * from cells
+            join xm using (f, x) join ym using (f, y) join tot using (f)),
+          folded as (
+            select f,
+                   cast(max(n) as bigint) as n_rows,
+                   count(*) as n_cells,
+                   list_reduce(list_prepend(0.0::DOUBLE,
+                     list((c::DOUBLE * c::DOUBLE)
+                          / (cx::DOUBLE * cy::DOUBLE / n::DOUBLE)
+                          order by x, y)),
+                     (a, b) -> a + b) as fold
+            from j group by f)
+          select f as feature, n_rows, n_cells,
+                 ((nx - 1) * (ny - 1))::BIGINT as dof,
+                 round(fold - n_rows::DOUBLE, 6) as chi2
+          from folded join nxx using (f) join nyy using (f)""",
+        "rrf_fusion": """
+          with d as (select doc_id, lang, n_chars from documents),
+          la as (
+            select lang, doc_id,
+                   row_number() over (partition by lang
+                     order by n_chars desc, doc_id) as rank
+            from d qualify rank <= 20),
+          lb as (
+            select lang, doc_id,
+                   row_number() over (partition by lang
+                     order by (doc_id * 2654435761) % 1000003, doc_id)
+                     as rank
+            from d qualify rank <= 20),
+          u as (
+            select lang as query, doc_id as doc, 0 as src,
+                   1.0::DOUBLE / (60.0::DOUBLE + rank::DOUBLE) as r
+            from la
+            union all
+            select lang, doc_id, 1,
+                   1.0::DOUBLE / (60.0::DOUBLE + rank::DOUBLE)
+            from lb),
+          f as (
+            select query, doc, count(*)::BIGINT as n_lists,
+                   list_reduce(list_prepend(0.0::DOUBLE,
+                     list(r order by src)), (a, b) -> a + b) as rrf_raw
+            from u group by 1, 2)
+          select query, doc, n_lists, round(rrf_raw, 9) as rrf,
+                 row_number() over (partition by query
+                   order by rrf_raw desc, doc)::BIGINT as fused_rank
+          from f""",
+        "upsert_latest": """
+          with o as (
+            select o_orderkey, o_custkey, o_orderdate::DATE as o_orderdate,
+                   (o_totalprice::decimal(18,2) * 100)::BIGINT as cents
+            from orders),
+          b as (
+            select o_orderkey, o_custkey, o_orderdate, cents,
+                   0 as layer, NULL::VARCHAR as op
+            from o where o_orderkey % 3 <> 0),
+          c as (
+            select o_orderkey, o_custkey, o_orderdate, cents * 2 as cents,
+                   1 as layer,
+                   case when o_orderkey % 7 = 0 then 'D' else 'U' end as op
+            from o where o_orderkey % 2 = 0),
+          u as (select * from b union all select * from c),
+          r as (
+            select *, row_number() over (partition by o_orderkey
+                        order by layer desc, o_orderdate desc) as rn
+            from u)
+          select o_orderkey, o_custkey, o_orderdate, cents
+          from r where rn = 1 and (op is null or op <> 'D')""",
     }

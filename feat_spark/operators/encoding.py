@@ -472,3 +472,67 @@ def woe_encode(
         F.round(woe, 6).alias("woe"),
         F.round((pr - nr) * woe, 6).alias("iv"),
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    group_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    lag: int = 1,
+) -> DataFrame:
+    """Per-group lag-k autocorrelation — the "is this series bursty or
+    mean-reverting" feature over a per-entity time series (per-user
+    event values, per-conversation turn lengths). Pearson correlation
+    of the series against itself shifted by ``lag``, over the aligned
+    pairs only (rows 1..n-k x rows k+1..n) — the textbook sample ACF
+    estimator with pairwise means, so the statistic is exactly a
+    correlation and replayable as one.
+
+    Shape: ONE lag window over the group partitioning (the same
+    exchange the aggregate reuses — one shuffle total), then six
+    decimal sums per group and a closed-form combine in double, the
+    :func:`group_linear_fit` device. No per-group iteration, no
+    driver loops; a hot entity is a single ordered partition scan,
+    bounded the same way every other per-entity window here is.
+
+    ``value_col`` should be integer-valued (cents): the decimal sums
+    are then exact, so partial-agg order cannot change the result and
+    the DuckDB oracle replays it bit-for-bit.
+
+    Degenerate guards: groups with < 2 aligned pairs, or a constant
+    side (zero variance), return NULL acf.
+
+    Output: ``(group, lag, n_pairs, acf)`` with acf rounded 6dp.
+    """
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    d = (
+        df.withColumn("__y", F.col(value_col).cast("double"))
+        .filter(F.col("__y").isNotNull())
+        .withColumn("__x", F.lag("__y", lag).over(w))
+        .filter(F.col("__x").isNotNull())
+    )
+    xd = F.col("__x").cast("decimal(18,6)")
+    yd = F.col("__y").cast("decimal(18,6)")
+    agg = d.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(xd).cast("double").alias("__sx"),
+        F.sum(yd).cast("double").alias("__sy"),
+        F.sum(xd * yd).cast("double").alias("__sxy"),
+        F.sum(xd * xd).cast("double").alias("__sxx"),
+        F.sum(yd * yd).cast("double").alias("__syy"),
+    )
+    n = F.col("n_pairs")
+    covn = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    varxn = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    varyn = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    acf = F.when(
+        (n >= 2) & (varxn > 0) & (varyn > 0),
+        covn / (F.sqrt(varxn) * F.sqrt(varyn)),
+    )
+    return agg.select(
+        group_col,
+        F.lit(lag).cast("int").alias("lag"),
+        "n_pairs",
+        F.round(acf, 6).alias("acf"),
+    )

@@ -346,3 +346,59 @@ def ks_test(
         F.round(dstat, 6).alias("d_stat"),
         F.round(lam, 6).alias("ks_lambda"),
     )
+
+
+def calibration_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for a probabilistic classifier: bin the
+    predicted score in [0, 1] into ``n_bins`` equal-width bins and
+    report, per bin, the count, the mean predicted score, and the
+    observed positive rate — the model-calibration readout (a
+    calibrated model has mean_score ~= frac_pos in every bin) that
+    gates whether a quality-filter threshold transfers across corpora.
+
+    One partial-agg pass keyed by bin id — n_bins grouping keys with
+    map-side combine, so the reduce sees one pre-aggregated row per
+    map partition regardless of row count or score skew.
+
+    Determinism: the score is quantized to integer MICRO-units
+    (``floor(score * 1e6)``) BEFORE summing, so the per-bin sums are
+    exact integer sums (< 2^53 per 10^9 rows — and decimal-summed
+    anyway) and partial-agg order cannot move the mean; the oracle
+    replays floor/sum/divide in the same order. Scores outside [0, 1]
+    are clamped into the edge bins, NULL scores/labels dropped.
+
+    Output: ``(bin, n, mean_score, frac_pos)`` — bin is the 0-based
+    bin id; mean_score/frac_pos rounded 6dp.
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("long")
+    d = df.filter(s.isNotNull() & y.isNotNull()).select(
+        F.least(
+            F.greatest(
+                F.floor(s * F.lit(float(n_bins))), F.lit(0).cast("long")
+            ),
+            F.lit(n_bins - 1).cast("long"),
+        ).alias("bin"),
+        F.floor(s * F.lit(1000000.0)).cast("decimal(28,0)").alias("__sppm"),
+        y.alias("__y"),
+    )
+    agg = d.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__sppm").cast("double").alias("__ss"),
+        F.sum("__y").cast("long").alias("__pos"),
+    )
+    return agg.select(
+        "bin",
+        "n",
+        F.round(F.col("__ss") / F.col("n") / F.lit(1000000.0), 6).alias(
+            "mean_score"
+        ),
+        F.round(
+            F.col("__pos").cast("double") / F.col("n").cast("double"), 6
+        ).alias("frac_pos"),
+    )

@@ -200,3 +200,90 @@ def tree_ancestry(
         )
         state = truncate(settled.unionByName(stepped))
     return state.select("id", "root_id", "depth")
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph
+    — the local-clustering primitive (community tightness, spam-ring
+    and bot-cluster detection over interaction graphs).
+
+    Degree-ordered orientation (the MapReduce triangle bound of Suri &
+    Vassilvitskii, WWW'11): canonicalize to distinct undirected edges,
+    then direct every edge toward its (degree, id)-larger endpoint.
+    Each triangle is then generated EXACTLY ONCE, as a wedge at its
+    (degree, id)-smallest vertex, and oriented out-degree is bounded by
+    O(sqrt(E)) — so the wedge self-join does O(E^1.5) total work no
+    matter how skewed the degree distribution is. A celebrity hub is
+    the *hi* endpoint of nearly all its edges and generates almost no
+    wedges; without orientation the same hub would generate deg^2
+    wedge rows and kill the job. Every step is an equi-join or a
+    partial-agg count — no cartesian anywhere.
+
+    Orientation key: ``deg * 2^32 + id`` packed into one long (ids
+    must fit 32 bits; degrees then break ties deterministically), so
+    the tuple comparison is a single long comparison in both engines.
+
+    Output: ``(node, n_triangles)`` for every node in the edge set,
+    zeros included — all integers, bit-stable in any engine.
+    """
+    u = F.col(src).cast("long")
+    v = F.col(dst).cast("long")
+    e = (
+        edges.select(u.alias("u"), v.alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    rk = (F.col("__deg") * F.lit(4294967296).cast("long") + F.col("node")).alias(
+        "__rk"
+    )
+    rks = deg.select("node", rk)
+    e2 = (
+        e.join(rks.withColumnRenamed("node", "a").withColumnRenamed("__rk", "__rka"), "a")
+        .join(rks.withColumnRenamed("node", "b").withColumnRenamed("__rk", "__rkb"), "b")
+    )
+    oriented = e2.select(
+        F.when(F.col("__rka") < F.col("__rkb"), F.col("a"))
+        .otherwise(F.col("b"))
+        .alias("lo"),
+        F.when(F.col("__rka") < F.col("__rkb"), F.col("b"))
+        .otherwise(F.col("a"))
+        .alias("hi"),
+        F.greatest("__rka", "__rkb").alias("__rkhi"),
+    )
+    o1 = oriented.select(
+        F.col("lo"), F.col("hi").alias("h1"), F.col("__rkhi").alias("__rk1")
+    )
+    o2 = oriented.select(
+        F.col("lo"), F.col("hi").alias("h2"), F.col("__rkhi").alias("__rk2")
+    )
+    wedges = o1.join(o2, "lo").filter(F.col("__rk1") < F.col("__rk2"))
+    closing = oriented.select(
+        F.col("lo").alias("h1"), F.col("hi").alias("h2")
+    )
+    tris = wedges.join(closing, ["h1", "h2"]).select("lo", "h1", "h2")
+    per_node = (
+        tris.select(F.explode(F.array("lo", "h1", "h2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return nodes.join(per_node, "node", "left").select(
+        "node",
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_triangles"),
+    )

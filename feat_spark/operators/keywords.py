@@ -321,3 +321,70 @@ def build_inverted_index(
     return idx.filter(F.col("df") >= min_df).select(
         F.col("__w").alias("word"), "df", "n_postings", "postings"
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    topn: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of multiple
+    per-query rankings into one list: ``rrf(d) = sum_lists 1/(k +
+    rank_i(d))`` — the standard score-free way to merge heterogeneous
+    retrievers (BM25 + embedding kNN) whose raw scores are not
+    comparable. A document absent from a list contributes nothing.
+
+    Shape: union the (already bounded, top-k-per-query) input lists
+    with a source tag, then ONE partial-agg keyed by (query, doc).
+    The per-doc fold over lists is sorted by source index (2-3 terms,
+    but 3+ double additions are order-sensitive — same sorted-fold
+    device as mutual_information) so the fused score is bit-stable.
+    Nothing scales with corpus size: RRF only ever sees the top-k
+    lists the retrievers emit, per query.
+
+    Output: ``(query, doc, n_lists, rrf, fused_rank)``; ``fused_rank``
+    is a per-query row_number ordered by (rrf desc, doc) — ties break
+    deterministically on doc id; ``topn`` keeps the head if set.
+    RRF scores rounded 9dp (they are sums of small reciprocals).
+    """
+    tagged = []
+    for i, r in enumerate(rankings):
+        tagged.append(
+            r.select(
+                F.col(query_col).alias("query"),
+                F.col(id_col).alias("doc"),
+                F.lit(i).alias("__src"),
+                (
+                    F.lit(1.0)
+                    / (F.lit(float(k)) + F.col(rank_col).cast("double"))
+                ).alias("__r"),
+            )
+        )
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    fused = u.groupBy("query", "doc").agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__src", "__r"))),
+                lambda s: s["__r"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("__rrf"),
+    )
+    w = Window.partitionBy("query").orderBy(F.desc("__rrf"), F.asc("doc"))
+    out = fused.select(
+        "query",
+        "doc",
+        "n_lists",
+        F.round("__rrf", 9).alias("rrf"),
+        F.row_number().over(w).cast("long").alias("fused_rank"),
+    )
+    if topn is not None:
+        out = out.filter(F.col("fused_rank") <= topn)
+    return out

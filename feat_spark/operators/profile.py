@@ -431,3 +431,91 @@ def mutual_information(
         "n_cells",
         F.round(F.col("__mi"), 6).alias("mi"),
     )
+
+
+def chi2_assoc(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+) -> DataFrame:
+    """Pearson chi-square association between each categorical feature
+    and a label — :func:`mutual_information`'s frequentist sibling
+    (same contingency table, a statistic with a null distribution, so
+    the ranking comes with a significance scale: compare chi2 against
+    chi2_{dof}). Cells with integer counts ``c_xy`` and marginals
+    ``c_x, c_y, n``: ``chi2 = sum_xy (c_xy - e_xy)^2 / e_xy`` with
+    ``e_xy = c_x * c_y / n`` — structurally zero cells contribute
+    their expectation, accounted in closed form (see below) so the
+    melt never has to materialize absent cells.
+
+    Identical plan shape to mutual_information: one melt scan for all
+    features, three partial aggs, vocabulary-sized joins, per-feature
+    sorted fold over observed cells (bit-replayable). The zero-cell
+    correction: sum over OBSERVED cells of ``(c-e)^2/e = c^2/e - 2c
+    + e``, and summing ``e`` over ALL (x, y) pairs gives exactly
+    ``n`` — so ``chi2 = fold(c^2/e) - 2n + n = fold(c^2/e) - n``,
+    with the fold only over observed cells. dof counts the FULL grid:
+    ``(n_x - 1) * (n_y - 1)``.
+
+    Output: ``(feature, n_rows, n_cells, dof, chi2)``, chi2 6dp.
+    """
+    sent = "\x00null\x00"
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("__f"),
+                F.coalesce(F.col(c).cast("string"), F.lit(sent)).alias("__x"),
+            )
+            for c in feature_cols
+        ]
+    )
+    melted = df.select(
+        F.explode(pairs).alias("__p"),
+        F.coalesce(F.col(label_col).cast("string"), F.lit(sent)).alias("__y"),
+    ).select(F.col("__p.__f").alias("__f"), F.col("__p.__x").alias("__x"), "__y")
+    cells = melted.groupBy("__f", "__x", "__y").agg(F.count(F.lit(1)).alias("__c"))
+    xm = cells.groupBy("__f", "__x").agg(F.sum("__c").alias("__cx"))
+    ym = cells.groupBy("__f", "__y").agg(F.sum("__c").alias("__cy"))
+    nx = xm.groupBy("__f").agg(F.count(F.lit(1)).alias("__nx"))
+    ny = ym.groupBy("__f").agg(F.count(F.lit(1)).alias("__ny"))
+    tot = cells.groupBy("__f").agg(F.sum("__c").alias("__n"))
+    j = (
+        cells.join(xm, ["__f", "__x"])
+        .join(ym, ["__f", "__y"])
+        .join(tot, "__f")
+    )
+    folded = j.groupBy("__f").agg(
+        F.max("__n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__x", "__y", "__c", "__cx", "__cy", "__n"))
+                ),
+                lambda s: (
+                    s["__c"].cast("double") * s["__c"].cast("double")
+                )
+                / (
+                    s["__cx"].cast("double")
+                    * s["__cy"].cast("double")
+                    / s["__n"].cast("double")
+                ),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("__fold"),
+    )
+    out = (
+        folded.join(nx, "__f")
+        .join(ny, "__f")
+        .join(tot, "__f")
+    )
+    return out.select(
+        F.col("__f").alias("feature"),
+        "n_rows",
+        "n_cells",
+        ((F.col("__nx") - 1) * (F.col("__ny") - 1)).cast("long").alias("dof"),
+        F.round(
+            F.col("__fold") - F.col("__n").cast("double"), 6
+        ).alias("chi2"),
+    )
