@@ -3137,6 +3137,74 @@ def _q_upsert_latest(spark, sf_dir):
     )
 
 
+def _q_context_window(spark, sf_dir):
+    """Token-budget context assembly (packing.assemble_context): for
+    every event-turn, how many trailing turns / tokens fit in a
+    512-token window — the earliest in-window turn found by a FORWARD
+    self as-of join on the strictly-increasing cumulative-token axis
+    (value lookup, not a scan; the virtual cum_0 = 0 row resolves
+    early turns). Deterministic token counts derived from cents; all
+    integers. The oracle replays the quadratic j<=i pair-join form —
+    equality proves the as-of shortcut exact."""
+    from feat_spark.operators.packing import assemble_context
+
+    e = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id",
+        (
+            F.lit(1).cast("long")
+            + F.coalesce(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+                F.lit(0).cast("long"),
+            )
+            % 199
+        ).alias("tok"),
+    )
+    return assemble_context(
+        e, key_cols="user_id", order_cols=["ts", "event_id"],
+        token_col="tok", budget=512, id_cols=["event_id"],
+    )
+
+
+def _q_cross_correlation(spark, sf_dir):
+    """Lead-lag cross-correlation (encoding.cross_correlation) between
+    per-day click counts and purchase counts per user, shifts -2..2,
+    on a zero-filled day spine (sequence-explode per user — the
+    active_days grain-reduction device, so shifts mean calendar days,
+    not event gaps). Integer counts -> exact decimal sums -> fixed
+    double combine; the oracle rebuilds the spine with
+    generate_series and replays every op."""
+    from feat_spark.operators.encoding import cross_correlation
+
+    e = _events(spark, sf_dir)
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    d = e.select("user_id", day.alias("day"), "event_type")
+    counts = d.groupBy("user_id", "day").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("buys"),
+    )
+    spine = (
+        d.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+        )
+    )
+    full = spine.join(counts, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("clicks", F.lit(0).cast("long")).alias("clicks"),
+        F.coalesce("buys", F.lit(0).cast("long")).alias("buys"),
+    )
+    return cross_correlation(
+        full, group_col="user_id", order_col="day",
+        x_col="clicks", y_col="buys", shifts=(-2, -1, 0, 1, 2),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -3167,13 +3235,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-71, after the window froze):
-    # 21 brand-new gates (scd2_build..inverted_index, then
-    # autocorr..upsert_latest) built AFTER the r4 window was fixed;
-    # all dtype-strict-selfcheck green at sf0.01 in their build
+    # LATE-ROUND-4 ADDITIONS (positions 51-73, after the window froze):
+    # 23 brand-new gates (scd2_build..inverted_index, then
+    # autocorr..cross_correlation) built AFTER the r4 window was
+    # fixed; all dtype-strict-selfcheck green at sf0.01 in their build
     # session, never driver-checked. ROUND-5 WINDOW PLAN, in order:
-    # (1) the 21 late-r4 gates + semantic_dedup + knn_cosine_ivf
-    # (positions 51-73 — pure registry slide, they are already first
+    # (1) the 23 late-r4 gates + semantic_dedup + knn_cosine_ivf
+    # (positions 51-75 — pure registry slide, they are already first
     # after the cut); (2) the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
     # r5); (3) the r2-green trailers (stable_order..feature_extract)
@@ -3257,6 +3325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_assoc": _q_chi2_assoc,
         "rrf_fusion": _q_rrf_fusion,
         "upsert_latest": _q_upsert_latest,
+        "context_window": _q_context_window,
+        "cross_correlation": _q_cross_correlation,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -5940,4 +6010,82 @@ def oracle_sql() -> dict[str, str]:
             from u)
           select o_orderkey, o_custkey, o_orderdate, cents
           from r where rn = 1 and (op is null or op <> 'D')""",
+        "context_window": """
+          with e as (
+            select user_id, ts, event_id,
+                   1 + coalesce((value::decimal(18,2) * 100)::BIGINT, 0)
+                       % 199 as tok
+            from events),
+          b as (
+            select user_id, event_id, tok,
+                   cast(row_number() over (partition by user_id
+                        order by ts, event_id) as bigint) as turn_idx,
+                   cast(sum(tok) over (partition by user_id
+                        order by ts, event_id
+                        rows unbounded preceding) as bigint) as cum
+            from e)
+          select i.user_id, i.event_id, i.turn_idx,
+                 i.tok as turn_tokens, i.cum as cum_tokens,
+                 count(*) as n_context,
+                 cast(sum(j.tok) as bigint) as context_tokens
+          from b i join b j
+            on i.user_id = j.user_id and j.turn_idx <= i.turn_idx
+           and i.cum - (j.cum - j.tok) <= 512
+          group by 1, 2, 3, 4, 5""",
+        "cross_correlation": """
+          with d as (
+            select user_id,
+                   epoch_us(ts) // 86400000000 as day,
+                   event_type
+            from events),
+          counts as (
+            select user_id, day,
+                   cast(sum(case when event_type = 'click'
+                            then 1 else 0 end) as bigint) as clicks,
+                   cast(sum(case when event_type = 'purchase'
+                            then 1 else 0 end) as bigint) as buys
+            from d group by 1, 2),
+          spine as (
+            select user_id, unnest(generate_series(min(day), max(day)))
+                     as day
+            from d group by user_id),
+          filled as (
+            select spine.user_id, spine.day,
+                   coalesce(counts.clicks, 0) as x,
+                   coalesce(counts.buys, 0) as y
+            from spine left join counts using (user_id, day)),
+          sh as (
+            select user_id, s.shift,
+                   cast(x as double) as x,
+                   cast(case s.shift
+                        when -2 then lag(y, 2) over w
+                        when -1 then lag(y, 1) over w
+                        when 0 then y
+                        when 1 then lead(y, 1) over w
+                        when 2 then lead(y, 2) over w
+                        end as double) as y
+            from filled cross join (select unnest([-2, -1, 0, 1, 2])
+                                    as shift) s
+            window w as (partition by user_id, s.shift order by day)),
+          p as (select * from sh where x is not null and y is not null),
+          a as (
+            select user_id, shift, count(*) as n_pairs,
+                   cast(sum(cast(x as decimal(28,6))) as double) as sx,
+                   cast(sum(cast(y as decimal(28,6))) as double) as sy,
+                   cast(sum(cast(x as decimal(28,6))
+                            * cast(y as decimal(28,6))) as double) as sxy,
+                   cast(sum(cast(x as decimal(28,6))
+                            * cast(x as decimal(28,6))) as double) as sxx,
+                   cast(sum(cast(y as decimal(28,6))
+                            * cast(y as decimal(28,6))) as double) as syy
+            from p group by 1, 2)
+          select user_id, shift::INTEGER as shift, n_pairs,
+                 round(case when n_pairs >= 2
+                             and n_pairs * sxx - sx * sx > 0
+                             and n_pairs * syy - sy * sy > 0
+                       then (n_pairs * sxy - sx * sy)
+                            / (sqrt(n_pairs * sxx - sx * sx)
+                               * sqrt(n_pairs * syy - sy * sy))
+                       end, 6) as xcorr
+          from a""",
     }

@@ -536,3 +536,81 @@ def autocorrelation(
         "n_pairs",
         F.round(acf, 6).alias("acf"),
     )
+
+
+def cross_correlation(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    shifts: Sequence[int] = (-2, -1, 0, 1, 2),
+) -> DataFrame:
+    """Per-group lead-lag cross-correlation between two aligned series
+    — "does activity in x LEAD outcomes in y, and by how much": for
+    each ``shift`` s, the Pearson correlation of pairs
+    ``(x_t, y_{t+s})`` (positive s = x leads y by s steps; the argmax
+    over shifts is the lead time). :func:`autocorrelation` is the
+    x == y special case.
+
+    The input must be a REGULAR series per group (consecutive rows =
+    consecutive time steps — build a day/hour spine with zero-fill
+    first if the raw events are sparse; gaps silently shrink to
+    adjacent-row shifts otherwise, which is almost never what the
+    analyst means).
+
+    Shape: one window partitioning shared by every shift's lead/lag
+    (Catalyst reuses the single sort) and ONE partial-agg pass keyed
+    (group, shift) after a union over |shifts| projections of the same
+    scan — no self-join of the series, no per-group iteration. Exact
+    decimal sums -> fixed-order double combine, the
+    :func:`group_linear_fit` device; integer-valued inputs replay
+    bit-for-bit in a SQL engine.
+
+    Output: ``(group, shift, n_pairs, xcorr)``, 6dp; degenerate
+    (constant-side or < 2 pairs) groups return NULL xcorr.
+    """
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    parts = []
+    for s in shifts:
+        ys = (
+            F.lead(F.col(y_col).cast("double"), s).over(w)
+            if s >= 0
+            else F.lag(F.col(y_col).cast("double"), -s).over(w)
+        )
+        parts.append(
+            df.select(
+                F.col(group_col),
+                F.lit(int(s)).cast("int").alias("shift"),
+                F.col(x_col).cast("double").alias("__x"),
+                ys.alias("__y"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    d = u.filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    xd = F.col("__x").cast("decimal(18,6)")
+    yd = F.col("__y").cast("decimal(18,6)")
+    agg = d.groupBy(group_col, "shift").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(xd).cast("double").alias("__sx"),
+        F.sum(yd).cast("double").alias("__sy"),
+        F.sum(xd * yd).cast("double").alias("__sxy"),
+        F.sum(xd * xd).cast("double").alias("__sxx"),
+        F.sum(yd * yd).cast("double").alias("__syy"),
+    )
+    n = F.col("n_pairs")
+    covn = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    varxn = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    varyn = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    xc = F.when(
+        (n >= 2) & (varxn > 0) & (varyn > 0),
+        covn / (F.sqrt(varxn) * F.sqrt(varyn)),
+    )
+    return agg.select(
+        group_col,
+        "shift",
+        "n_pairs",
+        F.round(xc, 6).alias("xcorr"),
+    )

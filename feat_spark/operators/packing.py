@@ -164,3 +164,103 @@ def chunk_documents(
         (end - start).cast("long").alias("n_chunk_tokens"),
         F.md5(chunk_text).alias("chunk_md5"),
     )
+
+
+def assemble_context(
+    df: DataFrame,
+    key_cols: Sequence[str] | str,
+    order_cols: Sequence[str],
+    token_col: str,
+    budget: int,
+    id_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Token-budget context assembly — for every turn of a
+    conversation, how many trailing turns (and how many tokens) fit in
+    a ``budget``-token context window ending at (and including) that
+    turn. THE serving-time question for transcript training data:
+    "what context does turn i actually see under a B-token limit",
+    computed leakage-safe (only turns at or before i are counted).
+
+    The trick that keeps it distributed and O(n log n): with positive
+    integer token counts the running sum ``cum_i`` is strictly
+    increasing per conversation, so the earliest in-window turn is a
+    VALUE lookup, not a scan — the window [j..i] fits iff
+    ``cum_{j-1} >= cum_i - budget``, so ``j_min - 1`` is the SMALLEST
+    k with ``cum_k >= cum_i - budget`` over the prefix-sum series
+    (with the empty prefix ``cum_0 = 0`` included as a virtual row).
+    That lookup is precisely a forward as-of join of the series
+    against itself on the cumulative-token axis, so the whole operator
+    is: one window pass (row_number + running sum) and one self
+    :func:`feat_spark.operators.asof.asof_join` — the same
+    union-window machinery the flagship runs at scale, skew story
+    included. No per-row search, no quadratic pair join (the quadratic
+    form is what the DuckDB oracle replays).
+
+    A turn longer than the whole budget yields a context of just
+    itself (n_context = 1, context_tokens = its own count > budget) —
+    the honest truncation-needed signal.
+
+    Output: key cols + ``id_cols`` (pass-through identity) +
+    ``(turn_idx, turn_tokens, cum_tokens, n_context, context_tokens)``
+    — all integers, bit-stable anywhere.
+    """
+    from feat_spark.operators.asof import asof_join
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    ids = list(id_cols or [])
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    tok = F.col(token_col).cast("long")
+    # ids may overlap keys/order_cols (event ids double as tiebreaks)
+    carry, seen = [], set()
+    for c in [*keys, *ids, *order_cols]:
+        if c not in seen:
+            carry.append(c)
+            seen.add(c)
+    base = df.select(*carry, tok.alias("__tok")).withColumn(
+        "turn_idx", F.row_number().over(w).cast("long")
+    ).withColumn("cum_tokens", F.sum("__tok").over(w))
+    left = base.withColumn(
+        "__probe", F.col("cum_tokens") - F.lit(int(budget)).cast("long")
+    )
+    # prefix-sum series INCLUDING the virtual empty prefix cum_0 = 0,
+    # so early turns (whole history fits) resolve to j_min - 1 = 0
+    right = base.select(
+        *keys,
+        F.col("cum_tokens").alias("__cum_r"),
+        F.col("turn_idx").alias("__k"),
+    ).unionByName(
+        base.filter(F.col("turn_idx") == 1).select(
+            *keys,
+            F.lit(0).cast("long").alias("__cum_r"),
+            F.lit(0).cast("long").alias("__k"),
+        )
+    )
+    looked = asof_join(
+        left,
+        right,
+        on=keys,
+        left_ts="__probe",
+        right_ts="__cum_r",
+        value_cols=["__k"],
+        direction="forward",
+        include_matched_ts=True,
+    )
+    # matched __k = j_min - 1. A turn alone exceeding the budget
+    # matches k = i (its own prefix is the first one >= the probe):
+    # clamp to the context-of-itself convention.
+    fits = F.col("__k") < F.col("turn_idx")
+    n_ctx = F.when(fits, F.col("turn_idx") - F.col("__k")).otherwise(
+        F.lit(1).cast("long")
+    )
+    ctx_tok = F.when(fits, F.col("cum_tokens") - F.col("matched_ts")).otherwise(
+        F.col("__tok")
+    )
+    return looked.select(
+        *keys,
+        *ids,
+        "turn_idx",
+        F.col("__tok").alias("turn_tokens"),
+        "cum_tokens",
+        n_ctx.alias("n_context"),
+        ctx_tok.alias("context_tokens"),
+    )

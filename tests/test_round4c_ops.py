@@ -263,3 +263,113 @@ def test_upsert_latest_recency_and_tiebreak_among_changes(spark):
         )
     )
     assert [(r["k"], r["val"]) for r in out] == [(1, "c")]
+
+
+# ------------------------------------------------------------ assemble_context
+
+
+def test_assemble_context_hand_vector(spark):
+    from feat_spark.operators.packing import assemble_context
+
+    df = spark.createDataFrame(
+        [("a", 1, 5), ("a", 2, 10), ("a", 3, 3), ("a", 4, 8)],
+        "k string, i long, tok long",
+    )
+    out = _rows(
+        assemble_context(df, "k", ["i"], "tok", budget=12), "turn_idx"
+    )
+    got = [
+        (r["turn_idx"], r["n_context"], r["context_tokens"]) for r in out
+    ]
+    # budget 12: turn 2 (10 tok) can't also hold turn 1 (5); turn 4 (8)
+    # holds turn 3 (3) for 11 <= 12
+    assert got == [(1, 1, 5), (2, 1, 10), (3, 1, 3), (4, 2, 11)]
+    assert [r["cum_tokens"] for r in out] == [5, 15, 18, 26]
+
+
+def test_assemble_context_loose_budget_and_oversize_turn(spark):
+    from feat_spark.operators.packing import assemble_context
+
+    df = spark.createDataFrame(
+        [("a", 1, 5), ("a", 2, 10), ("b", 1, 99)],
+        "k string, i long, tok long",
+    )
+    out = {
+        (r["k"], r["turn_idx"]): r
+        for r in _rows(assemble_context(df, "k", ["i"], "tok", budget=50))
+    }
+    # whole history fits: n_context = turn_idx
+    assert out[("a", 2)]["n_context"] == 2
+    assert out[("a", 2)]["context_tokens"] == 15
+    # single turn larger than the budget: context is itself, tokens
+    # exceed the budget (the truncation-needed signal)
+    assert out[("b", 1)]["n_context"] == 1
+    assert out[("b", 1)]["context_tokens"] == 99
+
+
+def test_assemble_context_matches_quadratic_reference(spark):
+    from feat_spark.operators.packing import assemble_context
+
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for k in ("u", "v"):
+        for i in range(40):
+            rows.append((k, i, rng.randint(1, 30)))
+    df = spark.createDataFrame(rows, "k string, i long, tok long")
+    out = {
+        (r["k"], r["turn_idx"]): (r["n_context"], r["context_tokens"])
+        for r in _rows(assemble_context(df, "k", ["i"], "tok", budget=60))
+    }
+    # quadratic reference
+    for k in ("u", "v"):
+        toks = [t for kk, _, t in rows if kk == k]
+        cum = [0]
+        for t in toks:
+            cum.append(cum[-1] + t)
+        for i in range(1, len(toks) + 1):
+            n = 0
+            for j in range(i, 0, -1):
+                if cum[i] - cum[j - 1] <= 60:
+                    n = i - j + 1
+                else:
+                    break
+            n = max(n, 1)
+            ctx = cum[i] - cum[i - n]
+            assert out[(k, i)] == (n, ctx), (k, i)
+
+
+# ---------------------------------------------------------- cross_correlation
+
+
+def test_cross_correlation_detects_lead(spark):
+    from feat_spark.operators.encoding import cross_correlation
+
+    # y is x delayed by one step (with noise-free copy): corr at
+    # shift +1 must be exactly 1
+    x = [1, 5, 2, 8, 3, 9, 4]
+    y = [0] + x[:-1]
+    rows = [("g", t, a, b) for t, (a, b) in enumerate(zip(x, y))]
+    df = spark.createDataFrame(rows, "g string, t long, x long, y long")
+    out = {
+        r["shift"]: r
+        for r in _rows(cross_correlation(df, "g", "t", "x", "y"))
+    }
+    assert out[1]["xcorr"] == pytest.approx(1.0)
+    assert out[1]["n_pairs"] == 6
+    assert abs(out[0]["xcorr"]) < 1.0
+
+
+def test_cross_correlation_degenerate(spark):
+    from feat_spark.operators.encoding import cross_correlation
+
+    df = spark.createDataFrame(
+        [("g", t, 5, t) for t in range(4)], "g string, t long, x long, y long"
+    )
+    out = {
+        r["shift"]: r
+        for r in _rows(cross_correlation(df, "g", "t", "x", "y", shifts=(0,)))
+    }
+    # constant x: zero variance -> NULL
+    assert out[0]["xcorr"] is None
