@@ -3205,6 +3205,33 @@ def _q_cross_correlation(spark, sf_dir):
     )
 
 
+def _q_phrase_search(spark, sf_dir):
+    """Positional phrase query (keywords.phrase_search) for
+    "table hash" over documents: explode filtered to the phrase's own
+    words, then the anchor trick (term i at pos p -> anchor p-i) and
+    one equi-join per extra term — cost bounded by the rarest term's
+    df. The oracle replays the anchor join with the inverted_index
+    word/position device."""
+    from feat_spark.operators.keywords import phrase_search
+
+    return phrase_search(
+        _t(spark, sf_dir, "documents"), "table hash"
+    )
+
+
+def _q_seasonal_anomaly(spark, sf_dir):
+    """Day-of-week seasonal volume anomalies (profile.
+    seasonal_anomaly): per-user daily counts vs that user's own
+    per-dow median/MAD baseline, robust_outliers' half-unit integer
+    device at (user, dow) grain. The oracle replays the grain
+    reduction, both quantile_cont medians, and the 3.5*MAD gate."""
+    from feat_spark.operators.profile import seasonal_anomaly
+
+    return seasonal_anomaly(
+        _events(spark, sf_dir), key_cols="user_id", ts_col="ts", k=3.5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -3235,13 +3262,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-73, after the window froze):
-    # 23 brand-new gates (scd2_build..inverted_index, then
-    # autocorr..cross_correlation) built AFTER the r4 window was
+    # LATE-ROUND-4 ADDITIONS (positions 51-75, after the window froze):
+    # 25 brand-new gates (scd2_build..inverted_index, then
+    # autocorr..seasonal_anomaly) built AFTER the r4 window was
     # fixed; all dtype-strict-selfcheck green at sf0.01 in their build
     # session, never driver-checked. ROUND-5 WINDOW PLAN, in order:
-    # (1) the 23 late-r4 gates + semantic_dedup + knn_cosine_ivf
-    # (positions 51-75 — pure registry slide, they are already first
+    # (1) the 25 late-r4 gates + semantic_dedup + knn_cosine_ivf
+    # (positions 51-77 — pure registry slide, they are already first
     # after the cut); (2) the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
     # r5); (3) the r2-green trailers (stable_order..feature_extract)
@@ -3327,6 +3354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_latest": _q_upsert_latest,
         "context_window": _q_context_window,
         "cross_correlation": _q_cross_correlation,
+        "phrase_search": _q_phrase_search,
+        "seasonal_anomaly": _q_seasonal_anomaly,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -6088,4 +6117,47 @@ def oracle_sql() -> dict[str, str]:
                                * sqrt(n_pairs * syy - sy * sy))
                        end, 6) as xcorr
           from a""",
+        "phrase_search": f"""
+          with ws as (
+            select doc_id, {_WS} as arr from documents),
+          w as (
+            select doc_id,
+                   unnest(list_transform(range(len(arr)),
+                     i -> struct_pack(p := i, w := arr[i+1]))) as x
+            from ws),
+          t0 as (select doc_id, x.p as anchor from w
+                 where x.w = 'table'),
+          t1 as (select doc_id, x.p - 1 as anchor from w
+                 where x.w = 'hash'),
+          j as (select doc_id, anchor from t0
+                join t1 using (doc_id, anchor))
+          select doc_id, count(*) as n_matches,
+                 cast(min(anchor) as bigint) as first_pos
+          from j group by 1""",
+        "seasonal_anomaly": """
+          with d as (
+            select user_id,
+                   epoch_us(ts) // 86400000000 as day
+            from events),
+          c as (
+            select user_id, day, (day + 3) % 7 as dow,
+                   count(*) as n, count(*) * 2 as h
+            from d group by 1, 2, 3),
+          m as (
+            select user_id, dow, quantile_cont(h, 0.5) as med
+            from c group by 1, 2),
+          v as (
+            select c.user_id, c.day, c.dow, c.n, c.h, m.med,
+                   abs(c.h - m.med) as dev
+            from c join m using (user_id, dow)),
+          md as (
+            select user_id, dow, quantile_cont(dev, 0.5) as mad
+            from v group by 1, 2)
+          select v.user_id, v.day, v.dow, cast(v.n as bigint) as n,
+                 round(case when mad > 0
+                       then (h - med) / mad end, 6) as robust_z,
+                 case when mad > 0
+                      then abs(h - med) > 3.5::DOUBLE * mad
+                      else abs(h - med) > 0 end as is_anomaly
+          from v join md using (user_id, dow)""",
     }

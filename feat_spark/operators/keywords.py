@@ -388,3 +388,47 @@ def rrf_fuse(
     if topn is not None:
         out = out.filter(F.col("fused_rank") <= topn)
     return out
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact positional phrase query — which documents contain the
+    words of ``phrase`` CONSECUTIVELY, where, and how often: the
+    retrieval step an inverted index with positions
+    (:func:`build_inverted_index`) exists to answer, expressed
+    directly over the corpus so the scan prunes to the phrase's own
+    words before anything shuffles.
+
+    Plan: one posexplode pass filtered to the phrase's word set (the
+    filter sits under the explode's projection — the corpus never
+    materializes its full positional index for a query), then the
+    classic anchor trick: occurrence of term i at position p
+    contributes anchor ``p - i``, and a phrase match is an anchor
+    shared by ALL terms — (k-1) equi-joins on (doc, anchor), each side
+    bounded by the df of its term, so the whole query costs what the
+    RAREST term costs (Zipf-safe: a stopword in the phrase inflates
+    one join side, never a cross product). All-integer outputs.
+
+    Output: ``(id_col, n_matches, first_pos)`` for matching docs only;
+    ``first_pos`` is the 0-based token index of the first match.
+    """
+    terms = phrase.split()
+    if not terms:
+        raise ValueError("empty phrase")
+    w = df.select(
+        F.col(id_col), F.posexplode(words(text_col)).alias("__p", "__w")
+    ).filter(F.col("__w").isin(list(set(terms))))
+    j = None
+    for i, t in enumerate(terms):
+        f = w.filter(F.col("__w") == t).select(
+            id_col, (F.col("__p").cast("long") - F.lit(i)).alias("__anchor")
+        )
+        j = f if j is None else j.join(f, [id_col, "__anchor"])
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("__anchor").alias("first_pos"),
+    )

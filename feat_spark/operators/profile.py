@@ -519,3 +519,73 @@ def chi2_assoc(
             F.col("__fold") - F.col("__n").cast("double"), 6
         ).alias("chi2"),
     )
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    key_cols: Sequence[str] | str,
+    ts_col: str = "ts",
+    k: float = 3.5,
+) -> DataFrame:
+    """Seasonal-baseline volume anomalies: each entity's daily event
+    count is compared against that entity's OWN day-of-week
+    median/MAD baseline — "is this Tuesday weird for this user's
+    Tuesdays" — the monitoring readout that plain global z-scores get
+    wrong twice (weekly seasonality reads as noise; one whale user
+    sets everyone's threshold). :func:`robust_outliers`' half-unit
+    integer device at the (entity, dow) grain.
+
+    Shape: grain reduction to (entity, day) counts first — everything
+    after runs on the small frame, same discipline as
+    ``active_days_feature``; two exact-percentile aggregations at
+    (entity, dow) grain joined back by key equality. Counts are
+    doubled into half-units so medians are exact half-integers and
+    deviations integers — bit-replayable. ``mad = 0`` (a perfectly
+    regular weekday — the COMMON case for habitual users, and exactly
+    where MAD's 50% breakdown bites: [2,2,2,2,2,40] has MAD 0) falls
+    back to flagging ANY departure from the median, with NULL z (no
+    finite scale exists); that is the monitoring-correct reading of a
+    constant baseline. Days with zero events do not appear (document
+    the spine-join variant if silence itself is the anomaly).
+
+    Output: key cols + ``(day, dow, n, robust_z, is_anomaly)``.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    day = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 86400000000")
+    counts = (
+        df.select(*keys, day.alias("day"))
+        .withColumn("dow", (F.col("day") + 3) % 7)
+        .groupBy(*keys, "day", "dow")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("__h", F.col("n") * 2)
+    )
+    med = counts.groupBy(*keys, "dow").agg(
+        F.expr("percentile(__h, 0.5)").alias("__med")
+    )
+    dev = counts.join(med, [*keys, "dow"]).withColumn(
+        "__dev", F.abs(F.col("__h") - F.col("__med"))
+    )
+    mad = dev.groupBy(*keys, "dow").agg(
+        F.expr("percentile(__dev, 0.5)").alias("__mad")
+    )
+    z = F.when(
+        F.col("__mad") > 0,
+        F.round((F.col("__h") - F.col("__med")) / F.col("__mad"), 6),
+    )
+    return (
+        dev.join(mad, [*keys, "dow"])
+        .select(
+            *keys,
+            "day",
+            "dow",
+            "n",
+            z.alias("robust_z"),
+            F.when(
+                F.col("__mad") > 0,
+                F.abs(F.col("__h") - F.col("__med"))
+                > F.lit(float(k)) * F.col("__mad"),
+            )
+            .otherwise(F.abs(F.col("__h") - F.col("__med")) > 0)
+            .alias("is_anomaly"),
+        )
+    )

@@ -373,3 +373,85 @@ def test_cross_correlation_degenerate(spark):
     }
     # constant x: zero variance -> NULL
     assert out[0]["xcorr"] is None
+
+
+# -------------------------------------------------------------- phrase_search
+
+
+def test_phrase_search_anchors_and_counts(spark):
+    from feat_spark.operators.keywords import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),
+            (2, "b a b"),
+            (3, "c c c"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in _rows(phrase_search(df, "a b"))}
+    assert set(out) == {1, 2}
+    assert (out[1]["n_matches"], out[1]["first_pos"]) == (2, 0)
+    assert (out[2]["n_matches"], out[2]["first_pos"]) == (1, 1)
+
+
+def test_phrase_search_three_words_and_repeats(spark):
+    from feat_spark.operators.keywords import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a a a")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in _rows(phrase_search(df, "a b a"))}
+    assert set(out) == {1}
+    assert (out[1]["n_matches"], out[1]["first_pos"]) == (2, 0)
+    # repeated-term phrase on a run of the same word
+    out2 = {r["doc_id"]: r for r in _rows(phrase_search(df, "a a"))}
+    assert (out2[2]["n_matches"], out2[2]["first_pos"]) == (2, 0)
+    assert 1 not in out2
+
+
+def test_phrase_search_no_match_empty(spark):
+    from feat_spark.operators.keywords import phrase_search
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert phrase_search(df, "c a").count() == 0
+
+
+# ----------------------------------------------------------- seasonal_anomaly
+
+
+def test_seasonal_anomaly_flags_spike_within_dow(spark):
+    from feat_spark.operators.profile import seasonal_anomaly
+    import datetime
+
+    # user u: five consecutive Mondays with 2 events, one Monday with
+    # 40 -> that Monday is anomalous vs the Monday baseline
+    rows = []
+    base = datetime.datetime(2024, 1, 1)  # a Monday
+    for wk in range(6):
+        n = 40 if wk == 5 else 2
+        for j in range(n):
+            rows.append(("u", base + datetime.timedelta(weeks=wk, minutes=j)))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = _rows(seasonal_anomaly(df, "user_id"), "day")
+    assert len(out) == 6
+    assert [r["n"] for r in out] == [2, 2, 2, 2, 2, 40]
+    assert all(r["dow"] == out[0]["dow"] for r in out)
+    flags = [r["is_anomaly"] for r in out]
+    assert flags == [False] * 5 + [True]
+
+
+def test_seasonal_anomaly_constant_weekday_no_flag(spark):
+    from feat_spark.operators.profile import seasonal_anomaly
+    import datetime
+
+    rows = []
+    base = datetime.datetime(2024, 1, 2)
+    for wk in range(4):
+        for j in range(3):
+            rows.append(("u", base + datetime.timedelta(weeks=wk, minutes=j)))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = _rows(seasonal_anomaly(df, "user_id"))
+    # perfectly regular: MAD = 0 -> NULL z, never flagged
+    assert all(r["robust_z"] is None for r in out)
+    assert not any(r["is_anomaly"] for r in out)
