@@ -3232,6 +3232,54 @@ def _q_seasonal_anomaly(spark, sf_dir):
     )
 
 
+def _q_skipgram_pairs(spark, sf_dir):
+    """Directed skip-gram event pairs (cooccur.skipgram_pairs) within
+    3 steps over each user's (ts, event_id)-ordered stream — the
+    cross_correlation lead-family device (one shared window sort, 3
+    lead projections, one pair-keyed count). The oracle replays it as
+    the row_number band self-join the leads are equivalent to."""
+    from feat_spark.operators.cooccur import skipgram_pairs
+
+    return skipgram_pairs(
+        _events(spark, sf_dir), "user_id", ["ts", "event_id"],
+        "event_type", window=3,
+    )
+
+
+def _q_attribution(spark, sf_dir):
+    """Multi-touch attribution (attribution.attribute_conversions):
+    purchases credited to click/view touches within a 7-day lookback —
+    last-touch exact cents, linear credit in floor-divided integer
+    micro-cents so every sum replays in any order. The oracle replays
+    the per-user band join, the per-conversion count/last window, and
+    the same integer floor division."""
+    from feat_spark.operators.attribution import attribute_conversions
+
+    return attribute_conversions(_events(spark, sf_dir), lookback_s=7 * 86400)
+
+
+def _q_changepoint_scan(spark, sf_dir):
+    """Level-shift change-point scan (profile.changepoint_scan): per
+    user, next-7-observed-days mean vs previous-7 over the daily-count
+    series; integer numerator sum_r*n_l - sum_l*n_r so shift and flag
+    are exact. The oracle replays both ROWS frames verbatim."""
+    from feat_spark.operators.profile import changepoint_scan
+
+    return changepoint_scan(
+        _events(spark, sf_dir), "user_id", w=7, threshold=2.0, min_side=3
+    )
+
+
+def _q_rfm_segments(spark, sf_dir):
+    """RFM segmentation (encoding.rfm_segments) over orders: entity
+    grain agg, exact integer metrics, dyadic-prob quartile boundaries
+    as driver scalars (NO global ntile sort), shuffle-free scoring
+    pass. The oracle recomputes the same quantile_cont cuts inline."""
+    from feat_spark.operators.encoding import rfm_segments
+
+    return rfm_segments(_t(spark, sf_dir, "orders"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -3262,13 +3310,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-75, after the window froze):
-    # 25 brand-new gates (scd2_build..inverted_index, then
-    # autocorr..seasonal_anomaly) built AFTER the r4 window was
+    # LATE-ROUND-4 ADDITIONS (positions 51-79, after the window froze):
+    # 29 brand-new gates (scd2_build..inverted_index, then
+    # autocorr..rfm_segments) built AFTER the r4 window was
     # fixed; all dtype-strict-selfcheck green at sf0.01 in their build
     # session, never driver-checked. ROUND-5 WINDOW PLAN, in order:
-    # (1) the 25 late-r4 gates + semantic_dedup + knn_cosine_ivf
-    # (positions 51-77 — pure registry slide, they are already first
+    # (1) the 29 late-r4 gates + semantic_dedup + knn_cosine_ivf
+    # (positions 51-81 — pure registry slide, they are already first
     # after the cut); (2) the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
     # r5); (3) the r2-green trailers (stable_order..feature_extract)
@@ -3356,6 +3404,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_correlation": _q_cross_correlation,
         "phrase_search": _q_phrase_search,
         "seasonal_anomaly": _q_seasonal_anomaly,
+        "skipgram_pairs": _q_skipgram_pairs,
+        "attribution": _q_attribution,
+        "changepoint_scan": _q_changepoint_scan,
+        "rfm_segments": _q_rfm_segments,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -6160,4 +6212,110 @@ def oracle_sql() -> dict[str, str]:
                       then abs(h - med) > 3.5::DOUBLE * mad
                       else abs(h - med) > 0 end as is_anomaly
           from v join md using (user_id, dow)""",
+        "skipgram_pairs": """
+          with s as (
+            select user_id, event_type,
+                   row_number() over (partition by user_id
+                                      order by ts, event_id) as r
+            from events)
+          select a.event_type as center, b.event_type as context,
+                 count(*) as n_pairs
+          from s a join s b on a.user_id = b.user_id
+               and b.r - a.r between 1 and 3
+          group by 1, 2""",
+        "attribution": """
+          with c as (
+            select event_id as cid, user_id, epoch_us(ts) as cts,
+                   cast(cast(value as decimal(18,2)) * 100 as bigint)
+                     as cents
+            from events where event_type = 'purchase'),
+          t as (
+            select event_id as tid, user_id, event_type as touch_type,
+                   epoch_us(ts) as tts
+            from events where event_type in ('click', 'view')),
+          j as (
+            select c.cid, c.cents, t.touch_type, t.tts, t.tid
+            from c join t on c.user_id = t.user_id
+                 and t.tts < c.cts
+                 and t.tts >= c.cts - 604800000000),
+          w as (
+            select *, count(*) over (partition by cid) as n,
+                   row_number() over (partition by cid
+                                      order by tts desc, tid desc) as rn
+            from j)
+          select touch_type,
+                 count(*) as n_touches,
+                 cast(sum(case when rn = 1 then 1 else 0 end) as bigint)
+                   as n_last,
+                 cast(coalesce(sum(case when rn = 1 then cents end), 0)
+                      as bigint) as last_touch_cents,
+                 cast(sum(cents * 10000 // n) as bigint) as linear_micros,
+                 round(cast(sum(cents * 10000 // n) as bigint)
+                       / 1000000.0, 6) as linear_value
+          from w group by 1""",
+        "changepoint_scan": """
+          with d as (
+            select user_id, epoch_us(ts) // 86400000000 as day
+            from events),
+          c as (
+            select user_id, day, count(*) as n from d group by 1, 2),
+          w as (
+            select user_id, day, n,
+                   coalesce(sum(n) over (partition by user_id order by day
+                     rows between 7 preceding and 1 preceding), 0) as sl,
+                   count(*) over (partition by user_id order by day
+                     rows between 7 preceding and 1 preceding) as nl,
+                   sum(n) over (partition by user_id order by day
+                     rows between current row and 6 following) as sr,
+                   count(*) over (partition by user_id order by day
+                     rows between current row and 6 following) as nr
+            from c)
+          select user_id, day, n,
+                 case when nl >= 3 and nr >= 3
+                      then round((sr * nl - sl * nr) / (nl * nr), 6)
+                 end as mean_shift,
+                 coalesce(case when nl >= 3 and nr >= 3
+                      then abs(sr * nl - sl * nr) > 2.0 * (nl * nr) end,
+                      false) as is_changepoint
+          from w""",
+        "rfm_segments": """
+          with o as (
+            select o_custkey as key,
+                   epoch_us(o_orderdate) // 86400000000 as day,
+                   cast(cast(o_totalprice as decimal(18,2)) * 100
+                        as bigint) as cents
+            from orders),
+          e as (
+            select key, max(day) as last_day, count(*) as frequency,
+                   cast(sum(cents) as bigint) as monetary_cents
+            from o group by 1),
+          e2 as (
+            select key,
+                   (select max(last_day) from e) - last_day
+                     as recency_days,
+                   frequency, monetary_cents
+            from e),
+          q as (
+            select quantile_cont(recency_days, [0.25, 0.5, 0.75]) as qr,
+                   quantile_cont(frequency, [0.25, 0.5, 0.75]) as qf,
+                   quantile_cont(monetary_cents, [0.25, 0.5, 0.75]) as qm
+            from e2),
+          s as (
+            select e2.*,
+              1 + (recency_days > qr[1])::int
+                + (recency_days > qr[2])::int
+                + (recency_days > qr[3])::int as rq,
+              1 + (frequency > qf[1])::int
+                + (frequency > qf[2])::int
+                + (frequency > qf[3])::int as fq,
+              1 + (monetary_cents > qm[1])::int
+                + (monetary_cents > qm[2])::int
+                + (monetary_cents > qm[3])::int as mq
+            from e2, q)
+          select key as o_custkey,
+                 cast(recency_days as bigint) as recency_days,
+                 frequency, monetary_cents,
+                 rq as r_q, fq as f_q, mq as m_q,
+                 rq * 100 + fq * 10 + mq as rfm
+          from s""",
     }

@@ -80,3 +80,47 @@ def cooccurrence_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_cols: "list[str] | tuple" = ("ts", "event_id"),
+    token_col: str = "event_type",
+    window: int = 3,
+) -> DataFrame:
+    """Directed skip-gram co-occurrence counts over per-key ORDERED
+    sequences — "event a is followed by event b within ``window``
+    steps" — the training-pair generator under item2vec/session-based
+    recommenders and the input statistic for next-event features.
+    :func:`cooccurrence_pmi` counts bag-of-words pairs per document;
+    this counts ordered pairs along the sequence axis.
+
+    Shape: the ``cross_correlation`` lead-family device — one window
+    partitioning (``key_col`` ordered by ``order_cols``) shared by all
+    ``window`` lead projections of the same scan, unioned, then ONE
+    map-side-combinable count keyed ``(center, context)``. No
+    self-join of the sequence, no row_number materialization; fan-out
+    is exactly ``window`` per input row regardless of key skew, so a
+    Zipf-hot key costs ``window`` x its row count, never quadratic.
+
+    Output: ``(center, context, n_pairs)`` with BIGINT counts.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    parts = [
+        df.select(
+            F.col(token_col).alias("center"),
+            F.lead(token_col, i).over(w).alias("context"),
+        )
+        for i in range(1, window + 1)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.filter(F.col("context").isNotNull())
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -614,3 +614,77 @@ def cross_correlation(
         "n_pairs",
         F.round(xc, 6).alias("xcorr"),
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    key_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    value_col: str = "o_totalprice",
+    as_of_day: int | None = None,
+) -> DataFrame:
+    """Recency-Frequency-Monetary segmentation — the classic
+    behavioral feature triple plus quartile scores, per entity:
+    ``recency_days`` since the entity's last event (against
+    ``as_of_day``, an epoch-day; defaults to the table's own max day),
+    ``frequency`` = event count, ``monetary_cents`` = exact integer
+    value sum, and quartile codes ``r_q f_q m_q`` in 1..4 (by value
+    ASCENDING — r_q=1 is the most recent cohort) rolled into
+    ``rfm = r_q*100 + f_q*10 + m_q``.
+
+    Scale shape: one partial-aggregatable pass to the entity grain,
+    then quartile BOUNDARIES as driver scalars (the ``quantile_bin``
+    device — exact percentiles of the entity frame, a 1-row agg read)
+    and a shuffle-free comparison pass to score. No global ntile sort:
+    an ntile over ORDER BY metric is a single-partition window — the
+    one plan shape this engine bans — and boundary scoring also gives
+    ties one deterministic bucket instead of splitting them by sort
+    position. Cross-engine exactness: metrics are integers and the
+    quartile probs are dyadic (0.25/0.5/0.75), so the interpolated
+    cut points ``a + (b-a)*f`` are exact doubles in every engine;
+    integer-vs-cutpoint compares replay bit-for-bit.
+
+    Output: ``(key, recency_days, frequency, monetary_cents, r_q,
+    f_q, m_q, rfm)``.
+    """
+    day = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 86400000000")
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    ent = df.select(
+        F.col(key_col).alias("key"), day.alias("__day"), cents.alias("__cents")
+    ).groupBy("key").agg(
+        F.max("__day").alias("__last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("__cents").alias("monetary_cents"),
+    )
+    if as_of_day is None:
+        as_of_day = int(ent.agg(F.max("__last")).first()[0])
+    ent = ent.withColumn(
+        "recency_days", F.lit(int(as_of_day)) - F.col("__last")
+    )
+    probs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    qs = ent.agg(
+        F.percentile(F.col("recency_days"), probs).alias("qr"),
+        F.percentile(F.col("frequency"), probs).alias("qf"),
+        F.percentile(F.col("monetary_cents"), probs).alias("qm"),
+    ).first()
+
+    def score(col: str, cuts):
+        c = F.lit(1)
+        for q in cuts:
+            c = c + (F.col(col) > F.lit(float(q))).cast("int")
+        return c
+
+    return ent.select(
+        F.col("key").alias(key_col),
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        score("recency_days", qs["qr"]).alias("r_q"),
+        score("frequency", qs["qf"]).alias("f_q"),
+        score("monetary_cents", qs["qm"]).alias("m_q"),
+        (
+            score("recency_days", qs["qr"]) * 100
+            + score("frequency", qs["qf"]) * 10
+            + score("monetary_cents", qs["qm"])
+        ).alias("rfm"),
+    )

@@ -589,3 +589,69 @@ def seasonal_anomaly(
             .alias("is_anomaly"),
         )
     )
+
+
+def changepoint_scan(
+    df: DataFrame,
+    key_cols: Sequence[str] | str,
+    ts_col: str = "ts",
+    w: int = 7,
+    threshold: float = 2.0,
+    min_side: int = 3,
+) -> DataFrame:
+    """Level-shift change-point scan over each entity's daily volume —
+    at every observed day, compare the mean of the NEXT ``w`` observed
+    days (current day included — the candidate new regime) against the
+    mean of the PREVIOUS ``w`` (the old regime) and flag where the
+    shift exceeds ``threshold`` events/day. The two-window mean-shift
+    form of CUSUM: where :func:`seasonal_anomaly` asks "is this single
+    day weird", this asks "did the LEVEL move here" — the monitoring
+    readout behind launch/incident detection on volume series.
+
+    Shape: grain reduction to (entity, day) counts first, then two
+    ROWS-frame window aggregates over one shared (entity, day) sort —
+    no self-join, no iteration. Exactness: sums and counts are
+    integers, so the shift's numerator ``sum_r*n_l - sum_l*n_r`` is an
+    exact integer; the flag compares it against
+    ``threshold * n_l * n_r`` (one float product, identical in any
+    engine) and the reported ``mean_shift`` does ONE division per row.
+
+    Frames run over OBSERVED days: the series contract is
+    :func:`~feat_spark.operators.encoding.cross_correlation`'s — build
+    a day spine with zero-fill first if silent days matter (for pure
+    volume drops they do; the spine join is one broadcast of the day
+    range). Edges with fewer than ``min_side`` observed days on either
+    side return NULL shift and never flag.
+
+    Output: key cols + ``(day, n, mean_shift, is_changepoint)``.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    day = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 86400000000")
+    counts = (
+        df.select(*keys, day.alias("day"))
+        .groupBy(*keys, "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    base = Window.partitionBy(*keys).orderBy("day")
+    wl = base.rowsBetween(-w, -1)
+    wr = base.rowsBetween(0, w - 1)
+    c = (
+        counts.withColumn("__sl", F.coalesce(F.sum("n").over(wl), F.lit(0)))
+        .withColumn("__nl", F.count(F.lit(1)).over(wl))
+        .withColumn("__sr", F.sum("n").over(wr))
+        .withColumn("__nr", F.count(F.lit(1)).over(wr))
+    )
+    ok = (F.col("__nl") >= min_side) & (F.col("__nr") >= min_side)
+    num = F.col("__sr") * F.col("__nl") - F.col("__sl") * F.col("__nr")
+    den = F.col("__nl") * F.col("__nr")
+    return c.select(
+        *keys,
+        "day",
+        "n",
+        F.when(ok, F.round(num / den, 6)).alias("mean_shift"),
+        F.when(
+            ok, F.abs(num) > F.lit(float(threshold)) * den
+        )
+        .otherwise(F.lit(False))
+        .alias("is_changepoint"),
+    )

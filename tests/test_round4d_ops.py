@@ -1,0 +1,188 @@
+"""Late-round-4 batch D operators: skip-gram sequence pairs,
+multi-touch attribution, level-shift change-point scan, RFM
+segmentation. Hand-computed vectors throughout."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+
+def _rows(df, *order):
+    if order:
+        df = df.orderBy(*order)
+    return [r.asDict() for r in df.collect()]
+
+
+# ------------------------------------------------------------ skipgram_pairs
+
+
+def test_skipgram_pairs_window2(spark):
+    from feat_spark.operators.cooccur import skipgram_pairs
+
+    rows = [("u", i, t) for i, t in enumerate(["a", "b", "c", "a"])]
+    df = spark.createDataFrame(rows, "k string, i long, t string")
+    out = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in _rows(skipgram_pairs(df, "k", ["i"], "t", window=2))
+    }
+    assert out == {
+        ("a", "b"): 1,
+        ("a", "c"): 1,
+        ("b", "c"): 1,
+        ("b", "a"): 1,
+        ("c", "a"): 1,
+    }
+
+
+def test_skipgram_pairs_key_isolation(spark):
+    from feat_spark.operators.cooccur import skipgram_pairs
+
+    rows = [("u", 0, "a"), ("v", 1, "b")]
+    df = spark.createDataFrame(rows, "k string, i long, t string")
+    # window never crosses keys: no pair exists
+    assert skipgram_pairs(df, "k", ["i"], "t", window=3).count() == 0
+
+
+# ------------------------------------------------------ attribute_conversions
+
+
+def _ev(rows, spark):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+
+
+def test_attribution_linear_and_last(spark):
+    from feat_spark.operators.attribution import attribute_conversions
+
+    t0 = datetime.datetime(2024, 1, 10)
+
+    def at(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    rows = [
+        (1, at(0), 7, "click", 0.0),
+        (2, at(10), 7, "view", 0.0),
+        (3, at(20), 7, "purchase", 10.0),
+        # second user: touch OUTSIDE the lookback -> conversion dropped
+        (4, at(0), 8, "click", 0.0),
+        (5, at(100_000), 8, "purchase", 5.0),
+        # third user: conversion with no touch at all -> dropped
+        (6, at(50), 9, "purchase", 3.0),
+    ]
+    out = {
+        r["touch_type"]: r
+        for r in _rows(
+            attribute_conversions(_ev(rows, spark), lookback_s=3600)
+        )
+    }
+    assert set(out) == {"click", "view"}
+    # both touches split 1000 cents -> 5_000_000 micro-cents each
+    assert out["click"]["linear_micros"] == 5_000_000
+    assert out["view"]["linear_micros"] == 5_000_000
+    assert out["view"]["linear_value"] == 5.0
+    # the view is the LAST touch
+    assert out["view"]["n_last"] == 1 and out["click"]["n_last"] == 0
+    assert out["view"]["last_touch_cents"] == 1000
+    assert out["click"]["last_touch_cents"] == 0
+
+
+def test_attribution_floor_allocation(spark):
+    from feat_spark.operators.attribution import attribute_conversions
+
+    t0 = datetime.datetime(2024, 1, 10)
+
+    def at(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    # 3 touches over 0.01 -> 1 cent -> 10000 micros div 3 = 3333 each
+    rows = [
+        (1, at(0), 7, "click", 0.0),
+        (2, at(1), 7, "click", 0.0),
+        (3, at(2), 7, "click", 0.0),
+        (4, at(3), 7, "purchase", 0.01),
+    ]
+    out = _rows(attribute_conversions(_ev(rows, spark), lookback_s=3600))
+    assert len(out) == 1
+    assert out[0]["linear_micros"] == 3 * 3333  # floor residual = 1 micro
+
+
+# ------------------------------------------------------------ changepoint_scan
+
+
+def test_changepoint_level_shift(spark):
+    from feat_spark.operators.profile import changepoint_scan
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for d in range(14):
+        n = 2 if d < 7 else 10
+        for j in range(n):
+            rows.append(("u", base + datetime.timedelta(days=d, minutes=j)))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = _rows(changepoint_scan(df, "user_id", w=3, threshold=4.0), "day")
+    assert len(out) == 14
+    # first 3 days: left side too thin -> NULL, never flagged
+    assert all(r["mean_shift"] is None for r in out[:3])
+    assert not any(r["is_changepoint"] for r in out[:3])
+    # the true shift day (idx 7): left = 2,2,2; right = 10,10,10
+    assert out[7]["mean_shift"] == 8.0 and out[7]["is_changepoint"]
+    # last 2 days: right side too thin -> NULL
+    assert all(r["mean_shift"] is None for r in out[12:])
+    # stable plateaus far from the shift never flag
+    assert not out[4]["is_changepoint"] and not out[11]["is_changepoint"]
+
+
+def test_changepoint_constant_series_silent(spark):
+    from feat_spark.operators.profile import changepoint_scan
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("u", base + datetime.timedelta(days=d, minutes=j))
+        for d in range(10)
+        for j in range(3)
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = _rows(changepoint_scan(df, "user_id", w=3), "day")
+    assert not any(r["is_changepoint"] for r in out)
+    mids = [r["mean_shift"] for r in out if r["mean_shift"] is not None]
+    assert mids and all(m == 0.0 for m in mids)
+
+
+# --------------------------------------------------------------- rfm_segments
+
+
+def test_rfm_quartiles(spark):
+    from feat_spark.operators.encoding import rfm_segments
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for k, (ago, price) in enumerate(
+        [(0, 100.0), (10, 200.0), (20, 300.0), (30, 400.0)], start=1
+    ):
+        rows.append((k, base + datetime.timedelta(days=30 - ago), price))
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    out = {r["o_custkey"]: r for r in _rows(rfm_segments(df))}
+    # recencies 0/10/20/30 -> quartile cuts 7.5/15/22.5 -> scores 1..4
+    assert [out[k]["r_q"] for k in (1, 2, 3, 4)] == [1, 2, 3, 4]
+    assert [out[k]["m_q"] for k in (1, 2, 3, 4)] == [1, 2, 3, 4]
+    # all frequencies tie at 1 -> everyone lands in ONE bucket
+    assert [out[k]["f_q"] for k in (1, 2, 3, 4)] == [1, 1, 1, 1]
+    assert out[1]["rfm"] == 111 and out[4]["rfm"] == 414
+    assert out[4]["monetary_cents"] == 40000
+    assert out[4]["recency_days"] == 30
+
+
+def test_rfm_explicit_as_of(spark):
+    from feat_spark.operators.encoding import rfm_segments
+
+    base = datetime.datetime(2024, 1, 1)  # epoch day 19723
+    df = spark.createDataFrame(
+        [(1, base, 50.0)],
+        "o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    out = _rows(rfm_segments(df, as_of_day=19723 + 5))
+    assert out[0]["recency_days"] == 5
