@@ -3280,6 +3280,61 @@ def _q_rfm_segments(spark, sf_dir):
     return rfm_segments(_t(spark, sf_dir, "orders"))
 
 
+def _q_group_auc(spark, sf_dir):
+    """Per-segment ROC AUC (experiment.group_auc): does event value
+    rank purchases within user_id%10 segments — tie-aware Mann-Whitney
+    with HALF-UNIT integer average ranks (h = 2*rank + ties - 1), so
+    the numerator is an exact integer and one division closes it. The
+    oracle replays rank(), the tie count, and the same closed form."""
+    from feat_spark.operators.experiment import group_auc
+
+    e = _events(spark, sf_dir).select(
+        (F.col("user_id") % 10).alias("segment"),
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").alias("y"),
+    )
+    return group_auc(e, "segment", "score", "y")
+
+
+def _q_label_churn(spark, sf_dir):
+    """Churn-by-inactivity labels (labels.label_churn): per (user,
+    active day), the gap to the NEXT active day and gap > 2d as the
+    churn target; the final observed day stays NULL (censored) — the
+    leakage-honest boundary. Oracle: distinct day grain + lead."""
+    from feat_spark.operators.labels import label_churn
+
+    return label_churn(_events(spark, sf_dir), "user_id", horizon_days=2)
+
+
+def _q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning (io.compaction_plan) over a
+    documents-derived manifest (source = partition, doc_id = file,
+    n_chars = bytes): bytes-desc first-fit by prefix sum,
+    bin = (cum - bytes) div target — all integer, one window sort per
+    partition over MANIFEST rows only. Oracle replays the running sum
+    and floor division verbatim."""
+    from feat_spark.sources.io import compaction_plan
+
+    m = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return compaction_plan(
+        m, "source", file_col="doc_id", bytes_col="n_chars",
+        target_bytes=20_000,
+    )
+
+
+def _q_basket_rules(spark, sf_dir):
+    """Market-basket association rules (cooccur.basket_rules) over
+    lineitem (order = basket, part = item): capped per-basket items,
+    basket-keyed pair self-join, support floor, then conf/lift with
+    one integer-operand division each. The oracle replays cap, pair
+    join, and ratios."""
+    from feat_spark.operators.cooccur import basket_rules
+
+    return basket_rules(
+        _t(spark, sf_dir, "lineitem"), min_support=2, per_basket=32
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -3310,13 +3365,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-79, after the window froze):
-    # 29 brand-new gates (scd2_build..inverted_index, then
-    # autocorr..rfm_segments) built AFTER the r4 window was
+    # LATE-ROUND-4 ADDITIONS (positions 51-83, after the window froze):
+    # 33 brand-new gates (scd2_build..inverted_index, then
+    # autocorr..basket_rules) built AFTER the r4 window was
     # fixed; all dtype-strict-selfcheck green at sf0.01 in their build
     # session, never driver-checked. ROUND-5 WINDOW PLAN, in order:
-    # (1) the 29 late-r4 gates + semantic_dedup + knn_cosine_ivf
-    # (positions 51-81 — pure registry slide, they are already first
+    # (1) the 33 late-r4 gates + semantic_dedup + knn_cosine_ivf
+    # (positions 51-85 — pure registry slide, they are already first
     # after the cut); (2) the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
     # r5); (3) the r2-green trailers (stable_order..feature_extract)
@@ -3408,6 +3463,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": _q_attribution,
         "changepoint_scan": _q_changepoint_scan,
         "rfm_segments": _q_rfm_segments,
+        "group_auc": _q_group_auc,
+        "label_churn": _q_label_churn,
+        "compaction_plan": _q_compaction_plan,
+        "basket_rules": _q_basket_rules,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -6318,4 +6377,82 @@ def oracle_sql() -> dict[str, str]:
                  rq as r_q, fq as f_q, mq as m_q,
                  rq * 100 + fq * 10 + mq as rfm
           from s""",
+        "group_auc": """
+          with b as (
+            select user_id % 10 as segment, value as score,
+                   case when event_type = 'purchase' then 1 else 0 end
+                     as y
+            from events),
+          r as (
+            select segment, y,
+                   2 * rank() over (partition by segment order by score)
+                     + count(*) over (partition by segment, score) - 1
+                     as h
+            from b)
+          select segment,
+                 cast(sum(y) as bigint) as n_pos,
+                 cast(sum(1 - y) as bigint) as n_neg,
+                 case when sum(y) > 0 and sum(1 - y) > 0 then
+                   round((sum(y * h) - sum(y) * (sum(y) + 1))
+                         / (2 * sum(y) * sum(1 - y)), 6)
+                 end as auc
+          from r group by 1""",
+        "label_churn": """
+          with d as (
+            select distinct user_id,
+                   epoch_us(ts) // 86400000000 as day
+            from events),
+          g as (
+            select user_id, day,
+                   lead(day) over (partition by user_id order by day)
+                     - day as gap_days
+            from d)
+          select user_id, day, cast(gap_days as bigint) as gap_days,
+                 gap_days > 2 as is_churn
+          from g""",
+        "compaction_plan": """
+          with m as (
+            select source, doc_id, cast(n_chars as bigint) as bytes
+            from documents),
+          c as (
+            select source, doc_id, bytes,
+                   sum(bytes) over (partition by source
+                     order by bytes desc, doc_id asc
+                     rows between unbounded preceding and current row)
+                     as cum
+            from m),
+          p as (
+            select source, doc_id, bytes,
+                   cast((cum - bytes) // 20000 as bigint) as bin
+            from c)
+          select source, doc_id, bytes, bin,
+                 count(*) over (partition by source, bin) as bin_files,
+                 cast(sum(bytes) over (partition by source, bin)
+                      as bigint) as bin_bytes
+          from p""",
+        "basket_rules": """
+          with it as (
+            select distinct l_orderkey as bk, l_partkey as item
+            from lineitem),
+          c as (
+            select bk, item from (
+              select bk, item,
+                     row_number() over (partition by bk
+                                        order by item asc) as rn
+              from it)
+            where rn <= 32),
+          s as (select item, count(*) as n_i from c group by 1),
+          p as (
+            select a.item as item_a, b.item as item_b,
+                   count(*) as n_ab
+            from c a join c b on a.bk = b.bk and a.item < b.item
+            group by 1, 2 having count(*) >= 2),
+          n as (select count(distinct l_orderkey) as nb from lineitem)
+          select item_a, item_b, n_ab, sa.n_i as n_a, sb.n_i as n_b,
+                 round(n_ab / sa.n_i, 6) as conf_ab,
+                 round(n_ab / sb.n_i, 6) as conf_ba,
+                 round((n_ab * nb) / (sa.n_i * sb.n_i), 6) as lift
+          from p
+          join s sa on p.item_a = sa.item
+          join s sb on p.item_b = sb.item, n""",
     }

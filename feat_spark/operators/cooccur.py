@@ -124,3 +124,75 @@ def skipgram_pairs(
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def basket_rules(
+    df: DataFrame,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    min_support: int = 2,
+    per_basket: int = 32,
+) -> DataFrame:
+    """Market-basket association rules for item pairs — support,
+    directional confidence, and lift: the co-purchase statistic under
+    "customers who bought a also bought b". Same pair-generation
+    algebra as :func:`cooccurrence_pmi` (that one reads out PMI over
+    word-document bags; this reads out the rules triple over
+    item-basket bags) with the same scale guarantees: baskets are
+    capped at ``per_basket`` distinct items FIRST (item ascending —
+    deterministic), the pair generator is a self-equi-join on the
+    basket key (per-key fan-out <= per_basket^2, never cartesian),
+    and a support floor prunes the tail before any ratio is computed.
+
+    Exactness: supports are BIGINT basket counts; ``conf_ab =
+    n_ab/n_a``, ``conf_ba = n_ab/n_b`` and ``lift = n_ab*N/(n_a*n_b)``
+    each do ONE integer-operand division, round 6.
+
+    Output: ``(item_a, item_b, n_ab, n_a, n_b, conf_ab, conf_ba,
+    lift)`` with ``item_a < item_b``.
+    """
+    n_baskets = df.select(basket_col).distinct().count()
+    items = df.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("item")
+    ).distinct()
+    w = Window.partitionBy("bk").orderBy(F.col("item").asc())
+    capped = (
+        items.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= per_basket)
+        .select("bk", "item")
+    )
+    supp = capped.groupBy("item").agg(F.count(F.lit(1)).alias("n_i"))
+    pairs = (
+        capped.alias("a")
+        .join(capped.alias("b"), "bk")
+        .filter(F.col("a.item") < F.col("b.item"))
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    return (
+        pairs.join(
+            supp.select(F.col("item").alias("item_a"), F.col("n_i").alias("n_a")),
+            "item_a",
+        )
+        .join(
+            supp.select(F.col("item").alias("item_b"), F.col("n_i").alias("n_b")),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("conf_ab"),
+            F.round(F.col("n_ab") / F.col("n_b"), 6).alias("conf_ba"),
+            F.round(
+                (F.col("n_ab") * F.lit(int(n_baskets)))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -402,3 +402,56 @@ def calibration_curve(
             F.col("__pos").cast("double") / F.col("n").cast("double"), 6
         ).alias("frac_pos"),
     )
+
+
+def group_auc(
+    df: DataFrame,
+    group_cols: "Sequence[str] | str",
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-group ROC AUC of a score against a binary label — the
+    Mann-Whitney U statistic: AUC = P(score_pos > score_neg) +
+    0.5 * P(tie). The model-quality readout next to
+    :func:`calibration_curve` (calibration answers "are the
+    probabilities honest", AUC answers "does the score rank at all"),
+    computed per segment so slice regressions are visible.
+
+    Exactness device: tie-aware average ranks in HALF-UNITS —
+    ``h = 2*min_rank + tie_count - 1`` is an integer, so
+    ``AUC = (sum_pos h - n1*(n1+1)) / (2*n1*n0)`` has an exact integer
+    numerator and does ONE division per group; it replays bit-for-bit
+    in any engine. Ranks come from one window per group (rank() +
+    per-(group,score) count over the same sort — Catalyst shares it);
+    groups are independent partitions, so there is no global sort —
+    the single-partition window shape stays banned. Degenerate groups
+    (all-positive or all-negative) return NULL.
+
+    Output: group cols + ``(n_pos, n_neg, auc)``.
+    """
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    w = Window.partitionBy(*keys).orderBy(score_col)
+    wt = Window.partitionBy(*keys, score_col)
+    lab = F.col(label_col).cast("long")
+    r = df.select(
+        *keys, score_col, lab.alias("__y")
+    ).withColumn(
+        "__h",
+        2 * F.rank().over(w) + F.count(F.lit(1)).over(wt) - 1,
+    )
+    agg = r.groupBy(*keys).agg(
+        F.sum("__y").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("__y")).alias("n_neg"),
+        F.sum(F.col("__y") * F.col("__h")).alias("__sh"),
+    )
+    num = F.col("__sh") - F.col("n_pos") * (F.col("n_pos") + 1)
+    den = 2 * F.col("n_pos") * F.col("n_neg")
+    return agg.select(
+        *keys,
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(num / den, 6),
+        ).alias("auc"),
+    )

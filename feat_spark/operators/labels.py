@@ -21,6 +21,8 @@ replay bit-for-bit in any engine.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -200,4 +202,43 @@ def km_curve(
         F.col("d").cast("long").alias("d"),
         F.col("c").cast("long").alias("c"),
         surv.alias("survival"),
+    )
+
+
+def label_churn(
+    df: DataFrame,
+    key_cols: Sequence[str] | str,
+    ts_col: str = "ts",
+    horizon_days: int = 14,
+) -> DataFrame:
+    """Churn-by-inactivity training labels: for every (entity,
+    active day), did the entity stay silent for more than
+    ``horizon_days`` afterwards? The forward-looking companion to
+    :func:`time_to_event` (that one measures TO a named event; this
+    one measures the gap to the entity's own NEXT activity — the
+    standard retention-model target).
+
+    Label semantics are censoring-honest: ``gap_days`` is NULL on each
+    entity's final observed day (the future is unobserved), and so is
+    ``is_churn`` — emitting false there would leak the dataset
+    boundary into the label, the exact bug :mod:`plans.audit` exists
+    to catch. Callers cut training data at
+    ``max_day - horizon_days`` if they want fully-resolved labels.
+
+    Shape: grain reduction to distinct (entity, day) first, one lead
+    over the per-entity day order — no self-join, no spine. All
+    integers.
+
+    Output: key cols + ``(day, gap_days, is_churn)``.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    day = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 86400000000")
+    d = df.select(*keys, day.alias("day")).distinct()
+    w = Window.partitionBy(*keys).orderBy("day")
+    gap = F.lead("day").over(w) - F.col("day")
+    return d.select(
+        *keys,
+        "day",
+        gap.alias("gap_days"),
+        (gap > F.lit(int(horizon_days))).alias("is_churn"),
     )

@@ -186,3 +186,85 @@ def test_rfm_explicit_as_of(spark):
     )
     out = _rows(rfm_segments(df, as_of_day=19723 + 5))
     assert out[0]["recency_days"] == 5
+
+
+# ------------------------------------------------------------------ group_auc
+
+
+def test_group_auc_perfect_anti_ties(spark):
+    from feat_spark.operators.experiment import group_auc
+
+    rows = (
+        [("g", float(s), y) for s, y in [(1, 0), (2, 0), (3, 1), (4, 1)]]
+        + [("b", float(s), y) for s, y in [(1, 1), (2, 1), (3, 0), (4, 0)]]
+        + [("c", float(s), y) for s, y in [(1, 0), (1, 1), (2, 1)]]
+        + [("d", 1.0, 1), ("d", 2.0, 1)]  # degenerate: no negatives
+    )
+    df = spark.createDataFrame(rows, "g string, score double, y long")
+    out = {r["g"]: r for r in [r.asDict() for r in group_auc(df, "g", "score", "y").collect()]}
+    assert out["g"]["auc"] == 1.0
+    assert out["b"]["auc"] == 0.0
+    # one tie across classes at score 1: AUC = (0.5 + 1) / 2
+    assert out["c"]["auc"] == 0.75
+    assert out["d"]["auc"] is None
+    assert (out["g"]["n_pos"], out["g"]["n_neg"]) == (2, 2)
+
+
+# ---------------------------------------------------------------- label_churn
+
+
+def test_label_churn_gaps_and_censoring(spark):
+    from feat_spark.operators.labels import label_churn
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("u", base + datetime.timedelta(days=d, hours=h))
+        for d in (0, 3, 30)
+        for h in (1, 2)  # two events per active day -> distinct() grain
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = _rows(label_churn(df, "user_id", horizon_days=14), "day")
+    assert [r["gap_days"] for r in out] == [3, 27, None]
+    assert [r["is_churn"] for r in out] == [False, True, None]
+
+
+# ------------------------------------------------------------ compaction_plan
+
+
+def test_compaction_first_fit_bins(spark):
+    from feat_spark.sources.io import compaction_plan
+
+    rows = [("p", f"f{i}", b) for i, b in enumerate([600, 300, 200, 100])] + [
+        ("q", "g0", 50)
+    ]
+    df = spark.createDataFrame(rows, "part string, path string, bytes long")
+    out = _rows(
+        compaction_plan(df, "part", "path", "bytes", target_bytes=500),
+        "part", F.col("bytes").desc(),
+    )
+    by_file = {r["path"]: r for r in out}
+    # 600 fills bin 0 alone; 300+200 pack bin 1 exactly; 100 spills to 2
+    assert by_file["f0"]["bin"] == 0 and by_file["f0"]["bin_bytes"] == 600
+    assert by_file["f1"]["bin"] == 1 and by_file["f2"]["bin"] == 1
+    assert by_file["f1"]["bin_bytes"] == 500 and by_file["f1"]["bin_files"] == 2
+    assert by_file["f3"]["bin"] == 2
+    # partitions plan independently
+    assert by_file["g0"]["bin"] == 0
+
+
+# --------------------------------------------------------------- basket_rules
+
+
+def test_basket_rules_support_conf_lift(spark):
+    from feat_spark.operators.cooccur import basket_rules
+
+    rows = [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 3), (1, 1)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = _rows(basket_rules(df, min_support=2))
+    assert len(out) == 1  # (1,3) has support 1 -> pruned
+    r = out[0]
+    assert (r["item_a"], r["item_b"], r["n_ab"]) == (1, 2, 2)
+    assert (r["n_a"], r["n_b"]) == (3, 2)
+    assert r["conf_ab"] == round(2 / 3, 6) and r["conf_ba"] == 1.0
+    assert r["lift"] == 1.0  # 2*3/(3*2)
