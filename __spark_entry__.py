@@ -3335,6 +3335,86 @@ def _q_basket_rules(spark, sf_dir):
     )
 
 
+def _q_expectations(spark, sf_dir):
+    """Declarative data-contract report (audit.expectation_report)
+    over events: unique event_id, non-null ts, event_type in the
+    4-value accepted set ('error' excluded on purpose so the check
+    fires), value in [0,10]. Row-level checks fold into ONE scan
+    aggregate; uniqueness rides the same agg as exact count_distinct.
+    The oracle computes every violation count in one scalar CTE."""
+    from feat_spark.plans.audit import expectation_report
+
+    return expectation_report(
+        _events(spark, sf_dir),
+        unique=[["event_id"]],
+        not_null=["ts"],
+        in_set={"event_type": ["click", "view", "purchase", "signup"]},
+        between={"value": (0.0, 10.0)},
+    )
+
+
+def _q_split_balance(spark, sf_dir):
+    """Covariate balance (experiment.split_balance) of an 80/20
+    user-hash split over events: SMD of value and hour-of-day between
+    train and test via the one-melt-scan + exact decimal sums. The
+    oracle replays the melt, the decimal sums, and the closed form
+    division-for-division."""
+    from feat_spark.operators.experiment import split_balance
+
+    e = _events(spark, sf_dir).select(
+        F.when(F.col("user_id") % 10 < 8, "train")
+        .otherwise("test")
+        .alias("split"),
+        F.col("value"),
+        F.hour(F.col("ts").cast("timestamp")).alias("hour"),
+    )
+    return split_balance(e, "split", ["value", "hour"])
+
+
+def _q_assortativity(spark, sf_dir):
+    """Degree assortativity (graph.degree_assortativity) of the
+    order-part incidence graph (node ids disambiguated even/odd so
+    the two key spaces cannot collide): integer Pearson sums over
+    symmetrized edge stubs, one sqrt + one division on the 1-row
+    readout. Oracle replays canonicalization, degrees, and the
+    closed form."""
+    from feat_spark.operators.graph import degree_assortativity
+
+    e = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    return degree_assortativity(e)
+
+
+def _q_ndcg(spark, sf_dir):
+    """NDCG@3 (keywords.ndcg_at_k) of each user's frequency-ranked
+    event types against capped-count relevance — ln-parity log2 and
+    sorted-fold per-query sums (<= k terms), bit-replayable. The
+    oracle rebuilds ranked/truth and both folds with list_reduce."""
+    from feat_spark.operators.keywords import ndcg_at_k
+
+    cnt = (
+        _events(spark, sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("c").desc(), F.col("event_type").asc()
+    )
+    ranked = cnt.withColumn("rank", F.row_number().over(w)).select(
+        F.col("user_id").alias("query_id"),
+        F.col("event_type").alias("item"),
+        "rank",
+    )
+    truth = cnt.select(
+        F.col("user_id").alias("query_id"),
+        F.col("event_type").alias("item"),
+        F.least(F.col("c"), F.lit(5)).alias("rel"),
+    )
+    return ndcg_at_k(ranked, truth, k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -3365,13 +3445,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-83, after the window froze):
-    # 33 brand-new gates (scd2_build..inverted_index, then
-    # autocorr..basket_rules) built AFTER the r4 window was
+    # LATE-ROUND-4 ADDITIONS (positions 51-87, after the window froze):
+    # 37 brand-new gates (scd2_build..inverted_index, then
+    # autocorr..ndcg) built AFTER the r4 window was
     # fixed; all dtype-strict-selfcheck green at sf0.01 in their build
     # session, never driver-checked. ROUND-5 WINDOW PLAN, in order:
-    # (1) the 33 late-r4 gates + semantic_dedup + knn_cosine_ivf
-    # (positions 51-85 — pure registry slide, they are already first
+    # (1) the 37 late-r4 gates + semantic_dedup + knn_cosine_ivf
+    # (positions 51-89 — pure registry slide, they are already first
     # after the cut); (2) the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
     # r5); (3) the r2-green trailers (stable_order..feature_extract)
@@ -3467,6 +3547,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_churn": _q_label_churn,
         "compaction_plan": _q_compaction_plan,
         "basket_rules": _q_basket_rules,
+        "expectations": _q_expectations,
+        "split_balance": _q_split_balance,
+        "assortativity": _q_assortativity,
+        "ndcg": _q_ndcg,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -6455,4 +6539,138 @@ def oracle_sql() -> dict[str, str]:
           from p
           join s sa on p.item_a = sa.item
           join s sb on p.item_b = sb.item, n""",
+        "expectations": """
+          with s as (
+            select count(*) as n,
+                   sum(case when ts is null then 1 else 0 end) as v_ts,
+                   sum(case when event_type is null or event_type not in
+                       ('click', 'view', 'purchase', 'signup')
+                       then 1 else 0 end) as v_set,
+                   sum(case when value is null
+                       or not (value between 0.0 and 10.0)
+                       then 1 else 0 end) as v_btw,
+                   count(distinct event_id) as u_id
+            from events),
+          u as (
+            select 'not_null:ts' as "check",
+                   cast(v_ts as bigint) as n_violations, n as n_rows
+            from s
+            union all
+            select 'in_set:event_type', cast(v_set as bigint), n from s
+            union all
+            select 'between:value', cast(v_btw as bigint), n from s
+            union all
+            select 'unique:event_id', cast(n - u_id as bigint), n from s)
+          select "check", n_violations, n_rows,
+                 n_violations = 0 as passed
+          from u""",
+        "split_balance": """
+          with b as (
+            select case when user_id % 10 < 8 then 'train' else 'test'
+                   end as s, value, hour(ts) as hr
+            from events),
+          m as (
+            select s, 'value' as feature, cast(value as double) as x
+            from b
+            union all
+            select s, 'hour', cast(hr as double) from b),
+          a as (
+            select feature, s, count(*) as n,
+                   cast(sum(cast(x as decimal(18,6))) as double) as sx,
+                   cast(sum(cast(x as decimal(18,6))
+                            * cast(x as decimal(18,6))) as double) as sxx
+            from m where x is not null group by 1, 2),
+          j as (
+            select ta.feature, ta.n as n_a, tb.n as n_b,
+                   ta.sx as sxa, ta.sxx as sxxa,
+                   tb.sx as sxb, tb.sxx as sxxb
+            from (select * from a where s = 'train') ta
+            join (select * from a where s = 'test') tb
+              using (feature)),
+          c as (
+            select feature, n_a, n_b,
+                   sxa / n_a as mean_a, sxb / n_b as mean_b,
+                   (sxxa - sxa * sxa / n_a) / (n_a - 1) as var_a,
+                   (sxxb - sxb * sxb / n_b) / (n_b - 1) as var_b
+            from j)
+          select feature, n_a, n_b,
+                 round(mean_a, 6) as mean_a, round(mean_b, 6) as mean_b,
+                 case when n_a > 1 and n_b > 1
+                           and (var_a + var_b) / 2 > 0
+                      then round((mean_a - mean_b)
+                                 / sqrt((var_a + var_b) / 2), 6)
+                 end as smd
+          from c""",
+        "assortativity": """
+          with e as (
+            select distinct
+                   least(l_orderkey * 2, l_partkey * 2 + 1) as a,
+                   greatest(l_orderkey * 2, l_partkey * 2 + 1) as b
+            from lineitem
+            where l_orderkey * 2 <> l_partkey * 2 + 1),
+          deg as (
+            select v, count(*) as d from (
+              select a as v from e union all select b as v from e)
+            group by 1),
+          pr as (
+            select da.d as dx, db.d as dy
+            from e join deg da on e.a = da.v
+                   join deg db on e.b = db.v),
+          st as (
+            select dx, dy from pr
+            union all select dy as dx, dx as dy from pr),
+          s as (
+            select count(*) as n,
+                   cast(sum(dx) as bigint) as sx,
+                   cast(sum(dy) as bigint) as sy,
+                   cast(sum(dx * dy) as bigint) as sxy,
+                   cast(sum(dx * dx) as bigint) as sxx,
+                   cast(sum(dy * dy) as bigint) as syy
+            from st)
+          select n as n_stubs,
+                 case when n * sxx - sx * sx > 0
+                           and n * syy - sy * sy > 0
+                      then round((n * sxy - sx * sy)
+                        / sqrt(cast(n * sxx - sx * sx as double)
+                               * cast(n * syy - sy * sy as double)), 6)
+                 end as assortativity
+          from s""",
+        "ndcg": """
+          with cnt as (
+            select user_id, event_type, count(*) as c
+            from events group by 1, 2),
+          rk as (
+            select user_id, event_type,
+                   row_number() over (partition by user_id
+                     order by c desc, event_type asc) as rnk
+            from cnt),
+          tr as (
+            select user_id, event_type, least(c, 5) as rel from cnt),
+          r as (
+            select rk.user_id as query, rk.rnk as pos,
+                   coalesce(tr.rel, 0)::DOUBLE
+                     / (ln(rk.rnk + 1.0) / ln(2.0)) as term
+            from rk left join tr on rk.user_id = tr.user_id
+                 and rk.event_type = tr.event_type
+            where rk.rnk <= 3),
+          d as (
+            select query,
+                   list_reduce(list_prepend(0.0,
+                     list(term order by pos)), (a, b) -> a + b) as dcg
+            from r group by 1),
+          i0 as (
+            select user_id as query,
+                   row_number() over (partition by user_id
+                     order by rel desc, event_type asc) as pos,
+                   rel
+            from tr),
+          i as (
+            select query,
+                   list_reduce(list_prepend(0.0,
+                     list(rel::DOUBLE / (ln(pos + 1.0) / ln(2.0))
+                          order by pos)), (a, b) -> a + b) as idcg
+            from i0 where pos <= 3 group by 1)
+          select d.query, round(dcg, 6) as dcg, round(idcg, 6) as idcg,
+                 case when idcg > 0 then round(dcg / idcg, 6) end as ndcg
+          from d join i using (query)""",
     }

@@ -455,3 +455,75 @@ def group_auc(
             F.round(num / den, 6),
         ).alias("auc"),
     )
+
+
+def split_balance(
+    df: DataFrame,
+    split_col: str,
+    feature_cols: "Sequence[str]",
+    a: str = "train",
+    b: str = "test",
+) -> DataFrame:
+    """Covariate balance between two splits — per feature, the
+    standardized mean difference ``smd = (mean_a - mean_b) /
+    sqrt((var_a + var_b) / 2)``: the check run after
+    :func:`~feat_spark.operators.sampling.split_assign` (and after
+    every A/B randomization) to prove the splits are exchangeable
+    before anyone trusts a metric computed on them. |SMD| < 0.1 is the
+    conventional "balanced" bar.
+
+    Shape: the profiler's one-melt-scan — features unpivot into
+    (feature, value) rows in the SAME scan (a stack projection, not a
+    pass per feature), then ONE partial agg keyed (feature, split)
+    with exact decimal sums, a 2-way self-join on feature (two rows
+    each — broadcast), and a closed form with a fixed handful of
+    divisions. Degenerate features (both variances zero) return NULL
+    smd.
+
+    Output: ``(feature, n_a, n_b, mean_a, mean_b, smd)``, 6dp.
+    """
+    cols = list(feature_cols)
+    stack = ", ".join(f"'{c}', cast({c} as double)" for c in cols)
+    melted = df.select(
+        F.col(split_col).alias("__s"),
+        F.expr(f"stack({len(cols)}, {stack}) as (feature, __x)"),
+    ).filter(F.col("__s").isin([a, b]) & F.col("__x").isNotNull())
+    xd = F.col("__x").cast("decimal(18,6)")
+    agg = melted.groupBy("feature", "__s").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+    )
+    aa = agg.filter(F.col("__s") == a).select(
+        "feature",
+        F.col("n").alias("n_a"),
+        F.col("sx").alias("sxa"),
+        F.col("sxx").alias("sxxa"),
+    )
+    bb = agg.filter(F.col("__s") == b).select(
+        "feature",
+        F.col("n").alias("n_b"),
+        F.col("sx").alias("sxb"),
+        F.col("sxx").alias("sxxb"),
+    )
+    j = aa.join(bb, "feature")
+    mean_a = F.col("sxa") / F.col("n_a")
+    mean_b = F.col("sxb") / F.col("n_b")
+    var_a = (F.col("sxxa") - F.col("sxa") * F.col("sxa") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("sxxb") - F.col("sxb") * F.col("sxb") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    pooled = (var_a + var_b) / 2
+    return j.select(
+        "feature",
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.when(
+            (F.col("n_a") > 1) & (F.col("n_b") > 1) & (pooled > 0),
+            F.round((mean_a - mean_b) / F.sqrt(pooled), 6),
+        ).alias("smd"),
+    )

@@ -287,3 +287,66 @@ def triangle_count(
         "node",
         F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_triangles"),
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree assortativity of an undirected graph — the Pearson
+    correlation of endpoint degrees over all directed edge stubs
+    (each undirected edge counted once per orientation, the standard
+    Newman definition): positive = hubs attach to hubs (social
+    graphs), negative = hub-and-spoke (the web, interaction graphs).
+    The one-number summary of whether :func:`triangle_count`'s
+    degree-ordering and the LSH star caps will have skew to fight.
+
+    Shape: canonicalize + dedup edges, one degree aggregation, two
+    broadcast-joinable degree lookups, symmetrize, then a single
+    partial agg of INTEGER sums (degrees are integers, so every
+    Pearson term is an exact integer — the Welch/chi2 exactness
+    family) and a closed form with one sqrt and one division on a
+    1-row frame. Self-loops are dropped.
+
+    Output: one row ``(n_stubs, assortativity)``; NULL when degrees
+    are constant (zero variance — e.g. a perfect matching or cycle).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("dx"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("dy"))
+    pairs = e.join(da, "a").join(db, "b").select("dx", "dy")
+    stubs = pairs.unionAll(
+        pairs.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
+    )
+    s = stubs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("n").alias("n_stubs"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(num / F.sqrt(vx.cast("double") * vy.cast("double")), 6),
+        ).alias("assortativity"),
+    )

@@ -432,3 +432,89 @@ def phrase_search(
         F.count(F.lit(1)).alias("n_matches"),
         F.min("__anchor").alias("first_pos"),
     )
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    item_col: str = "item",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """NDCG@k per query — the ranking-quality readout for retrieval /
+    recommendation eval: ``DCG = sum_{i<=k} rel_i / log2(i+1)``
+    against the ideal ordering's ``IDCG``, so :func:`rrf_fuse` output
+    (or any ranked list) can be scored against ground-truth relevance.
+
+    ``ranked`` carries (query, item, 1-based rank); ``truth`` carries
+    (query, item, integer relevance). Items missing from truth gain 0;
+    truth items missing from the ranking only lower NDCG through IDCG.
+    Queries must appear in both frames (inner join; a query with no
+    truth rows has no defined ideal).
+
+    Determinism: log2 is computed as ``ln(r+1)/ln(2)`` IN BOTH ENGINES
+    (the behavior_entropy ln-parity device), each term does one
+    division, and both per-query sums run as sorted folds over
+    rank-ordered (rel-ordered for IDCG) arrays of <= k elements — the
+    ``F.aggregate``/``list_reduce`` bit-parity twin. Per-query state
+    is <= k structs: bounded, never a giant collect.
+
+    Output: ``(query, dcg, idcg, ndcg)``, 6dp; NULL ndcg when
+    IDCG = 0 (all-zero relevance).
+    """
+    ln2 = F.log(F.lit(2.0))
+    r = ranked.filter(F.col(rank_col) <= k).alias("r")
+    t = truth.alias("t")
+    gains = r.join(
+        t,
+        (F.col(f"r.{query_col}") == F.col(f"t.{query_col}"))
+        & (F.col(f"r.{item_col}") == F.col(f"t.{item_col}")),
+        "left",
+    ).select(
+        F.col(f"r.{query_col}").alias("query"),
+        F.col(f"r.{rank_col}").alias("pos"),
+        (
+            F.coalesce(F.col(f"t.{rel_col}"), F.lit(0)).cast("double")
+            / (F.log(F.col(f"r.{rank_col}") + F.lit(1.0)) / ln2)
+        ).alias("term"),
+    )
+    dcg = gains.groupBy("query").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("dcg")
+    )
+    wi = Window.partitionBy(query_col).orderBy(
+        F.col(rel_col).desc(), F.col(item_col).asc()
+    )
+    ideal = (
+        truth.withColumn("pos", F.row_number().over(wi))
+        .filter(F.col("pos") <= k)
+        .select(
+            F.col(query_col).alias("query"),
+            "pos",
+            (
+                F.col(rel_col).cast("double")
+                / (F.log(F.col("pos") + F.lit(1.0)) / ln2)
+            ).alias("term"),
+        )
+        .groupBy("query")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["term"],
+            ).alias("idcg")
+        )
+    )
+    return dcg.join(ideal, "query").select(
+        "query",
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.when(
+            F.col("idcg") > 0, F.round(F.col("dcg") / F.col("idcg"), 6)
+        ).alias("ndcg"),
+    )

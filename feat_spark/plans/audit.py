@@ -229,3 +229,81 @@ def fk_coverage(
             F.round(1.0 - F.col("n_orphans") / F.col("__nn"), 6),
         ).alias("coverage"),
     )
+
+
+def expectation_report(
+    df: DataFrame,
+    unique: "list[list[str]] | None" = None,
+    not_null: "list[str] | None" = None,
+    in_set: "dict[str, list] | None" = None,
+    between: "dict[str, tuple] | None" = None,
+) -> DataFrame:
+    """Declarative data-contract checks — the dbt-test / Great
+    Expectations surface: uniqueness of key tuples, non-null columns,
+    accepted value sets, and numeric ranges, reported as ONE
+    violations table instead of a pass/fail exception, so pipelines
+    can gate on it (`filter(~passed)`) and monitors can trend it.
+
+    Cost model: every row-level check (not_null / in_set / between)
+    folds into a SINGLE full-scan aggregation — adding a check adds a
+    conditional-sum expression, not a pass. Uniqueness checks ride the
+    same aggregate as exact ``countDistinct`` expressions (Spark
+    expands them map-side; one shuffle total for the whole report).
+    NULL semantics are literal and per-check: NULL is not in any set
+    and not between any bounds, so it violates in_set/between; rows
+    with a NULL key column count against unique (count_distinct skips
+    them, so they can never pair-up into a distinct key).
+
+    Output: ``(check, n_violations, n_rows, passed)``, one row per
+    declared expectation, check names stable
+    (``unique:a,b`` / ``not_null:c`` / ``in_set:c`` / ``between:c``).
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    names: list[str] = []
+
+    def viol(name: str, cond) -> None:
+        names.append(name)
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"__v{len(names)}")
+        )
+
+    for col in not_null or []:
+        viol(f"not_null:{col}", F.col(col).isNull())
+    for col, vals in (in_set or {}).items():
+        viol(f"in_set:{col}", ~F.col(col).isin(list(vals))
+             | F.col(col).isNull())
+    for col, (lo, hi) in (between or {}).items():
+        viol(
+            f"between:{col}",
+            ~F.col(col).between(F.lit(lo), F.lit(hi)) | F.col(col).isNull(),
+        )
+    uniq_names: list[str] = []
+    for cols in unique or []:
+        uniq_names.append("unique:" + ",".join(cols))
+        aggs.append(
+            F.count_distinct(*[F.col(c) for c in cols]).alias(
+                f"__u{len(uniq_names)}"
+            )
+        )
+    row = df.agg(*aggs)
+    outs = []
+    for i, name in enumerate(names, start=1):
+        outs.append(
+            row.select(
+                F.lit(name).alias("check"),
+                F.col(f"__v{i}").alias("n_violations"),
+                F.col("__n").alias("n_rows"),
+            )
+        )
+    for i, name in enumerate(uniq_names, start=1):
+        outs.append(
+            row.select(
+                F.lit(name).alias("check"),
+                (F.col("__n") - F.col(f"__u{i}")).alias("n_violations"),
+                F.col("__n").alias("n_rows"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.withColumn("passed", F.col("n_violations") == 0)

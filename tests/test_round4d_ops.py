@@ -268,3 +268,138 @@ def test_basket_rules_support_conf_lift(spark):
     assert (r["n_a"], r["n_b"]) == (3, 2)
     assert r["conf_ab"] == round(2 / 3, 6) and r["conf_ba"] == 1.0
     assert r["lift"] == 1.0  # 2*3/(3*2)
+
+
+# --------------------------------------------------------- expectation_report
+
+
+def test_expectation_report_all_kinds(spark):
+    from feat_spark.plans.audit import expectation_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 5.0),
+            (2, "b", 50.0),
+            (2, None, -1.0),  # dup id, null cat, below range
+            (3, "z", None),   # cat outside set, null value
+        ],
+        "id long, cat string, v double",
+    )
+    out = {
+        r["check"]: r
+        for r in _rows(
+            expectation_report(
+                df,
+                unique=[["id"]],
+                not_null=["cat"],
+                in_set={"cat": ["a", "b"]},
+                between={"v": (0.0, 10.0)},
+            )
+        )
+    }
+    assert out["unique:id"]["n_violations"] == 1
+    assert out["not_null:cat"]["n_violations"] == 1
+    # NULL cat and 'z' both violate in_set
+    assert out["in_set:cat"]["n_violations"] == 2
+    # 50.0 out of range, -1.0 out of range, NULL violates
+    assert out["between:v"]["n_violations"] == 3
+    assert all(r["n_rows"] == 4 for r in out.values())
+    assert not any(r["passed"] for r in out.values())
+
+
+def test_expectation_report_clean_passes(spark):
+    from feat_spark.plans.audit import expectation_report
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, cat string")
+    out = _rows(expectation_report(df, unique=[["id"]], not_null=["cat"]))
+    assert all(r["passed"] for r in out)
+
+
+# -------------------------------------------------------------- split_balance
+
+
+def test_split_balance_smd(spark):
+    from feat_spark.operators.experiment import split_balance
+
+    rows = [("train", float(v), 1.0) for v in (1, 2, 3, 4)] + [
+        ("test", float(v), 1.0) for v in (3, 4, 5, 6)
+    ]
+    df = spark.createDataFrame(rows, "split string, x double, c double")
+    out = {
+        r["feature"]: r
+        for r in _rows(split_balance(df, "split", ["x", "c"]))
+    }
+    # means 2.5 vs 4.5, vars both 5/3 -> smd = -2/sqrt(5/3)
+    assert out["x"]["mean_a"] == 2.5 and out["x"]["mean_b"] == 4.5
+    assert out["x"]["smd"] == round(-2 / (5 / 3) ** 0.5, 6)
+    # constant feature: zero pooled variance -> NULL
+    assert out["c"]["smd"] is None
+
+
+# ------------------------------------------------------- degree_assortativity
+
+
+def test_assortativity_star_is_negative(spark):
+    from feat_spark.operators.graph import degree_assortativity
+
+    # star K_{1,3}: hub degree 3, leaves degree 1 -> r = -1
+    df = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    out = _rows(degree_assortativity(df))
+    assert out[0]["n_stubs"] == 6
+    assert out[0]["assortativity"] == -1.0
+
+
+def test_assortativity_cycle_is_null(spark):
+    from feat_spark.operators.graph import degree_assortativity
+
+    # 3-cycle: all degrees 2 -> zero variance -> NULL
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 1)], "src long, dst long"
+    )  # includes a reverse duplicate to exercise canonicalization
+    out = _rows(degree_assortativity(df))
+    assert out[0]["n_stubs"] == 6
+    assert out[0]["assortativity"] is None
+
+
+# ------------------------------------------------------------------ ndcg_at_k
+
+
+def test_ndcg_perfect_and_inverted(spark):
+    import math
+    from feat_spark.operators.keywords import ndcg_at_k
+
+    ranked = spark.createDataFrame(
+        [("q", "a", 1), ("q", "b", 2), ("p", "b", 1), ("p", "a", 2)],
+        "query_id string, item string, rank long",
+    )
+    truth = spark.createDataFrame(
+        [("q", "a", 3), ("q", "b", 1), ("p", "a", 3), ("p", "b", 1)],
+        "query_id string, item string, rel long",
+    )
+    out = {r["query"]: r for r in _rows(ndcg_at_k(ranked, truth, k=3))}
+    assert out["q"]["ndcg"] == 1.0  # ideal order
+    ideal = 3 / math.log2(2) + 1 / math.log2(3)
+    worst = 1 / math.log2(2) + 3 / math.log2(3)
+    assert out["p"]["ndcg"] == round(
+        round(worst, 10) / ideal, 6
+    ) or abs(out["p"]["ndcg"] - worst / ideal) < 1e-6
+    assert out["q"]["idcg"] == round(ideal, 6)
+
+
+def test_ndcg_unjudged_items_gain_zero(spark):
+    from feat_spark.operators.keywords import ndcg_at_k
+
+    ranked = spark.createDataFrame(
+        [("q", "x", 1), ("q", "a", 2)],
+        "query_id string, item string, rank long",
+    )
+    truth = spark.createDataFrame(
+        [("q", "a", 1)], "query_id string, item string, rel long"
+    )
+    out = _rows(ndcg_at_k(ranked, truth, k=2))
+    import math
+    # dcg = 0/log2(2) + 1/log2(3); idcg = 1/log2(2) = 1
+    assert abs(out[0]["dcg"] - 1 / math.log2(3)) < 1e-6
+    assert out[0]["idcg"] == 1.0
