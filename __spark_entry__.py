@@ -3415,6 +3415,67 @@ def _q_ndcg(spark, sf_dir):
     return ndcg_at_k(ranked, truth, k=3)
 
 
+def _q_json_extract(spark, sf_dir):
+    """Typed JSON extraction (extract.parse_json_column) from the
+    events props column: JVM-side from_json with the corrupt-record
+    channel (missing key = legit NULL, unparseable text = flagged).
+    Oracle: DuckDB json_extract + json_valid."""
+    from feat_spark.operators.extract import parse_json_column
+
+    out = parse_json_column(_events(spark, sf_dir), "props", "k long")
+    return out.select("event_id", "k", "is_corrupt")
+
+
+def _q_split_leakage(spark, sf_dir):
+    """Cross-split contamination audit (audit.split_leakage): corpus +
+    planted upper-cased copies at doc_id+200001 (the +1 shifts the
+    id-mod-10 split digit, so copies of docs ending in 7 or 9 land in
+    the OTHER split — real leaks; the rest dup within one split and
+    must NOT report). Canonical-text md5 fingerprints; only
+    fingerprints spanning >1 split survive. Oracle replays plant,
+    canonicalization, and the distinct-split filter."""
+    from feat_spark.plans.audit import split_leakage
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 200001).alias("doc_id"),
+            F.upper("text").alias("text"),
+        )
+    ).withColumn(
+        "split",
+        F.when(F.col("doc_id") % 10 < 8, "train").otherwise("test"),
+    )
+    return split_leakage(corpus, "split")
+
+
+def _q_business_days(spark, sf_dir):
+    """Weekday interval counts (encoding.business_days_between) over
+    each user's [first, last) active epoch-day span — the branch-free
+    closed form W(m)=5*(m div 7)+least(m mod 7,5) at m=day+3, all
+    integer. Oracle replays the formula."""
+    from feat_spark.operators.encoding import business_days_between
+
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    span = (
+        _events(spark, sf_dir)
+        .select("user_id", day.alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("s"), F.max("day").alias("e"))
+    )
+    return business_days_between(span, "s", "e")
+
+
+def _q_rank_normalize(spark, sf_dir):
+    """Empirical-CDF feature scaling (encoding.rank_normalize): value
+    -> cume_dist within event_type — a ratio of counts, one division
+    per row, tie-stable by definition. Oracle: cume_dist() verbatim."""
+    from feat_spark.operators.encoding import rank_normalize
+
+    out = rank_normalize(_events(spark, sf_dir), "event_type", "value")
+    return out.select("event_id", "event_type", "value", "pct")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -3445,13 +3506,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-87, after the window froze):
-    # 37 brand-new gates (scd2_build..inverted_index, then
+    # LATE-ROUND-4 ADDITIONS (positions 51-91, after the window froze):
+    # 41 brand-new gates (scd2_build..inverted_index, then
     # autocorr..ndcg) built AFTER the r4 window was
     # fixed; all dtype-strict-selfcheck green at sf0.01 in their build
     # session, never driver-checked. ROUND-5 WINDOW PLAN, in order:
-    # (1) the 37 late-r4 gates + semantic_dedup + knn_cosine_ivf
-    # (positions 51-89 — pure registry slide, they are already first
+    # (1) the 41 late-r4 gates + semantic_dedup + knn_cosine_ivf
+    # (positions 51-93 — pure registry slide, they are already first
     # after the cut); (2) the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
     # r5); (3) the r2-green trailers (stable_order..feature_extract)
@@ -3548,6 +3609,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": _q_compaction_plan,
         "basket_rules": _q_basket_rules,
         "expectations": _q_expectations,
+        "json_extract": _q_json_extract,
+        "split_leakage": _q_split_leakage,
+        "business_days": _q_business_days,
+        "rank_normalize": _q_rank_normalize,
         "split_balance": _q_split_balance,
         "assortativity": _q_assortativity,
         "ndcg": _q_ndcg,
@@ -6673,4 +6738,50 @@ def oracle_sql() -> dict[str, str]:
           select d.query, round(dcg, 6) as dcg, round(idcg, 6) as idcg,
                  case when idcg > 0 then round(dcg / idcg, 6) end as ndcg
           from d join i using (query)""",
+        "json_extract": """
+          select event_id,
+                 cast(props ->> '$.k' as bigint) as k,
+                 props is not null and not json_valid(props)
+                   as is_corrupt
+          from events""",
+        "split_leakage": """
+          with corpus as (
+            select doc_id, text from documents
+            union all
+            select doc_id + 200001, upper(text) from documents),
+          s as (
+            select doc_id,
+                   case when doc_id % 10 < 8 then 'train' else 'test'
+                   end as split,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))
+                     as content_hash
+            from corpus),
+          a as (
+            select content_hash, count(*) as n_docs,
+                   count(distinct split) as n_splits,
+                   string_agg(distinct split, ',' order by split)
+                     as splits
+            from s group by 1)
+          select * from a where n_splits > 1""",
+        "business_days": """
+          with d as (
+            select user_id, epoch_us(ts) // 86400000000 as day
+            from events),
+          sp as (
+            select user_id, min(day) as s, max(day) as e
+            from d group by 1),
+          w as (
+            select user_id, s, e, s + 3 as ms, e + 3 as me from sp)
+          select user_id, s, e,
+                 case when e >= s then
+                   (5 * ((me - me % 7) // 7) + least(me % 7, 5))
+                   - (5 * ((ms - ms % 7) // 7) + least(ms % 7, 5))
+                 end as n_business_days
+          from w""",
+        "rank_normalize": """
+          select event_id, event_type, value,
+                 round(cume_dist() over (partition by event_type
+                                         order by value), 6) as pct
+          from events""",
     }

@@ -688,3 +688,68 @@ def rfm_segments(
             + score("monetary_cents", qs["qm"])
         ).alias("rfm"),
     )
+
+
+def business_days_between(
+    df: DataFrame,
+    start_day_col: str,
+    end_day_col: str,
+    out_col: str = "n_business_days",
+) -> DataFrame:
+    """Weekday count in the half-open epoch-day interval
+    ``[start, end)`` — SLA clocks, settlement lags, delivery windows:
+    the calendar feature wall-clock day differences get wrong 2/7ths
+    of the time. Closed form, zero joins, no generated calendar
+    table: with ``m = day + 3`` (so ``m % 7 == 0`` is a Monday — the
+    engine-wide dow device), the weekdays-before-``m`` counter is
+    ``W(m) = 5 * (m div 7) + least(m % 7, 5)`` and the answer is
+    ``W(end+3) - W(start+3)``. All-integer, branch-free, exact in any
+    engine; rows with ``end < start`` return NULL (an inverted
+    interval is a data bug, not -n business days).
+
+    Columns are epoch days (``unix_micros(ts) div 86400000000`` —
+    produce them with ``calendar_features`` or inline).
+    """
+    def W(col: str):
+        m = F.col(col) + F.lit(3)
+        return F.lit(5) * (m - (m % 7)) / 7 + F.least(m % 7, F.lit(5))
+
+    n = (W(end_day_col) - W(start_day_col)).cast("long")
+    return df.withColumn(
+        out_col,
+        F.when(F.col(end_day_col) >= F.col(start_day_col), n),
+    )
+
+
+def rank_normalize(
+    df: DataFrame,
+    group_cols: Sequence[str] | str,
+    value_col: str,
+    out_col: str = "pct",
+) -> DataFrame:
+    """Rank-based feature scaling — each value mapped to its group's
+    empirical CDF, ``cume_dist`` = (# rows with value <= x) / n: the
+    distribution-free normalization ("rank-gauss" minus the gauss)
+    that makes fat-tailed features comparable across groups and is
+    immune to outliers by construction (the largest value is 1.0 no
+    matter how large).
+
+    Exactness: cume_dist is a RATIO OF COUNTS — one integer division
+    per row, identical in every engine, no percentile interpolation
+    involved; ties share one value (both engines define cume_dist on
+    the value, not the row). One window per group partition — groups
+    are independent, no global sort. NULL values get NULL (they sort
+    first in a window; a NULL's CDF is meaningless) — filtered out of
+    the ranking entirely and re-attached by the caller if needed:
+    this operator requires ``value_col`` non-null input rows and
+    passes NULL-valued rows through untouched with NULL ``out_col``.
+    """
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    w = Window.partitionBy(*keys).orderBy(F.col(value_col).asc())
+    ranked = df.filter(F.col(value_col).isNotNull()).withColumn(
+        out_col, F.round(F.cume_dist().over(w), 6)
+    )
+    nulls = df.filter(F.col(value_col).isNull()).withColumn(
+        out_col, F.lit(None).cast("double")
+    )
+    return ranked.unionByName(nulls)

@@ -307,3 +307,47 @@ def expectation_report(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def split_leakage(
+    df: DataFrame,
+    split_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-split contamination audit — content that appears in MORE
+    THAN ONE split (train text leaking into test through exact or
+    near-exact duplicates), the eval-integrity failure that inflates
+    benchmark numbers silently. :mod:`operators.decontam` checks a
+    corpus against an EXTERNAL benchmark; this checks a corpus against
+    its own split assignment — run it after
+    :func:`~feat_spark.operators.sampling.split_assign` and before
+    anyone reports a holdout metric.
+
+    Fingerprint = md5 of the canonical text form
+    (:func:`~feat_spark.functions.text.canonical_text`), so case /
+    punctuation / whitespace variants leak-match just like they
+    dup-match in ``dedup_exact_canonical``. One hash projection + one
+    fingerprint-keyed aggregation; only leaking fingerprints (distinct
+    splits > 1) survive, so the report is duplicate-sized, not
+    corpus-sized.
+
+    Output: ``(content_hash, n_docs, n_splits, splits)`` — ``splits``
+    is the sorted comma-joined distinct split list (stable across
+    engines and partitionings).
+    """
+    from feat_spark.functions.text import canonical_text
+
+    h = df.select(
+        F.col(id_col),
+        F.col(split_col).alias("__s"),
+        F.md5(canonical_text(text_col)).alias("content_hash"),
+    )
+    agg = h.groupBy("content_hash").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("__s").alias("n_splits"),
+        F.array_join(F.array_sort(F.collect_set("__s")), ",").alias(
+            "splits"
+        ),
+    )
+    return agg.filter(F.col("n_splits") > 1)

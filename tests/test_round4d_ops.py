@@ -403,3 +403,104 @@ def test_ndcg_unjudged_items_gain_zero(spark):
     # dcg = 0/log2(2) + 1/log2(3); idcg = 1/log2(2) = 1
     assert abs(out[0]["dcg"] - 1 / math.log2(3)) < 1e-6
     assert out[0]["idcg"] == 1.0
+
+
+# ----------------------------------------------------------- parse_json_column
+
+
+def test_parse_json_corrupt_vs_missing(spark):
+    from feat_spark.operators.extract import parse_json_column
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 7, "s": "x"}'),
+            (2, '{"s": "y"}'),      # valid, k missing -> NULL k
+            (3, "{not json"),        # corrupt
+            (4, None),               # no payload at all: NOT corrupt
+        ],
+        "id long, props string",
+    )
+    out = {
+        r["id"]: r
+        for r in _rows(
+            parse_json_column(df, "props", "k long, s string")
+        )
+    }
+    assert (out[1]["k"], out[1]["s"], out[1]["is_corrupt"]) == (7, "x", False)
+    assert out[2]["k"] is None and out[2]["is_corrupt"] is False
+    assert out[3]["is_corrupt"] is True and out[3]["k"] is None
+    assert out[4]["is_corrupt"] is False
+
+
+# ---------------------------------------------------------------- split_leakage
+
+
+def test_split_leakage_canonical_match(spark):
+    from feat_spark.plans.audit import split_leakage
+
+    df = spark.createDataFrame(
+        [
+            (1, "train", "Hello,  World!"),
+            (2, "test", "hello world"),     # canonical dup across splits
+            (3, "train", "hello world"),    # same content within train too
+            (4, "test", "unique text"),
+            (5, "train", "train only dup"),
+            (6, "train", "train only dup"),  # dup but SAME split: no leak
+        ],
+        "doc_id long, split string, text string",
+    )
+    out = _rows(split_leakage(df, "split"))
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 3 and out[0]["n_splits"] == 2
+    assert out[0]["splits"] == "test,train"
+
+
+# --------------------------------------------------------- business_days_between
+
+
+def test_business_days_closed_form(spark):
+    from feat_spark.operators.encoding import business_days_between
+    import datetime
+
+    def eday(y, m, d):
+        return (datetime.date(y, m, d) - datetime.date(1970, 1, 1)).days
+
+    rows = [
+        # Mon 2024-01-01 .. Mon 2024-01-08 [s,e): 5 weekdays
+        (1, eday(2024, 1, 1), eday(2024, 1, 8)),
+        # Sat .. Mon: zero weekdays in [Sat, Mon)
+        (2, eday(2024, 1, 6), eday(2024, 1, 8)),
+        # Fri .. Sat: just Friday
+        (3, eday(2024, 1, 5), eday(2024, 1, 6)),
+        # empty interval
+        (4, eday(2024, 1, 3), eday(2024, 1, 3)),
+        # inverted -> NULL
+        (5, eday(2024, 1, 8), eday(2024, 1, 1)),
+        # two full weeks + Mon,Tue
+        (6, eday(2024, 1, 1), eday(2024, 1, 17)),
+    ]
+    df = spark.createDataFrame(rows, "id long, s long, e long")
+    out = {r["id"]: r["n_business_days"]
+           for r in _rows(business_days_between(df, "s", "e"))}
+    assert out == {1: 5, 2: 0, 3: 1, 4: 0, 5: None, 6: 12}
+
+
+# -------------------------------------------------------------- rank_normalize
+
+
+def test_rank_normalize_cdf_and_ties(spark):
+    from feat_spark.operators.encoding import rank_normalize
+
+    df = spark.createDataFrame(
+        [("g", 1, 10.0), ("g", 2, 20.0), ("g", 3, 20.0), ("g", 4, 40.0),
+         ("g", 5, None), ("h", 6, 7.0)],
+        "grp string, id long, v double",
+    )
+    out = {r["id"]: r["pct"] for r in _rows(rank_normalize(df, "grp", "v"))}
+    assert out[1] == 0.25
+    # ties share the value-level CDF
+    assert out[2] == 0.75 and out[3] == 0.75
+    assert out[4] == 1.0
+    assert out[5] is None
+    # singleton group: its only value is the max
+    assert out[6] == 1.0
