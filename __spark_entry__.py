@@ -3476,6 +3476,74 @@ def _q_rank_normalize(spark, sf_dir):
     return out.select("event_id", "event_type", "value", "pct")
 
 
+def _q_stream_novelty(spark, sf_dir):
+    """Streaming gate #7: stream-static novelty join
+    (pipeline.stream_novelty_filter). Documents arrive as a 2-micro-
+    batch file stream carrying canonical-text md5 fingerprints; the
+    static index holds the fingerprints of doc_id < 250. STATELESS
+    left-outer + null-marker filter (the stream-static form of
+    anti-join); the batch oracle is the plain NOT IN. Intra-stream
+    dups both pass by contract — novelty is vs the INDEX."""
+    import uuid
+
+    from feat_spark.functions.text import canonical_text
+    from feat_spark.streaming.pipeline import (
+        run_to_memory,
+        stream_novelty_filter,
+    )
+
+    d0 = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    index = d0.filter(F.col("doc_id") < 250).select(
+        F.md5(canonical_text("text")).alias("content_hash")
+    )
+    pdf = d0.toPandas().sort_values("doc_id").reset_index(drop=True)
+    cut = len(pdf) // 2
+    d = _stream_scratch("novstream")
+    pdf.iloc[:cut].to_parquet(os.path.join(d, "part1.parquet"), index=False)
+    pdf.iloc[cut:].to_parquet(os.path.join(d, "part2.parquet"), index=False)
+    _space_mtimes(d, ["part1.parquet", "part2.parquet"])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .select("doc_id", F.md5(canonical_text("text")).alias("content_hash"))
+    )
+    out = stream_novelty_filter(stream, index, ["content_hash"])
+    name = "stream_nov_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name)
+    return spark.table(name).select("doc_id", "content_hash")
+
+
+def _q_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curves (funnel.cohort_ltv): users grouped by first
+    epoch-week, purchase revenue in exact integer cents, integer
+    cumulative window, ONE division per output row. Oracle replays
+    grain reduction, cohort sizing, and the running sum."""
+    from feat_spark.operators.funnel import cohort_ltv
+
+    return cohort_ltv(_events(spark, sf_dir))
+
+
+def _q_wow_change(spark, sf_dir):
+    """Week-over-week change (windows.period_over_period): per-user
+    daily counts vs the SAME WEEKDAY 7 days earlier via a (key, day-7)
+    equi-join — a lag over observed days would silently compare
+    against whatever day came before. Oracle replays the self-join."""
+    from feat_spark.operators.windows import period_over_period
+
+    return period_over_period(_events(spark, sf_dir), "user_id", period_days=7)
+
+
+def _q_cluster_medoids(spark, sf_dir):
+    """Per-label medoids (similarity.cluster_medoids): the real member
+    closest to its group_centroids mean — (grp,pos) equi-join, pos-
+    ordered sorted-fold squared distance, argmin by (d2, id). Oracle
+    replays the exact mean, the fold, and the argmin window."""
+    from feat_spark.operators.similarity import cluster_medoids
+
+    return cluster_medoids(_t(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -3506,13 +3574,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-91, after the window froze):
-    # 41 brand-new gates (scd2_build..inverted_index, then
-    # autocorr..ndcg) built AFTER the r4 window was
+    # LATE-ROUND-4 ADDITIONS (positions 51-95, after the window froze):
+    # 45 brand-new gates (scd2_build..inverted_index, then
+    # autocorr..cluster_medoids) built AFTER the r4 window was
     # fixed; all dtype-strict-selfcheck green at sf0.01 in their build
     # session, never driver-checked. ROUND-5 WINDOW PLAN, in order:
-    # (1) the 41 late-r4 gates + semantic_dedup + knn_cosine_ivf
-    # (positions 51-93 — pure registry slide, they are already first
+    # (1) the 45 late-r4 gates + semantic_dedup + knn_cosine_ivf
+    # (positions 51-97 — pure registry slide, they are already first
     # after the cut); (2) the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
     # r5); (3) the r2-green trailers (stable_order..feature_extract)
@@ -3613,6 +3681,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": _q_split_leakage,
         "business_days": _q_business_days,
         "rank_normalize": _q_rank_normalize,
+        "stream_novelty": _q_stream_novelty,
+        "cohort_ltv": _q_cohort_ltv,
+        "wow_change": _q_wow_change,
+        "cluster_medoids": _q_cluster_medoids,
         "split_balance": _q_split_balance,
         "assortativity": _q_assortativity,
         "ndcg": _q_ndcg,
@@ -6784,4 +6856,87 @@ def oracle_sql() -> dict[str, str]:
                  round(cume_dist() over (partition by event_type
                                          order by value), 6) as pct
           from events""",
+        "stream_novelty": """
+          with h as (
+            select doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) as content_hash
+            from documents)
+          select doc_id, content_hash from h
+          where content_hash not in
+            (select content_hash from h where doc_id < 250)""",
+        "cohort_ltv": """
+          with b as (
+            select user_id as u,
+                   epoch_us(ts) // 604800000000 as w,
+                   case when event_type = 'purchase'
+                        then cast(cast(value as decimal(18,2)) * 100
+                                  as bigint)
+                        else 0 end as c
+            from events),
+          f as (select u, min(w) as cw from b group by 1),
+          sz as (select cw, count(*) as cohort_size from f group by 1),
+          j as (select b.u, f.cw as cohort_week, b.w - f.cw as age_weeks,
+                       b.c
+                from b join f using (u)),
+          a as (select cohort_week, age_weeks,
+                       count(distinct u) as n_active,
+                       cast(sum(c) as bigint) as revenue_cents
+                from j group by 1, 2),
+          cu as (select *,
+                        cast(sum(revenue_cents) over (
+                          partition by cohort_week order by age_weeks
+                          rows between unbounded preceding
+                          and current row) as bigint)
+                          as cum_revenue_cents
+                 from a)
+          select cohort_week, age_weeks, n_active, revenue_cents,
+                 cum_revenue_cents, cohort_size,
+                 round(cum_revenue_cents / (cohort_size * 100), 6)
+                   as ltv
+          from cu join sz on cu.cohort_week = sz.cw""",
+        "wow_change": """
+          with d as (
+            select user_id, epoch_us(ts) // 86400000000 as day
+            from events),
+          c as (select user_id, day, count(*) as n from d group by 1, 2),
+          p as (select user_id, day + 7 as day, n as n_prev from c)
+          select c.user_id, c.day, c.n, p.n_prev,
+                 round((c.n - p.n_prev) / p.n_prev, 6) as pct_change
+          from c left join p using (user_id, day)""",
+        "cluster_medoids": """
+          with cent as (
+            select label as grp, s.pos as pos,
+                   round(cast(sum(s.x::DOUBLE::DECIMAL(27,12)) as double)
+                         / count(*), 6) as mean_val,
+                   count(*) as n_members
+            from (select label,
+                         unnest(list_transform(embedding,
+                                (x, i) -> {'pos': i - 1, 'x': x})) as s
+                  from embeddings)
+            group by label, s.pos),
+          ex as (
+            select vec_id as id, label as grp, s.pos as pos,
+                   s.x::DOUBLE as x
+            from (select vec_id, label,
+                         unnest(list_transform(embedding,
+                                (x, i) -> {'pos': i - 1, 'x': x})) as s
+                  from embeddings)),
+          t as (
+            select ex.id, ex.grp, ex.pos,
+                   (ex.x - cent.mean_val) * (ex.x - cent.mean_val)
+                     as term,
+                   cent.n_members
+            from ex join cent using (grp, pos)),
+          d2 as (
+            select id, grp,
+                   list_reduce(list_prepend(0.0,
+                     list(term order by pos)), (a, b) -> a + b) as d2,
+                   max(n_members) as n_members
+            from t group by 1, 2),
+          r as (
+            select *, row_number() over (partition by grp
+                       order by d2 asc, id asc) as rn
+            from d2)
+          select grp as label, id as medoid_id, round(d2, 6) as d2,
+                 cast(n_members as bigint) as n_members
+          from r where rn = 1""",
     }

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -188,4 +188,82 @@ def session_ngrams(
         .agg(F.count(F.lit(1)).alias("count"))
         .orderBy(F.col("count").desc(), F.col("ngram"))
         .limit(k)
+    )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    revenue_when: str = "event_type = 'purchase'",
+    value_col: str = "value",
+) -> DataFrame:
+    """Cohort lifetime-value curves — the revenue companion to
+    :func:`cohort_retention`: users grouped by first-activity week,
+    revenue accumulated by cohort age, read out as cumulative LTV per
+    cohort member ("week-3 LTV of the March-4 cohort"). THE payback /
+    unit-economics readout.
+
+    Exactness: revenue goes to integer cents (scale-2 decimal * 100),
+    cohort/age weeks are integer epoch-week arithmetic, the cumulative
+    sum is an integer window, and LTV does ONE division per output
+    row. Cohort week = the user's min event week (one grain-reduction
+    agg); cohort size is a distinct-user count at the same grain.
+
+    Grain contract: ages appear only for weeks where the cohort had
+    ANY event (zero-revenue active weeks appear with 0; fully silent
+    weeks don't — the running sum still carries past revenue forward
+    at the next observed age, so the curve is correct at every emitted
+    point; spine-fill first if a dense matrix is needed).
+
+    Output: ``(cohort_week, age_weeks, n_active, revenue_cents,
+    cum_revenue_cents, cohort_size, ltv)``, ltv 6dp.
+    """
+    week = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div 604800000000"
+    )
+    cents = (
+        F.when(
+            F.expr(revenue_when),
+            (F.col(value_col).cast("decimal(18,2)") * 100).cast("long"),
+        ).otherwise(F.lit(0))
+    )
+    base = df.select(
+        F.col(key_col).alias("__u"), week.alias("__w"), cents.alias("__c")
+    )
+    first = base.groupBy("__u").agg(F.min("__w").alias("__cw"))
+    sized = first.groupBy("__cw").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    j = base.join(first, "__u").select(
+        "__u",
+        F.col("__cw").alias("cohort_week"),
+        (F.col("__w") - F.col("__cw")).alias("age_weeks"),
+        "__c",
+    )
+    agg = j.groupBy("cohort_week", "age_weeks").agg(
+        F.count_distinct("__u").alias("n_active"),
+        F.sum("__c").alias("revenue_cents"),
+    )
+    w = Window.partitionBy("cohort_week").orderBy("age_weeks").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        agg.withColumn("cum_revenue_cents", F.sum("revenue_cents").over(w))
+        .join(
+            sized.select(F.col("__cw").alias("cohort_week"), "cohort_size"),
+            "cohort_week",
+        )
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "n_active",
+            "revenue_cents",
+            "cum_revenue_cents",
+            "cohort_size",
+            F.round(
+                F.col("cum_revenue_cents") / (F.col("cohort_size") * 100),
+                6,
+            ).alias("ltv"),
+        )
     )

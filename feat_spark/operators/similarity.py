@@ -745,3 +745,65 @@ def semantic_decontaminate(
         )
     )
     return best.filter(F.col("cos_sim") > threshold)
+
+
+def cluster_medoids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-group medoid — the real member closest (squared L2) to its
+    group's mean embedding: the exemplar a curation report shows for
+    each semantic cluster, and the prototype a few-shot pipeline pulls
+    per class (a centroid is a synthetic average; the medoid is an
+    actual row you can display and ship).
+
+    Pipeline: :func:`group_centroids`' exact long-form means (decimal
+    sums, 6dp), one equi-join back to the posexploded vectors on
+    ``(group, pos)`` — the shuffle carries (id, group, pos, term)
+    cells, never whole vectors — then the per-vector distance as a
+    SORTED FOLD over pos-ordered terms (both engines fold ascending →
+    bit-equal doubles), and the argmin per group by ``(d2, id)``
+    row_number. Group cardinality bounds the final window's
+    partitions; no global sort, no all-pairs anything.
+
+    Output: ``(group, medoid_id, d2, n_members)``, d2 6dp.
+    """
+    cent = group_centroids(df, group_col, vec_col, assemble=False)
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("grp"),
+        F.posexplode(vec_col).alias("pos", "__x"),
+    )
+    terms = ex.join(cent, ["grp", "pos"]).select(
+        "__id",
+        "grp",
+        "pos",
+        (
+            (F.col("__x").cast("double") - F.col("mean_val"))
+            * (F.col("__x").cast("double") - F.col("mean_val"))
+        ).alias("__t"),
+        "n_members",
+    )
+    d2 = terms.groupBy("__id", "grp").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "__t"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["__t"],
+        ).alias("__d2"),
+        F.max("n_members").alias("n_members"),
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("__d2").asc(), F.col("__id").asc()
+    )
+    return (
+        d2.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("__id").alias("medoid_id"),
+            F.round("__d2", 6).alias("d2"),
+            "n_members",
+        )
+    )

@@ -615,3 +615,34 @@ def stateful_zscore_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_novelty_filter(
+    stream: DataFrame,
+    index: DataFrame,
+    key_cols: "list[str]",
+) -> DataFrame:
+    """Stream-static novelty gate — emit only stream rows whose key is
+    ABSENT from a static index: the streaming twin of
+    ``operators/dedup.py``'s incremental (new-vs-index) dedup, and the
+    shape of every "have we already ingested this document" front door
+    (the index is yesterday's fingerprint table; the stream is today's
+    crawl).
+
+    Execution: a stream-static LEFT OUTER equi-join against the
+    index's marker projection, then a null-marker filter — exactly
+    left-anti semantics expressed through the join types Structured
+    Streaming supports for a static right side. STATELESS: no
+    watermark, no state store, nothing to evict — the static side is
+    (re)broadcast or shuffled once per micro-batch by the planner and
+    the stream side never waits. Duplicates WITHIN the stream both
+    pass (novel vs the index is the contract; chain
+    ``stream_exact_dedup`` after this filter when intra-stream
+    uniqueness is also required).
+    """
+    marker = "__seen"
+    idx = index.select(
+        *[F.col(c) for c in key_cols], F.lit(1).alias(marker)
+    ).dropDuplicates(key_cols)
+    out = stream.join(idx, key_cols, "left_outer")
+    return out.filter(F.col(marker).isNull()).drop(marker)

@@ -504,3 +504,122 @@ def test_rank_normalize_cdf_and_ties(spark):
     assert out[5] is None
     # singleton group: its only value is the max
     assert out[6] == 1.0
+
+
+# -------------------------------------------------------- stream_novelty_filter
+
+
+def test_stream_novelty_filter_two_batches(spark, tmp_path_factory):
+    import os
+    import uuid
+    import pandas as pd
+    from feat_spark.streaming.pipeline import (
+        run_to_memory,
+        stream_novelty_filter,
+    )
+
+    d = str(tmp_path_factory.mktemp("novstream"))
+    b1 = pd.DataFrame({"doc_id": [1, 2, 3], "h": ["a", "b", "c"]})
+    b2 = pd.DataFrame({"doc_id": [4, 5, 6], "h": ["b", "d", "d"]})
+    b1.to_parquet(os.path.join(d, "p1.parquet"), index=False)
+    b2.to_parquet(os.path.join(d, "p2.parquet"), index=False)
+    os.utime(os.path.join(d, "p2.parquet"))
+    index = spark.createDataFrame([("a",), ("c",)], "h string")
+    stream = (
+        spark.readStream.schema("doc_id long, h string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = stream_novelty_filter(stream, index, ["h"])
+    name = "t_nov_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name)
+    rows = sorted(r["doc_id"] for r in spark.table(name).collect())
+    # 'a'/'c' indexed -> dropped; 'b' novel (twice: intra-stream dups
+    # both pass by contract); both 'd's pass
+    assert rows == [2, 4, 5, 6]
+
+
+# ------------------------------------------------------------------ cohort_ltv
+
+
+def test_cohort_ltv_curve(spark):
+    import datetime
+    from feat_spark.operators.funnel import cohort_ltv
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, u, days, typ, v):
+        return (eid, base + datetime.timedelta(days=days), u, typ, v)
+
+    rows = [
+        # cohort week W: users 1 and 2 first seen in week 0
+        ev(1, 1, 0, "purchase", 10.0),
+        ev(2, 2, 1, "click", 0.0),
+        ev(3, 1, 7, "purchase", 5.0),     # age 1
+        ev(4, 2, 8, "purchase", 2.5),     # age 1
+        ev(5, 1, 21, "purchase", 1.0),    # age 3 (age 2 silent)
+        # user 3: cohort week 1
+        ev(6, 3, 9, "purchase", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    out = {
+        (r["cohort_week"], r["age_weeks"]): r
+        for r in [x.asDict() for x in cohort_ltv(df).collect()]
+    }
+    w0 = min(k[0] for k in out)
+    assert out[(w0, 0)]["revenue_cents"] == 1000
+    assert out[(w0, 0)]["n_active"] == 2 and out[(w0, 0)]["cohort_size"] == 2
+    assert out[(w0, 1)]["revenue_cents"] == 750
+    assert out[(w0, 1)]["cum_revenue_cents"] == 1750
+    assert out[(w0, 1)]["ltv"] == 8.75
+    # silent week 2 absent; week 3 carries the running sum forward
+    assert (w0, 2) not in out
+    assert out[(w0, 3)]["cum_revenue_cents"] == 1850
+    # second cohort independent
+    assert out[(w0 + 1, 0)]["cohort_size"] == 1
+    assert out[(w0 + 1, 0)]["ltv"] == 4.0
+
+
+# ------------------------------------------------------------ period_over_period
+
+
+def test_period_over_period_sparse_days(spark):
+    import datetime
+    from feat_spark.operators.windows import period_over_period
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # day 0: 4 events; day 7: 6 events; day 8: 2 events (day 1 silent)
+    for d, n in ((0, 4), (7, 6), (8, 2)):
+        for j in range(n):
+            rows.append(("u", base + datetime.timedelta(days=d, minutes=j)))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = {r["day"] - 19723: r for r in
+           [x.asDict() for x in period_over_period(df, "user_id").collect()]}
+    assert out[0]["pct_change"] is None          # no prior week
+    assert out[7]["n_prev"] == 4 and out[7]["pct_change"] == 0.5
+    # day 1 was silent -> day 8 has NO prior row (not "previous observed")
+    assert out[8]["n_prev"] is None and out[8]["pct_change"] is None
+
+
+# -------------------------------------------------------------- cluster_medoids
+
+
+def test_cluster_medoids_exemplar(spark):
+    from feat_spark.operators.similarity import cluster_medoids
+
+    rows = [
+        (1, [0.0, 0.0], "a"),
+        (2, [1.0, 1.0], "a"),
+        (3, [0.4, 0.4], "a"),   # closest to mean (0.466.., 0.466..)
+        (4, [9.0, 9.0], "b"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    out = {r["label"]: r for r in
+           [x.asDict() for x in cluster_medoids(df).collect()]}
+    assert out["a"]["medoid_id"] == 3 and out["a"]["n_members"] == 3
+    # singleton group is its own medoid at distance 0
+    assert out["b"]["medoid_id"] == 4 and out["b"]["d2"] == 0.0
