@@ -3307,13 +3307,13 @@ def _q_label_churn(spark, sf_dir):
 
 
 def _q_compaction_plan(spark, sf_dir):
-    """Small-file compaction planning (io.compaction_plan) over a
+    """Small-file compaction planning (layout.compaction_plan) over a
     documents-derived manifest (source = partition, doc_id = file,
     n_chars = bytes): bytes-desc first-fit by prefix sum,
     bin = (cum - bytes) div target — all integer, one window sort per
     partition over MANIFEST rows only. Oracle replays the running sum
     and floor division verbatim."""
-    from feat_spark.sources.io import compaction_plan
+    from feat_spark.sources.layout import compaction_plan
 
     m = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
     return compaction_plan(
@@ -3416,11 +3416,11 @@ def _q_ndcg(spark, sf_dir):
 
 
 def _q_json_extract(spark, sf_dir):
-    """Typed JSON extraction (extract.parse_json_column) from the
+    """Typed JSON extraction (semistructured.parse_json_column) from the
     events props column: JVM-side from_json with the corrupt-record
     channel (missing key = legit NULL, unparseable text = flagged).
     Oracle: DuckDB json_extract + json_valid."""
-    from feat_spark.operators.extract import parse_json_column
+    from feat_spark.operators.semistructured import parse_json_column
 
     out = parse_json_column(_events(spark, sf_dir), "props", "k long")
     return out.select("event_id", "k", "is_corrupt")
@@ -3525,11 +3525,11 @@ def _q_cohort_ltv(spark, sf_dir):
 
 
 def _q_wow_change(spark, sf_dir):
-    """Week-over-week change (windows.period_over_period): per-user
+    """Week-over-week change (profile.period_over_period): per-user
     daily counts vs the SAME WEEKDAY 7 days earlier via a (key, day-7)
     equi-join — a lag over observed days would silently compare
     against whatever day came before. Oracle replays the self-join."""
-    from feat_spark.operators.windows import period_over_period
+    from feat_spark.operators.profile import period_over_period
 
     return period_over_period(_events(spark, sf_dir), "user_id", period_days=7)
 

@@ -422,53 +422,3 @@ def extract(
     return df.withColumn(
         out_col, compile_schema(schema, F.col(payload_col), ptype, leaf_hash)
     )
-
-
-def parse_json_column(
-    df: DataFrame,
-    json_col: str,
-    schema: "str | T.StructType",
-    corrupt_col: str = "is_corrupt",
-    drop_source: bool = False,
-) -> DataFrame:
-    """Typed extraction from a JSON-string column with corrupt-row
-    accounting — the semi-structured on-ramp next to the schema'd
-    payload readers above (feat.erl's read/2 walks an already-decoded
-    nested term; production event streams carry the same payloads as
-    JSON text, and THIS is where they become columns).
-
-    ``from_json`` runs JVM-side (Jackson inside whole-stage codegen —
-    never a Python UDF). PERMISSIVE mode fills a corrupt row's fields
-    with NULLs — indistinguishable from valid JSON that simply lacks
-    the keys — so the flag rides Spark's own corrupt-record channel: a
-    ``columnNameOfCorruptRecord`` field is appended to the schema and
-    carries the raw text exactly when parsing failed. A missing field
-    stays a legitimate NULL column (the reference's undefined-leaf
-    semantics); a corrupt row is a data incident the pipeline can
-    count and quarantine (``filter(F.col(corrupt_col))`` is the
-    quarantine scan).
-
-    The parsed struct is flattened into top-level columns (callers
-    get ``k``, not ``parsed.k``). One projection, no shuffle.
-    """
-    if isinstance(schema, str):
-        aug = schema + ", __bad string"
-    else:
-        aug = T.StructType(
-            list(schema.fields) + [T.StructField("__bad", T.StringType())]
-        )
-    parsed = F.from_json(
-        F.col(json_col), aug, {"columnNameOfCorruptRecord": "__bad"}
-    )
-    out = df.withColumn("__parsed", parsed).withColumn(
-        corrupt_col, F.col("__parsed.__bad").isNotNull()
-    )
-    field_names = [
-        c for c in out.select("__parsed.*").columns if c != "__bad"
-    ]
-    for name in field_names:
-        out = out.withColumn(name, F.col(f"__parsed.{name}"))
-    out = out.drop("__parsed")
-    if drop_source:
-        out = out.drop(json_col)
-    return out

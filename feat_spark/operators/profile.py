@@ -655,3 +655,49 @@ def changepoint_scan(
         .otherwise(F.lit(False))
         .alias("is_changepoint"),
     )
+
+
+def period_over_period(
+    df: DataFrame,
+    key_cols: Sequence[str] | str,
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Period-over-period volume change per entity — WoW at day grain
+    (``period_days=7`` compares every day against the SAME WEEKDAY a
+    week earlier, which is why it beats day-over-day for anything with
+    a weekly pulse; 28 gives a weekday-aligned MoM). The growth-metric
+    readout next to :func:`~feat_spark.operators.profile.
+    changepoint_scan`'s alarm.
+
+    A lag() over observed days is WRONG here when days are sparse (it
+    would compare against "the previous observed day", whatever its
+    distance) — so the prior period is fetched by a self EQUI-join on
+    ``(key, day - period_days)``: days missing from the data are
+    honestly NULL ``n_prev`` / NULL change. One grain-reduction agg +
+    one key-and-day equi-join, counts integer, ONE division per row.
+
+    Output: key cols + ``(day, n, n_prev, pct_change)`` — pct_change
+    = (n - n_prev)/n_prev, 6dp, NULL when no prior-period row exists.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    day = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 86400000000")
+    counts = (
+        df.select(*keys, day.alias("day"))
+        .groupBy(*keys, "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    prev = counts.select(
+        *keys,
+        (F.col("day") + F.lit(int(period_days))).alias("day"),
+        F.col("n").alias("n_prev"),
+    )
+    return counts.join(prev, [*keys, "day"], "left").select(
+        *keys,
+        "day",
+        "n",
+        "n_prev",
+        F.round(
+            (F.col("n") - F.col("n_prev")) / F.col("n_prev"), 6
+        ).alias("pct_change"),
+    )

@@ -233,7 +233,7 @@ def test_label_churn_gaps_and_censoring(spark):
 
 
 def test_compaction_first_fit_bins(spark):
-    from feat_spark.sources.io import compaction_plan
+    from feat_spark.sources.layout import compaction_plan
 
     rows = [("p", f"f{i}", b) for i, b in enumerate([600, 300, 200, 100])] + [
         ("q", "g0", 50)
@@ -409,7 +409,7 @@ def test_ndcg_unjudged_items_gain_zero(spark):
 
 
 def test_parse_json_corrupt_vs_missing(spark):
-    from feat_spark.operators.extract import parse_json_column
+    from feat_spark.operators.semistructured import parse_json_column
 
     df = spark.createDataFrame(
         [
@@ -588,7 +588,7 @@ def test_cohort_ltv_curve(spark):
 
 def test_period_over_period_sparse_days(spark):
     import datetime
-    from feat_spark.operators.windows import period_over_period
+    from feat_spark.operators.profile import period_over_period
 
     base = datetime.datetime(2024, 1, 1)
     rows = []
