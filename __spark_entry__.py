@@ -3544,6 +3544,71 @@ def _q_cluster_medoids(spark, sf_dir):
     return cluster_medoids(_t(spark, sf_dir, "embeddings"))
 
 
+def _q_zorder(spark, sf_dir):
+    """Morton/Z-order layout keys (layout.zorder_key) over 8-bit
+    (user, value-cents) rank coordinates: closed-form bit interleave,
+    one codegen projection, zero shuffle. Oracle replays the identical
+    shift/mask/or fold."""
+    from feat_spark.sources.layout import zorder_key
+
+    e = _events(spark, sf_dir).select(
+        "event_id",
+        (F.col("user_id") % 256).alias("x"),
+        (
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long") % 256
+        ).alias("y"),
+    )
+    return zorder_key(e, "x", "y", bits=8)
+
+
+def _q_prune_files(spark, sf_dir):
+    """Min/max file skipping (layout.prune_files) over a synthetic
+    manifest (documents grouped 50-per-file with n_chars min/max
+    stats), predicate n_chars in [300, 600]: pure interval-overlap
+    projection, NULL stats conservatively kept, data never read.
+    Oracle replays manifest build + verdicts."""
+    from feat_spark.sources.layout import prune_files
+
+    m = (
+        _t(spark, sf_dir, "documents")
+        .groupBy(
+            "source", (F.col("doc_id") - F.col("doc_id") % 50).alias("file_id")
+        )
+        .agg(
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+            F.sum("n_chars").alias("bytes"),
+        )
+    )
+    return prune_files(m, "lo", "hi", 300, 600)
+
+
+def _q_seq_pattern(spark, sf_dir):
+    """Regex sequence matching (funnel.sequence_pattern_count):
+    per-user event streams as symbol strings (view/click/purchase ->
+    v/c/p, everything else '.'), pattern 'vc*p' counted
+    non-overlapping — MATCH_RECOGNIZE-lite. Oracle: ordered
+    string_agg + len(regexp_extract_all)."""
+    from feat_spark.operators.funnel import sequence_pattern_count
+
+    return sequence_pattern_count(
+        _events(spark, sf_dir),
+        "user_id",
+        "vc*p",
+        {"view": "v", "click": "c", "purchase": "p"},
+    )
+
+
+def _q_hourly_profile(spark, sf_dir):
+    """Hour-of-day activity profiles (profile.hourly_profile): grain
+    reduction to (user, hour) counts, deterministic (n DESC, hour ASC)
+    argmax, integer-division share. Oracle replays the argmax
+    window."""
+    from feat_spark.operators.profile import hourly_profile
+
+    return hourly_profile(_events(spark, sf_dir), "user_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -3574,13 +3639,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-95, after the window froze):
-    # 45 brand-new gates (scd2_build..inverted_index, then
-    # autocorr..cluster_medoids) built AFTER the r4 window was
+    # LATE-ROUND-4 ADDITIONS (positions 51-99, after the window froze):
+    # 49 brand-new gates (scd2_build..inverted_index, then
+    # autocorr..hourly_profile) built AFTER the r4 window was
     # fixed; all dtype-strict-selfcheck green at sf0.01 in their build
     # session, never driver-checked. ROUND-5 WINDOW PLAN, in order:
-    # (1) the 45 late-r4 gates + semantic_dedup + knn_cosine_ivf
-    # (positions 51-97 — pure registry slide, they are already first
+    # (1) the 49 late-r4 gates + semantic_dedup + knn_cosine_ivf
+    # (positions 51-101 — pure registry slide, they are already first
     # after the cut); (2) the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
     # r5); (3) the r2-green trailers (stable_order..feature_extract)
@@ -3685,6 +3750,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_ltv": _q_cohort_ltv,
         "wow_change": _q_wow_change,
         "cluster_medoids": _q_cluster_medoids,
+        "zorder": _q_zorder,
+        "prune_files": _q_prune_files,
+        "seq_pattern": _q_seq_pattern,
+        "hourly_profile": _q_hourly_profile,
         "split_balance": _q_split_balance,
         "assortativity": _q_assortativity,
         "ndcg": _q_ndcg,
@@ -6939,4 +7008,59 @@ def oracle_sql() -> dict[str, str]:
           select grp as label, id as medoid_id, round(d2, 6) as d2,
                  cast(n_members as bigint) as n_members
           from r where rn = 1""",
+        "zorder": """
+          with b as (
+            select event_id, user_id % 256 as x,
+                   cast(cast(value as decimal(18,2)) * 100 as bigint)
+                     % 256 as y
+            from events)
+          select event_id, x, y,
+                 ((((x >> 0) & 1) << 0) | (((y >> 0) & 1) << 1) | (((x >> 1) & 1) << 2) | (((y >> 1) & 1) << 3) | (((x >> 2) & 1) << 4) | (((y >> 2) & 1) << 5) | (((x >> 3) & 1) << 6) | (((y >> 3) & 1) << 7) | (((x >> 4) & 1) << 8) | (((y >> 4) & 1) << 9) | (((x >> 5) & 1) << 10) | (((y >> 5) & 1) << 11) | (((x >> 6) & 1) << 12) | (((y >> 6) & 1) << 13) | (((x >> 7) & 1) << 14) | (((y >> 7) & 1) << 15)) as zkey
+          from b""",
+        "prune_files": """
+          with m as (
+            select source, doc_id - doc_id % 50 as file_id,
+                   min(n_chars) as lo, max(n_chars) as hi,
+                   cast(sum(n_chars) as bigint) as bytes
+            from documents group by 1, 2)
+          select source, file_id, lo, hi, bytes,
+                 coalesce(lo <= 600 and hi >= 300, true) as keep,
+                 case when not coalesce(lo <= 600 and hi >= 300, true)
+                      then bytes else 0 end as skipped_bytes
+          from m""",
+        "seq_pattern": """
+          with b as (
+            select user_id, ts, event_id,
+                   case event_type when 'view' then 'v'
+                        when 'click' then 'c'
+                        when 'purchase' then 'p'
+                        else '.' end as ch
+            from events),
+          f as (
+            select user_id, count(*) as n_events,
+                   string_agg(ch, '' order by ts, event_id) as seq
+            from b group by 1)
+          select user_id, n_events,
+                 n_events > 10000 as truncated,
+                 cast(len(regexp_extract_all(seq, 'vc*p')) as int)
+                   as n_matches
+          from f""",
+        "hourly_profile": """
+          with c as (
+            select user_id,
+                   (epoch_us(ts) // 3600000000) % 24 as hour,
+                   count(*) as n
+            from events group by 1, 2),
+          r as (
+            select *, row_number() over (partition by user_id
+                       order by n desc, hour asc) as rn
+            from c)
+          select user_id,
+                 cast(sum(n) as bigint) as n_total,
+                 count(*) as n_hours_active,
+                 cast(max(case when rn = 1 then hour end) as bigint)
+                   as peak_hour,
+                 round(max(case when rn = 1 then n end) / sum(n), 6)
+                   as peak_share
+          from r group by 1""",
     }

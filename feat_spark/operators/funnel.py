@@ -267,3 +267,71 @@ def cohort_ltv(
             ).alias("ltv"),
         )
     )
+
+
+def sequence_pattern_count(
+    df: DataFrame,
+    key_cols: Sequence[str] | str,
+    pattern: str,
+    symbols: "dict[str, str]",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    type_col: str = "event_type",
+    max_events: int = 10_000,
+) -> DataFrame:
+    """Regex pattern matching over per-entity EVENT SEQUENCES — the
+    MATCH_RECOGNIZE-lite that answers "how many times did this user
+    view, click any number of times, then purchase" as a single regex
+    (``v c* p``) instead of a hand-built funnel join per shape.
+    :func:`session_funnel` checks ONE fixed stage chain; this runs any
+    regular grammar.
+
+    Mechanics: each event maps through ``symbols`` (event type -> one
+    character; unmapped types become ``.`` fillers that break false
+    adjacency but still occupy a position), the per-entity sequence is
+    folded into ONE string in stable (order_cols) order — a sorted
+    fold, deterministic — and ``regexp_count`` does the matching
+    (non-overlapping, like every SQL regex engine). Keep patterns
+    lookaround-free: both engines run plain regex syntax (RE2/
+    java.util.regex agree there).
+
+    Scale contract: per-entity state is a string of one char per
+    event, truncated to the EARLIEST ``max_events`` (a lazy slice —
+    no driver-side validation pass), with a ``truncated`` flag so
+    downstream knows a pattern could span the cut. The cap is the
+    same bounded-collect discipline as packing/NDCG — entities are
+    conversations/users, not the corpus.
+
+    Output: key cols + ``(n_events, truncated, n_matches)`` —
+    matches are counted on the (possibly truncated) prefix.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    sym = F.lit(".")
+    for t, ch in sorted(symbols.items()):
+        if len(ch) != 1:
+            raise ValueError(f"symbol for {t!r} must be one char")
+        sym = F.when(F.col(type_col) == t, ch).otherwise(sym)
+    base = df.select(
+        *keys, *[F.col(c) for c in order_cols], sym.alias("__ch")
+    )
+    folded = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct(*order_cols, "__ch"))
+                    ),
+                    1,
+                    max_events,
+                ),
+                lambda s: s["__ch"],
+            ),
+            "",
+        ).alias("__seq"),
+    )
+    return folded.select(
+        *keys,
+        "n_events",
+        (F.col("n_events") > max_events).alias("truncated"),
+        F.regexp_count(F.col("__seq"), F.lit(pattern)).alias("n_matches"),
+    )

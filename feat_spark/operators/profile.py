@@ -701,3 +701,51 @@ def period_over_period(
             (F.col("n") - F.col("n_prev")) / F.col("n_prev"), 6
         ).alias("pct_change"),
     )
+
+
+def hourly_profile(
+    df: DataFrame,
+    key_cols: Sequence[str] | str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hour-of-day activity profile per entity — when is this user
+    active, how concentrated is that activity, and which hour peaks:
+    the temporal-habit feature block under send-time optimization and
+    bot heuristics (a "user" active 24/7 with a flat profile is
+    rarely a human).
+
+    Grain reduction to (entity, hour) counts first; the peak is an
+    argmax by ``(n DESC, hour ASC)`` — the deterministic tiebreak
+    makes the readout replayable, where a bare ``max_by`` would be
+    free to pick either tied hour. Shares are one integer division,
+    6dp. Hours are the engine-wide integer device
+    (``epoch_us div 3600e6 mod 24``), not an engine-local calendar
+    function.
+
+    Output: key cols + ``(n_total, n_hours_active, peak_hour,
+    peak_share)``.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    hour = (
+        F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 3600000000")
+        % 24
+    )
+    c = (
+        df.select(*keys, hour.alias("hour"))
+        .groupBy(*keys, "hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("n").desc(), F.col("hour").asc()
+    )
+    r = c.withColumn("__rn", F.row_number().over(w))
+    return r.groupBy(*keys).agg(
+        F.sum("n").alias("n_total"),
+        F.count(F.lit(1)).alias("n_hours_active"),
+        F.max(F.when(F.col("__rn") == 1, F.col("hour"))).alias("peak_hour"),
+        F.round(
+            F.max(F.when(F.col("__rn") == 1, F.col("n")))
+            / F.sum("n"),
+            6,
+        ).alias("peak_share"),
+    )

@@ -72,3 +72,74 @@ def compaction_plan(
         F.count(F.lit(1)).over(wb).alias("bin_files"),
         F.sum("bytes").over(wb).alias("bin_bytes"),
     )
+
+
+def zorder_key(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    bits: int = 16,
+    out_col: str = "zkey",
+) -> DataFrame:
+    """Morton / Z-order interleaved sort key over two integer columns
+    — the multi-dimensional clustering device behind Delta ``OPTIMIZE
+    ZORDER BY`` and Iceberg's sort orders: sorting by the interleaved
+    bits co-locates rows that are close in BOTH dimensions, so min/max
+    file statistics prune on either predicate column
+    (:func:`prune_files` is the consumer). One range-partitioned sort
+    by ``zkey`` at write time buys two-column file skipping forever.
+
+    The key is a closed-form integer expression — ``bits`` pairs of
+    shift/mask/or terms unrolled into one codegen'd projection, zero
+    UDF, zero shuffle (the SORT that uses it shuffles; the key does
+    not). Inputs must already be non-negative ints below ``2**bits``
+    (quantile-rank or bin them first — layout wants rank space, not
+    raw value space, exactly what ``rank_normalize``/``quantile_bin``
+    produce).
+    """
+    x, y = F.col(col_x).cast("long"), F.col(col_y).cast("long")
+    one = F.lit(1).cast("long")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = key.bitwiseOR(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(one), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(one), 2 * i + 1)
+        )
+    return df.withColumn(out_col, key)
+
+
+def prune_files(
+    manifest: DataFrame,
+    stat_lo_col: str,
+    stat_hi_col: str,
+    lo,
+    hi,
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Min/max-statistics file skipping — the manifest-level planning
+    step every lakehouse scan runs before touching data: a file whose
+    ``[stat_lo, stat_hi]`` range is disjoint from the predicate range
+    ``[lo, hi]`` cannot contain a matching row and is skipped without
+    a read. This operator makes the decision AUDITABLE: it returns the
+    manifest annotated with the keep/skip verdict so layout work
+    (:func:`compaction_plan`, :func:`zorder_key`) can be scored by how
+    many bytes it actually saves.
+
+    Pure manifest-sized projection — one boolean interval-overlap
+    expression per file, no shuffle, data files never read. NULL stats
+    (a file with no min/max for the column) are conservatively KEPT —
+    skipping on missing evidence is how engines corrupt results.
+
+    Output: manifest columns + ``(keep, skipped_bytes)`` where
+    ``skipped_bytes`` is ``bytes`` for skipped files else 0 (sum it
+    for the savings readout).
+    """
+    overlap = (F.col(stat_lo_col) <= F.lit(hi)) & (
+        F.col(stat_hi_col) >= F.lit(lo)
+    )
+    keep = F.coalesce(overlap, F.lit(True))
+    return manifest.withColumn("keep", keep).withColumn(
+        "skipped_bytes",
+        F.when(~F.col("keep"), F.col(bytes_col)).otherwise(F.lit(0)),
+    )

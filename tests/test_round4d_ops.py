@@ -623,3 +623,115 @@ def test_cluster_medoids_exemplar(spark):
     assert out["a"]["medoid_id"] == 3 and out["a"]["n_members"] == 3
     # singleton group is its own medoid at distance 0
     assert out["b"]["medoid_id"] == 4 and out["b"]["d2"] == 0.0
+
+
+# ------------------------------------------------------------------ zorder_key
+
+
+def test_zorder_interleaves_bits(spark):
+    from feat_spark.sources.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (3, 5)], "x long, y long"
+    )
+    out = {(r["x"], r["y"]): r["zkey"]
+           for r in [q.asDict() for q in zorder_key(df, "x", "y").collect()]}
+    assert out[(0, 0)] == 0
+    assert out[(1, 0)] == 1      # x bit 0 -> zkey bit 0
+    assert out[(0, 1)] == 2      # y bit 0 -> zkey bit 1
+    assert out[(1, 1)] == 3
+    # x=3 (11), y=5 (101): interleave -> y2 x2 y1 x1 y0 x0 = 1 0 0 1 1 1
+    assert out[(3, 5)] == 0b100111
+
+
+# ------------------------------------------------------------------ prune_files
+
+
+def test_prune_files_overlap_and_null_stats(spark):
+    from feat_spark.sources.layout import prune_files
+
+    df = spark.createDataFrame(
+        [
+            ("f1", 0, 10, 100),     # overlaps [5, 20] -> keep
+            ("f2", 11, 15, 200),    # inside -> keep
+            ("f3", 30, 40, 400),    # disjoint -> skip
+            ("f4", None, None, 800),  # no stats -> conservatively keep
+            ("f5", 20, 25, 50),     # touches hi boundary -> keep
+        ],
+        "path string, lo long, hi long, bytes long",
+    )
+    out = {r["path"]: r
+           for r in [q.asDict() for q in
+                     prune_files(df, "lo", "hi", 5, 20).collect()]}
+    assert [out[f]["keep"] for f in ("f1", "f2", "f3", "f4", "f5")] == [
+        True, True, False, True, True
+    ]
+    assert out["f3"]["skipped_bytes"] == 400
+    assert sum(r["skipped_bytes"] for r in out.values()) == 400
+
+
+# ------------------------------------------------------- sequence_pattern_count
+
+
+def test_sequence_pattern_regex_funnel(spark):
+    import datetime
+    from feat_spark.operators.funnel import sequence_pattern_count
+
+    base = datetime.datetime(2024, 1, 1)
+    seq_u = ["view", "click", "click", "purchase", "view", "purchase",
+             "signup", "view", "click", "purchase"]
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), "u", t)
+        for i, t in enumerate(seq_u)
+    ] + [(100, base, "w", "view")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string, event_type string"
+    )
+    out = {r["user_id"]: r for r in
+           [q.asDict() for q in sequence_pattern_count(
+               df, "user_id", "vc*p",
+               {"view": "v", "click": "c", "purchase": "p"},
+           ).collect()]}
+    # u's string is "vccpvpsvcp" ('signup' -> '.'): vccp, vp, vcp = 3
+    assert out["u"]["n_matches"] == 3
+    assert out["u"]["n_events"] == 10 and not out["u"]["truncated"]
+    assert out["w"]["n_matches"] == 0
+
+
+def test_sequence_pattern_truncation_flag(spark):
+    import datetime
+    from feat_spark.operators.funnel import sequence_pattern_count
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, base + datetime.timedelta(minutes=i), "u", "view")
+            for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string, event_type string"
+    )
+    out = [q.asDict() for q in sequence_pattern_count(
+        df, "user_id", "v", {"view": "v"}, max_events=3
+    ).collect()]
+    assert out[0]["truncated"] is True
+    assert out[0]["n_matches"] == 3  # counted on the truncated prefix
+
+
+# --------------------------------------------------------------- hourly_profile
+
+
+def test_hourly_profile_peak_and_tiebreak(spark):
+    import datetime
+    from feat_spark.operators.profile import hourly_profile
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # hour 9: 3 events; hour 14: 3 events (tie -> smaller hour wins);
+    # hour 20: 1 event
+    for h, n in ((9, 3), (14, 3), (20, 1)):
+        for j in range(n):
+            rows.append(("u", base + datetime.timedelta(hours=h, minutes=j)))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = [q.asDict() for q in hourly_profile(df, "user_id").collect()]
+    r = out[0]
+    assert r["n_total"] == 7 and r["n_hours_active"] == 3
+    assert r["peak_hour"] == 9
+    assert r["peak_share"] == round(3 / 7, 6)
