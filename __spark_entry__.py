@@ -3609,6 +3609,60 @@ def _q_hourly_profile(spark, sf_dir):
     return hourly_profile(_events(spark, sf_dir), "user_id")
 
 
+def _q_gini(spark, sf_dir):
+    """Value-concentration Gini per event type
+    (profile.gini_concentration): integer-cent rank sums, exact
+    integer numerator/denominator, ONE division. Oracle replays the
+    rank window and closed form."""
+    from feat_spark.operators.profile import gini_concentration
+
+    return gini_concentration(_events(spark, sf_dir), "event_type", "value")
+
+
+def _q_centroid_distances(spark, sf_dir):
+    """Inter-centroid squared-L2 matrix (similarity.
+    centroid_distances): exact per-label means (group_centroids), pos-
+    keyed self-join of centroid CELLS, pos-ordered sorted-fold, upper
+    triangle. Oracle replays mean, join, fold."""
+    from feat_spark.operators.similarity import centroid_distances
+
+    return centroid_distances(_t(spark, sf_dir, "embeddings"))
+
+
+def _q_funnel_latency(spark, sf_dir):
+    """Stage-transition latency (funnel.funnel_latency) over the same
+    sessionized view->click->purchase funnel as the session_funnel
+    gate: exact integer-us medians (dyadic percentile) and exact-sum
+    means per transition. Oracle replays funnel + both aggregates."""
+    from feat_spark.operators.funnel import funnel_latency, session_funnel
+    from feat_spark.operators.sessionize import sessionize
+
+    e = _events(spark, sf_dir)
+    s = sessionize(
+        e, gap="30 minutes", partition="user_id", ts="ts",
+        tiebreak=("event_id",),
+    )
+    f = session_funnel(
+        s, stages=("view", "click", "purchase"),
+        keys=("user_id", "session_id"), type_col="event_type", ts_col="ts",
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    f = f.select(
+        us("t_0").alias("t_0"), us("t_1").alias("t_1"), us("t_2").alias("t_2")
+    )
+    return funnel_latency(f, ("view", "click", "purchase"))
+
+
+def _q_zipf_fit(spark, sf_dir):
+    """Corpus Zipf fit (keywords.zipf_fit): OLS of ln(freq) on
+    ln(rank) over the top-1000 vocabulary — TakeOrdered determinism,
+    four sorted folds (ln-parity), closed-form slope/intercept. Oracle
+    replays rank, folds, and formula."""
+    from feat_spark.operators.keywords import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), top_n=1000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -3639,13 +3693,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-99, after the window froze):
-    # 49 brand-new gates (scd2_build..inverted_index, then
-    # autocorr..hourly_profile) built AFTER the r4 window was
+    # LATE-ROUND-4 ADDITIONS (positions 51-103, after the window froze):
+    # 53 brand-new gates (scd2_build..inverted_index, then
+    # autocorr..zipf_fit) built AFTER the r4 window was
     # fixed; all dtype-strict-selfcheck green at sf0.01 in their build
     # session, never driver-checked. ROUND-5 WINDOW PLAN, in order:
-    # (1) the 49 late-r4 gates + semantic_dedup + knn_cosine_ivf
-    # (positions 51-101 — pure registry slide, they are already first
+    # (1) the 53 late-r4 gates + semantic_dedup + knn_cosine_ivf
+    # (positions 51-105 — pure registry slide, they are already first
     # after the cut); (2) the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
     # r5); (3) the r2-green trailers (stable_order..feature_extract)
@@ -3754,6 +3808,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prune_files": _q_prune_files,
         "seq_pattern": _q_seq_pattern,
         "hourly_profile": _q_hourly_profile,
+        "gini": _q_gini,
+        "centroid_distances": _q_centroid_distances,
+        "funnel_latency": _q_funnel_latency,
+        "zipf_fit": _q_zipf_fit,
         "split_balance": _q_split_balance,
         "assortativity": _q_assortativity,
         "ndcg": _q_ndcg,
@@ -7063,4 +7121,103 @@ def oracle_sql() -> dict[str, str]:
                  round(max(case when rn = 1 then n end) / sum(n), 6)
                    as peak_share
           from r group by 1""",
+        "gini": """
+          with b as (
+            select event_type,
+                   cast(cast(value as decimal(18,2)) * 100 as bigint)
+                     as c
+            from events),
+          r as (
+            select event_type, c,
+                   row_number() over (partition by event_type
+                                      order by c asc) as i
+            from b),
+          a as (
+            select event_type, count(*) as n,
+                   cast(sum(c) as bigint) as total_cents,
+                   cast(sum(i * c) as bigint) as s1
+            from r group by 1)
+          select event_type, n, total_cents,
+                 case when total_cents > 0
+                      then round((2 * s1 - (n + 1) * total_cents)
+                                 / (n * total_cents), 6)
+                 end as gini
+          from a""",
+        "centroid_distances": """
+          with cent as (
+            select label as grp, s.pos as pos,
+                   round(cast(sum(s.x::DOUBLE::DECIMAL(27,12)) as double)
+                         / count(*), 6) as mean_val
+            from (select label,
+                         unnest(list_transform(embedding,
+                                (x, i) -> {'pos': i - 1, 'x': x})) as s
+                  from embeddings)
+            group by label, s.pos),
+          p as (
+            select a.grp as grp_a, b.grp as grp_b, a.pos,
+                   (a.mean_val - b.mean_val)
+                     * (a.mean_val - b.mean_val) as t
+            from cent a join cent b
+              on a.pos = b.pos and a.grp < b.grp)
+          select grp_a, grp_b,
+                 round(list_reduce(list_prepend(0.0,
+                   list(t order by pos)), (a, b) -> a + b), 6) as d2
+          from p group by 1, 2""",
+        "funnel_latency": f"""
+          with s as ({_SESSION_IDS_SQL}),
+          f0 as (select user_id, session_id, min(ts) as t0 from s
+                 where event_type = 'view' group by 1, 2),
+          f1 as (select s.user_id, s.session_id, min(s.ts) as t1
+                 from s join f0 using (user_id, session_id)
+                 where s.event_type = 'click' and s.ts >= f0.t0
+                 group by 1, 2),
+          f2 as (select s.user_id, s.session_id, min(s.ts) as t2
+                 from s join f1 using (user_id, session_id)
+                 where s.event_type = 'purchase' and s.ts >= f1.t1
+                 group by 1, 2),
+          j as (select epoch_us(f0.t0) as t0, epoch_us(f1.t1) as t1,
+                       epoch_us(f2.t2) as t2
+                from f0
+                left join f1 using (user_id, session_id)
+                left join f2 using (user_id, session_id)),
+          d1 as (select t1 - t0 as d from j where t1 is not null),
+          d2 as (select t2 - t1 as d from j where t2 is not null)
+          select 'view->click' as transition,
+                 count(*) as n_completed,
+                 quantile_cont(d, 0.5) as median_us,
+                 round(sum(d) / count(*), 6) as mean_us
+          from d1
+          union all
+          select 'click->purchase', count(*), quantile_cont(d, 0.5),
+                 round(sum(d) / count(*), 6)
+          from d2""",
+        "zipf_fit": f"""
+          with wc as (
+            select w, count(*) as f from (
+              select unnest({_WS}) as w from documents)
+            group by 1 order by f desc, w asc limit 1000),
+          rk as (
+            select w, f, row_number() over (order by f desc, w asc)
+                     as r
+            from wc),
+          l as (
+            select r, ln(r::DOUBLE) as x, ln(f::DOUBLE) as y from rk),
+          s as (
+            select count(*) as n_words,
+              list_reduce(list_prepend(0.0, list(x order by r)),
+                          (a, b) -> a + b) as sx,
+              list_reduce(list_prepend(0.0, list(y order by r)),
+                          (a, b) -> a + b) as sy,
+              list_reduce(list_prepend(0.0, list(x * y order by r)),
+                          (a, b) -> a + b) as sxy,
+              list_reduce(list_prepend(0.0, list(x * x order by r)),
+                          (a, b) -> a + b) as sxx
+            from l)
+          select n_words,
+                 round((n_words * sxy - sx * sy)
+                       / (n_words * sxx - sx * sx), 6) as slope,
+                 round((sy - ((n_words * sxy - sx * sy)
+                              / (n_words * sxx - sx * sx)) * sx)
+                       / n_words, 6) as intercept
+          from s""",
     }

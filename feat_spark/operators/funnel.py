@@ -335,3 +335,50 @@ def sequence_pattern_count(
         (F.col("n_events") > max_events).alias("truncated"),
         F.regexp_count(F.col("__seq"), F.lit(pattern)).alias("n_matches"),
     )
+
+
+def funnel_latency(
+    funnel: DataFrame,
+    stages: Sequence[str],
+    ts_prefix: str = "t_",
+) -> DataFrame:
+    """Stage-transition latency summary over a :func:`session_funnel`
+    frame — conversion RATES say how many sessions survive each step;
+    this says how LONG the survivors took (the metric behind "users
+    who buy do it within 4 minutes of the first click").
+
+    Per transition ``i-1 -> i``: the count of sessions that completed
+    it and the exact MEDIAN of the integer epoch-microsecond deltas
+    (``percentile(0.5)`` on integers is exact-half arithmetic — the
+    engine's dyadic-prob discipline; means are exact integer-sum /
+    count with one division). One aggregate over the sessions-sized
+    funnel frame; long output (one row per transition) so k stages
+    never widen the schema.
+
+    Input timestamps must be epoch-us BIGINTs (the funnel gate's
+    output form) or castable timestamps.
+
+    Output: ``(transition, n_completed, median_us, mean_us)``.
+    """
+    outs = []
+    for i in range(1, len(stages)):
+        d = (F.col(f"{ts_prefix}{i}") - F.col(f"{ts_prefix}{i-1}")).alias(
+            "__d"
+        )
+        agg = funnel.select(d).filter(F.col("__d").isNotNull()).agg(
+            F.count(F.lit(1)).alias("n_completed"),
+            F.percentile(F.col("__d"), F.lit(0.5)).alias("median_us"),
+            F.round(F.sum("__d") / F.count(F.lit(1)), 6).alias("mean_us"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(f"{stages[i-1]}->{stages[i]}").alias("transition"),
+                "n_completed",
+                "median_us",
+                "mean_us",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -518,3 +518,65 @@ def ndcg_at_k(
             F.col("idcg") > 0, F.round(F.col("dcg") / F.col("idcg"), 6)
         ).alias("ndcg"),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary — the OLS slope of
+    ``ln(freq)`` against ``ln(rank)`` for the top ``top_n`` words: a
+    healthy natural-language corpus sits near -1; template spam,
+    boilerplate floods, and synthetic junk bend it — making this a
+    one-number corpus-quality monitor next to the per-document
+    heuristics in ``functions/text.py``.
+
+    Shape: one word count (partial-agg), TakeOrdered top_n by
+    ``(freq DESC, word ASC)`` — deterministic and vocabulary-scale,
+    the build_vocab rank discipline — then FOUR sorted folds over the
+    same rank-ordered array of <= top_n (ln(rank), ln(freq)) pairs
+    (bounded collect; the behavior_entropy ln-parity device), and the
+    OLS closed form with a fixed handful of divisions.
+
+    Output: one row ``(n_words, slope, intercept)``, 6dp.
+    """
+    counts = (
+        df.select(F.explode(words(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .orderBy(F.col("f").desc(), F.col("w").asc())
+        .limit(top_n)
+    )
+    wr = Window.orderBy(F.col("f").desc(), F.col("w").asc())
+    ranked = counts.withColumn("r", F.row_number().over(wr)).select(
+        "r",
+        F.log(F.col("r").cast("double")).alias("__x"),
+        F.log(F.col("f").cast("double")).alias("__y"),
+    )
+
+    def fold(term):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("r", term.alias("__t")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["__t"],
+        )
+
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        fold(F.col("__x")).alias("sx"),
+        fold(F.col("__y")).alias("sy"),
+        fold(F.col("__x") * F.col("__y")).alias("sxy"),
+        fold(F.col("__x") * F.col("__x")).alias("sxx"),
+    )
+    n = F.col("n_words")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        "n_words",
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / n, 6
+        ).alias("intercept"),
+    )

@@ -749,3 +749,49 @@ def hourly_profile(
             6,
         ).alias("peak_share"),
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    key_cols: Sequence[str] | str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Gini coefficient of value concentration within each group — the
+    whale detector: is this segment's revenue spread across its
+    members or carried by three accounts (G=0 perfectly equal, G->1
+    one member owns everything). The one-number readout
+    :func:`skew_report`'s heavy-hitter list summarizes.
+
+    Exactness: values go to integer cents; within each group the rank
+    comes from one window ordered ``(cents, tiebreak implicit by any
+    stable order)`` — ties may order arbitrarily because equal values
+    contribute the same ``rank*x`` sum under any permutation of
+    themselves — and the Gini closed form
+    ``G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))`` has an exact
+    INTEGER numerator and denominator, closed by ONE division, 6dp.
+    Negative values are a caller error (Gini is defined on
+    non-negative quantities); all-zero groups return NULL.
+
+    Output: key cols + ``(n, total_cents, gini)``.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    w = Window.partitionBy(*keys).orderBy(F.col("__c").asc())
+    r = df.select(*keys, cents.alias("__c")).withColumn(
+        "__i", F.row_number().over(w)
+    )
+    agg = r.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__c").alias("total_cents"),
+        F.sum(F.col("__i") * F.col("__c")).alias("__s1"),
+    )
+    num = 2 * F.col("__s1") - (F.col("n") + 1) * F.col("total_cents")
+    den = F.col("n") * F.col("total_cents")
+    return agg.select(
+        *keys,
+        "n",
+        "total_cents",
+        F.when(F.col("total_cents") > 0, F.round(num / den, 6)).alias(
+            "gini"
+        ),
+    )

@@ -807,3 +807,50 @@ def cluster_medoids(
             "n_members",
         )
     )
+
+
+def centroid_distances(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inter-centroid squared-L2 distance matrix — the cluster
+    SEPARATION readout that pairs with :func:`cluster_medoids`'
+    exemplars: near-zero off-diagonal distance means two labels (or
+    two k-means cells) occupy the same region and semantic dedup /
+    IVF probing will bleed between them.
+
+    From :func:`group_centroids`' exact long form: a (pos)-keyed self
+    equi-join of the k*dim centroid cells (k² * dim intermediate —
+    centroid-scale, never data-scale), squared differences folded
+    pos-ascending per pair (the sorted-fold bit-parity device), upper
+    triangle only.
+
+    Output: ``(grp_a, grp_b, d2)`` for grp_a < grp_b, 6dp.
+    """
+    c = group_centroids(df, group_col, vec_col, assemble=False)
+    a = c.select(
+        F.col("grp").alias("grp_a"), "pos", F.col("mean_val").alias("ma")
+    )
+    b = c.select(
+        F.col("grp").alias("grp_b"), "pos", F.col("mean_val").alias("mb")
+    )
+    j = a.join(b, "pos").filter(F.col("grp_a") < F.col("grp_b"))
+    t = j.select(
+        "grp_a",
+        "grp_b",
+        "pos",
+        ((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))).alias(
+            "__t"
+        ),
+    )
+    return t.groupBy("grp_a", "grp_b").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("pos", "__t"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["__t"],
+            ),
+            6,
+        ).alias("d2")
+    )

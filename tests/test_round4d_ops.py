@@ -735,3 +735,85 @@ def test_hourly_profile_peak_and_tiebreak(spark):
     assert r["n_total"] == 7 and r["n_hours_active"] == 3
     assert r["peak_hour"] == 9
     assert r["peak_share"] == round(3 / 7, 6)
+
+
+# ------------------------------------------------------------ gini_concentration
+
+
+def test_gini_equal_and_whale(spark):
+    from feat_spark.operators.profile import gini_concentration
+
+    rows = (
+        [("eq", 10.0)] * 4
+        + [("wh", 0.0), ("wh", 0.0), ("wh", 0.0), ("wh", 40.0)]
+        + [("z", 0.0)]
+    )
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = {r["grp"]: r for r in
+           [q.asDict() for q in gini_concentration(df, "grp").collect()]}
+    assert out["eq"]["gini"] == 0.0
+    # one whale owns all: G = (2*4*4000 - 5*4000) / (4*4000) = 0.75
+    assert out["wh"]["gini"] == 0.75
+    assert out["wh"]["total_cents"] == 4000
+    assert out["z"]["gini"] is None
+
+
+# ------------------------------------------------------------ centroid_distances
+
+
+def test_centroid_distances_upper_triangle(spark):
+    from feat_spark.operators.similarity import centroid_distances
+
+    rows = [
+        (1, [0.0, 0.0], "a"), (2, [0.0, 0.0], "a"),
+        (3, [3.0, 4.0], "b"),
+        (4, [0.0, 1.0], "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = {(r["grp_a"], r["grp_b"]): r["d2"] for r in
+           [q.asDict() for q in centroid_distances(df).collect()]}
+    assert out[("a", "b")] == 25.0
+    assert out[("a", "c")] == 1.0
+    assert out[("b", "c")] == 9.0 + 9.0
+    assert ("b", "a") not in out and len(out) == 3
+
+
+# ---------------------------------------------------------------- funnel_latency
+
+
+def test_funnel_latency_medians(spark):
+    from feat_spark.operators.funnel import funnel_latency
+
+    rows = [
+        (0, 100, 500),       # t1-t0 = 100, t2-t1 = 400
+        (0, 300, None),      # t1-t0 = 300, stalls
+        (0, None, None),     # stalls at stage 0
+    ]
+    df = spark.createDataFrame(rows, "t_0 long, t_1 long, t_2 long")
+    out = {r["transition"]: r for r in
+           [q.asDict() for q in funnel_latency(
+               df, ("view", "click", "purchase")).collect()]}
+    assert out["view->click"]["n_completed"] == 2
+    assert out["view->click"]["median_us"] == 200.0  # exact half
+    assert out["view->click"]["mean_us"] == 200.0
+    assert out["click->purchase"]["n_completed"] == 1
+    assert out["click->purchase"]["median_us"] == 400.0
+
+
+# --------------------------------------------------------------------- zipf_fit
+
+
+def test_zipf_fit_perfect_power_law(spark):
+    import math
+    from feat_spark.operators.keywords import zipf_fit
+
+    # freqs 12/6/4/3 = 12/r at ranks 1..4 -> slope exactly -1
+    text = " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = [q.asDict() for q in zipf_fit(df, top_n=10).collect()]
+    r = out[0]
+    assert r["n_words"] == 4
+    assert abs(r["slope"] - (-1.0)) < 1e-9
+    assert r["intercept"] == round(math.log(12), 6)
