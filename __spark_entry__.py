@@ -3663,6 +3663,67 @@ def _q_zipf_fit(spark, sf_dir):
     return zipf_fit(_t(spark, sf_dir, "documents"), top_n=1000)
 
 
+def _q_standardized_rates(spark, sf_dir):
+    """Directly-standardized purchase rates (experiment.
+    standardized_rates): variant = user_id%2, strata = day-of-week —
+    composition-adjusted comparison, strata-ordered sorted folds,
+    integer-operand divisions, w_covered honesty column. Oracle
+    replays pooled weights and both folds."""
+    from feat_spark.operators.experiment import standardized_rates
+
+    e = _events(spark, sf_dir).select(
+        (F.col("user_id") % 2).alias("variant"),
+        (
+            (F.expr("unix_micros(cast(ts as timestamp)) div 86400000000") + 3)
+            % 7
+        ).alias("dow"),
+        "event_type",
+    )
+    return standardized_rates(e, "variant", "dow", "event_type = 'purchase'")
+
+
+def _q_confusion_stats(spark, sf_dir):
+    """Multi-class confusion margins (experiment.confusion_stats):
+    label = event_type, pred = a frozen value-threshold rule — so some
+    classes are never predicted (NULL precision) and margins exercise
+    the full-outer merge. Oracle replays matrix + margins."""
+    from feat_spark.operators.experiment import confusion_stats
+
+    e = _events(spark, sf_dir).select(
+        F.col("event_type").alias("y"),
+        F.when(F.col("value") > 7, "purchase")
+        .when(F.col("value") > 3, "click")
+        .otherwise("view")
+        .alias("p"),
+    )
+    return confusion_stats(e, "y", "p")
+
+
+def _q_time_weighted_avg(spark, sf_dir):
+    """Step-function time-weighted value average (encoding.
+    time_weighted_avg) per user: integer-us spans from one lead,
+    integer cents*span sums, one closing division. Oracle replays the
+    lead and the sums."""
+    from feat_spark.operators.encoding import time_weighted_avg
+
+    return time_weighted_avg(_events(spark, sf_dir), "user_id")
+
+
+def _q_two_hop(spark, sf_dir):
+    """1/2-hop distinct reach (graph.two_hop_reach) on the order-part
+    incidence graph (even/odd namespacing): middle-capped wedge join,
+    exact distance-2 via anti-join on direct edges, per-node
+    pivots_capped honesty column. Oracle replays wedges, anti, and
+    margins."""
+    from feat_spark.operators.graph import two_hop_reach
+
+    e = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    return two_hop_reach(e, max_degree=1000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -3693,13 +3754,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-103, after the window froze):
-    # 53 brand-new gates (scd2_build..inverted_index, then
-    # autocorr..zipf_fit) built AFTER the r4 window was
+    # LATE-ROUND-4 ADDITIONS (positions 51-107, after the window froze):
+    # 57 brand-new gates (scd2_build..inverted_index, then
+    # autocorr..two_hop_reach) built AFTER the r4 window was
     # fixed; all dtype-strict-selfcheck green at sf0.01 in their build
     # session, never driver-checked. ROUND-5 WINDOW PLAN, in order:
-    # (1) the 53 late-r4 gates + semantic_dedup + knn_cosine_ivf
-    # (positions 51-105 — pure registry slide, they are already first
+    # (1) the 57 late-r4 gates + semantic_dedup + knn_cosine_ivf
+    # (positions 51-109 — pure registry slide, they are already first
     # after the cut); (2) the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
     # r5); (3) the r2-green trailers (stable_order..feature_extract)
@@ -3812,6 +3873,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_distances": _q_centroid_distances,
         "funnel_latency": _q_funnel_latency,
         "zipf_fit": _q_zipf_fit,
+        "standardized_rates": _q_standardized_rates,
+        "confusion_stats": _q_confusion_stats,
+        "time_weighted_avg": _q_time_weighted_avg,
+        "two_hop_reach": _q_two_hop,
         "split_balance": _q_split_balance,
         "assortativity": _q_assortativity,
         "ndcg": _q_ndcg,
@@ -7220,4 +7285,126 @@ def oracle_sql() -> dict[str, str]:
                               / (n_words * sxx - sx * sx)) * sx)
                        / n_words, 6) as intercept
           from s""",
+        "standardized_rates": """
+          with b as (
+            select user_id % 2 as grp,
+                   (epoch_us(ts) // 86400000000 + 3) % 7 as st,
+                   case when event_type = 'purchase' then 1 else 0 end
+                     as x
+            from events),
+          cell as (
+            select grp, st, count(*) as n_gs,
+                   cast(sum(x) as bigint) as x_gs
+            from b group by 1, 2),
+          pooled as (
+            select st, cast(sum(n_gs) as bigint) as n_s
+            from cell group by 1),
+          tot as (select cast(sum(n_s) as bigint) as n_tot from pooled),
+          j as (
+            select cell.grp, cell.st, cell.n_gs, cell.x_gs,
+                   pooled.n_s, tot.n_tot
+            from cell join pooled using (st), tot),
+          a as (
+            select grp, cast(sum(n_gs) as bigint) as n,
+                   cast(sum(x_gs) as bigint) as x,
+                   list_reduce(list_prepend(0.0,
+                     list((n_s / n_tot) * (x_gs / n_gs) order by st)),
+                     (p, q) -> p + q) as std,
+                   list_reduce(list_prepend(0.0,
+                     list(n_s / n_tot order by st)),
+                     (p, q) -> p + q) as wcov
+            from j group by 1)
+          select grp as variant, n,
+                 round(x / n, 6) as crude_rate,
+                 round(std, 6) as std_rate,
+                 round(wcov, 6) as w_covered
+          from a""",
+        "confusion_stats": """
+          with b as (
+            select event_type as y,
+                   case when value > 7 then 'purchase'
+                        when value > 3 then 'click'
+                        else 'view' end as p
+            from events),
+          m as (select y, p, count(*) as n from b group by 1, 2),
+          t as (select y as cls, cast(sum(n) as bigint) as n_true
+                from m group by 1),
+          pr as (select p as cls, cast(sum(n) as bigint) as n_pred
+                 from m group by 1),
+          tp as (select y as cls, n as tp from m where y = p),
+          j as (
+            select coalesce(t.cls, pr.cls) as cls,
+                   coalesce(n_true, 0) as n_true,
+                   coalesce(n_pred, 0) as n_pred,
+                   coalesce(tp, 0) as tp
+            from t full outer join pr on t.cls = pr.cls
+            left join tp on coalesce(t.cls, pr.cls) = tp.cls),
+          c as (
+            select cls, n_true, n_pred, tp,
+                   case when n_pred > 0 then tp / n_pred end as prec,
+                   case when n_true > 0 then tp / n_true end as rec
+            from j)
+          select cls, n_true, n_pred, tp,
+                 round(prec, 6) as precision,
+                 round(rec, 6) as recall,
+                 round(case when prec is not null and rec is not null
+                            and prec + rec > 0
+                       then 2 * prec * rec / (prec + rec) end, 6) as f1
+          from c""",
+        "time_weighted_avg": """
+          with b as (
+            select user_id, epoch_us(ts) as t, event_id,
+                   cast(cast(value as decimal(18,2)) * 100 as bigint)
+                     as c
+            from events),
+          l as (
+            select user_id, c,
+                   lead(t) over (partition by user_id
+                                 order by t, event_id) - t as span
+            from b),
+          a as (
+            select user_id, count(*) as n_obs,
+                   cast(coalesce(sum(span), 0) as bigint) as span_us,
+                   cast(coalesce(sum(c * span), 0) as bigint) as wsum
+            from l group by 1)
+          select user_id, n_obs, span_us,
+                 case when span_us > 0
+                      then round(wsum / (span_us * 100), 6) end as twa
+          from a""",
+        "two_hop_reach": """
+          with raw as (
+            select l_orderkey * 2 as s, l_partkey * 2 + 1 as d
+            from lineitem),
+          e as (
+            select distinct least(s, d) as a, greatest(s, d) as b
+            from raw where s <> d),
+          adj as (
+            select a as u, b as v from e
+            union all select b as u, a as v from e),
+          deg as (select u, count(*) as degree from adj group by 1),
+          mid as (select u as m from deg where degree <= 1000),
+          wed as (
+            select l.u, r.v as w
+            from adj l
+            join mid on l.v = mid.m
+            join adj r on l.v = r.u
+            where l.u <> r.v),
+          two as (
+            select u, count(distinct w) as reach2
+            from wed
+            where not exists (select 1 from adj d
+                              where d.u = wed.u and d.v = wed.w)
+            group by 1),
+          capped as (
+            select adj.u,
+                   cast(sum(case when dg.degree > 1000 then 1 else 0
+                            end) as bigint) as pivots_capped
+            from adj join deg dg on adj.v = dg.u
+            group by 1)
+          select deg.u as node, deg.degree,
+                 coalesce(two.reach2, 0) as reach2,
+                 coalesce(capped.pivots_capped, 0) as pivots_capped
+          from deg
+          left join two on deg.u = two.u
+          left join capped on deg.u = capped.u""",
     }

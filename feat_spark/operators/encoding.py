@@ -753,3 +753,59 @@ def rank_normalize(
         out_col, F.lit(None).cast("double")
     )
     return ranked.unionByName(nulls)
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: Sequence[str] | str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Time-weighted average under step-function (last-observation-
+    carried-forward) semantics — each observed value holds until the
+    next observation, and the average weights every value by how long
+    it HELD, not how often it was sampled: the correct mean for
+    balances, prices, queue depths, feature gauges — anything sampled
+    irregularly (a plain mean of [100 ms at $5, 3 days at $1] is
+    wildly wrong).
+
+    Exactness: the weight of each value is an integer microsecond span
+    from ONE lead over the per-entity (ts, tiebreak) order; value goes
+    to integer cents; ``sum(cents * span_us)`` is an exact integer sum
+    (bounded by span*cents — guard magnitudes upstream at planetary
+    scale), closed by one division by the total span. The LAST
+    observation has no forward span and carries zero weight
+    (the half-open [t_i, t_{i+1}) convention; pass a synthetic
+    end-of-window row to weight it).
+
+    Output: key cols + ``(n_obs, span_us, twa)``, 6dp in value units.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    w = Window.partitionBy(*keys).orderBy(
+        "__t", *[F.col(c) for c in tiebreak]
+    )
+    base = df.select(
+        *keys,
+        us.alias("__t"),
+        *[F.col(c) for c in tiebreak],
+        cents.alias("__c"),
+    ).withColumn("__span", F.lead("__t").over(w) - F.col("__t"))
+    agg = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.coalesce(F.sum("__span"), F.lit(0)).alias("span_us"),
+        F.coalesce(
+            F.sum(F.col("__c") * F.col("__span")), F.lit(0)
+        ).alias("__wsum"),
+    )
+    return agg.select(
+        *keys,
+        "n_obs",
+        "span_us",
+        F.when(
+            F.col("span_us") > 0,
+            F.round(F.col("__wsum") / (F.col("span_us") * 100), 6),
+        ).alias("twa"),
+    )

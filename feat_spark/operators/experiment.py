@@ -527,3 +527,132 @@ def split_balance(
             F.round((mean_a - mean_b) / F.sqrt(pooled), 6),
         ).alias("smd"),
     )
+
+
+def standardized_rates(
+    df: DataFrame,
+    group_col: str,
+    strata_col: str,
+    metric_when: str,
+) -> DataFrame:
+    """Directly-standardized rates per group — the Simpson's-paradox
+    guard: each group's stratum-level rates are re-weighted by the
+    POOLED stratum distribution, so two groups with different strata
+    mixes (mobile-heavy vs desktop-heavy variants, old vs new cohorts)
+    compare on the same footing. The confounding-adjustment companion
+    to :func:`cuped_adjust` (that one removes pre-period variance;
+    this removes composition).
+
+    ``metric_when`` is a SQL boolean (e.g. ``"event_type =
+    'purchase'"``); the metric is its rate.
+
+    Exactness: all counts integer; the crude rate is one division; the
+    standardized rate ``sum_s w_s * (x_gs/n_gs)`` is a SORTED FOLD
+    over strata-ordered per-stratum terms (strata are a bounded
+    dimension — device of behavior_entropy), each term carrying two
+    integer-operand divisions. Strata where the group has no exposure
+    contribute nothing and their weight is honestly missing from that
+    group's normalizer (``w_covered`` reports how much of the pooled
+    weight the group covers — readers must see <1 coverage rather
+    than a silently rescaled rate).
+
+    Output: ``(group, n, crude_rate, std_rate, w_covered)``, 6dp.
+    """
+    hit = F.expr(metric_when).cast("long")
+    cell = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(strata_col).alias("st"),
+        hit.alias("__x"),
+    ).groupBy("grp", "st").agg(
+        F.count(F.lit(1)).alias("n_gs"), F.sum("__x").alias("x_gs")
+    )
+    pooled = cell.groupBy("st").agg(F.sum("n_gs").alias("n_s"))
+    total = pooled.agg(F.sum("n_s").alias("n_tot"))
+    j = cell.join(pooled, "st").crossJoin(F.broadcast(total))
+    term = (F.col("n_s") / F.col("n_tot")) * (
+        F.col("x_gs") / F.col("n_gs")
+    )
+    wterm = F.col("n_s") / F.col("n_tot")
+    agg = j.groupBy("grp").agg(
+        F.sum("n_gs").alias("n"),
+        F.sum("x_gs").alias("__x"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("st", term.alias("__t")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["__t"],
+        ).alias("__std"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("st", wterm.alias("__w")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["__w"],
+        ).alias("__wcov"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.round(F.col("__x") / F.col("n"), 6).alias("crude_rate"),
+        F.round("__std", 6).alias("std_rate"),
+        F.round("__wcov", 6).alias("w_covered"),
+    )
+
+
+def confusion_stats(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Multi-class confusion readout — per CLASS support, predicted
+    count, true positives, precision, recall, F1: the eval table next
+    to :func:`group_auc` (AUC scores the ranking; this scores the
+    committed decisions) and the monitoring diff under label-drift
+    alarms.
+
+    One (label, pred)-keyed count is the whole shuffle (the confusion
+    matrix itself is classes² — dimension-scale); per-class margins
+    come from re-aggregating that tiny frame twice and an outer merge
+    keeps classes that appear only as labels (recall 0) or only as
+    predictions (precision 0). Ratios are one integer-operand division
+    each; zero denominators are NULL, and F1 is NULL when either side
+    is (honest undefined, not 0).
+
+    Output: ``(cls, n_true, n_pred, tp, precision, recall, f1)``.
+    """
+    m = df.select(
+        F.col(label_col).alias("y"), F.col(pred_col).alias("p")
+    ).groupBy("y", "p").agg(F.count(F.lit(1)).alias("n"))
+    truth = m.groupBy(F.col("y").alias("cls")).agg(
+        F.sum("n").alias("n_true")
+    )
+    pred = m.groupBy(F.col("p").alias("cls")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    tp = m.filter(F.col("y") == F.col("p")).select(
+        F.col("y").alias("cls"), F.col("n").alias("tp")
+    )
+    j = (
+        truth.join(pred, "cls", "full_outer")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred"))
+    rec = F.when(F.col("n_true") > 0, F.col("tp") / F.col("n_true"))
+    return j.select(
+        "cls",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            F.when(
+                prec.isNotNull() & rec.isNotNull() & ((prec + rec) > 0),
+                2 * prec * rec / (prec + rec),
+            ),
+            6,
+        ).alias("f1"),
+    )

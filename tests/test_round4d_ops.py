@@ -817,3 +817,112 @@ def test_zipf_fit_perfect_power_law(spark):
     assert r["n_words"] == 4
     assert abs(r["slope"] - (-1.0)) < 1e-9
     assert r["intercept"] == round(math.log(12), 6)
+
+
+# ------------------------------------------------------------ standardized_rates
+
+
+def test_standardized_rates_simpson(spark):
+    from feat_spark.operators.experiment import standardized_rates
+
+    rows = []
+    # Simpson setup: group A is mobile-heavy, B desktop-heavy.
+    # Within EVERY stratum B's rate is higher, but A's crude rate wins.
+    def add(grp, st, hits, n):
+        for i in range(n):
+            rows.append((grp, st, "purchase" if i < hits else "view"))
+    add("A", "desktop", 9, 10)    # 0.90 on 10
+    add("A", "mobile", 10, 90)    # 0.111 on 90
+    add("B", "desktop", 85, 90)   # 0.944 on 90
+    add("B", "mobile", 2, 10)     # 0.20 on 10
+    df = spark.createDataFrame(rows, "grp string, device string, event_type string")
+    out = {r["grp"]: r for r in
+           [q.asDict() for q in standardized_rates(
+               df, "grp", "device", "event_type = 'purchase'").collect()]}
+    # crude: A = 19/100 = 0.19, B = 87/100 = 0.87
+    assert out["A"]["crude_rate"] == 0.19 and out["B"]["crude_rate"] == 0.87
+    # pooled strata: desktop 100/200, mobile 100/200 -> equal weights
+    a_std = 0.5 * 0.9 + 0.5 * (10 / 90)
+    b_std = 0.5 * (85 / 90) + 0.5 * 0.2
+    assert abs(out["A"]["std_rate"] - a_std) < 1e-6
+    assert abs(out["B"]["std_rate"] - b_std) < 1e-6
+    # standardized, B wins — the paradox resolved
+    assert out["B"]["std_rate"] > out["A"]["std_rate"]
+    assert out["A"]["w_covered"] == 1.0
+
+
+# --------------------------------------------------------------- confusion_stats
+
+
+def test_confusion_stats_margins(spark):
+    from feat_spark.operators.experiment import confusion_stats
+
+    rows = [("a", "a")] * 3 + [("a", "b")] * 1 + [("b", "b")] * 2 + [
+        ("b", "c")
+    ]  # 'c' never a true label
+    df = spark.createDataFrame(rows, "y string, p string")
+    out = {r["cls"]: r for r in
+           [q.asDict() for q in confusion_stats(df, "y", "p").collect()]}
+    assert (out["a"]["n_true"], out["a"]["n_pred"], out["a"]["tp"]) == (4, 3, 3)
+    assert out["a"]["precision"] == 1.0 and out["a"]["recall"] == 0.75
+    assert out["a"]["f1"] == round(2 * 1 * 0.75 / 1.75, 6)
+    # 'c': predicted once, never true -> precision 0, recall NULL
+    assert out["c"]["precision"] == 0.0 and out["c"]["recall"] is None
+    assert out["c"]["f1"] is None
+
+
+# -------------------------------------------------------------- time_weighted_avg
+
+
+def test_time_weighted_avg_locf(spark):
+    import datetime
+    from feat_spark.operators.encoding import time_weighted_avg
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        # $5 holds 1s, $1 holds 3s, final obs carries no weight
+        (1, base, "u", 5.0),
+        (2, base + datetime.timedelta(seconds=1), "u", 1.0),
+        (3, base + datetime.timedelta(seconds=4), "u", 99.0),
+        (4, base, "singleton", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string, value double"
+    )
+    out = {r["user_id"]: r for r in
+           [q.asDict() for q in time_weighted_avg(df, "user_id").collect()]}
+    assert out["u"]["twa"] == 2.0  # (5*1 + 1*3) / 4
+    assert out["u"]["span_us"] == 4_000_000
+    assert out["singleton"]["twa"] is None  # zero span
+
+
+# ----------------------------------------------------------------- two_hop_reach
+
+
+def test_two_hop_reach_path_graph(spark):
+    from feat_spark.operators.graph import two_hop_reach
+
+    # path 1-2-3-4-5
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    out = {r["node"]: r for r in
+           [q.asDict() for q in two_hop_reach(df).collect()]}
+    assert out[1]["reach2"] == 1        # only 3
+    assert out[3]["reach2"] == 2        # 1 and 5
+    assert out[3]["degree"] == 2
+    assert all(r["pivots_capped"] == 0 for r in out.values())
+
+
+def test_two_hop_reach_hub_cap(spark):
+    from feat_spark.operators.graph import two_hop_reach
+
+    # star center 0 with 4 leaves; cap degree 3 -> center can't pivot
+    df = spark.createDataFrame(
+        [(0, i) for i in (1, 2, 3, 4)], "src long, dst long"
+    )
+    out = {r["node"]: r for r in
+           [q.asDict() for q in two_hop_reach(df, max_degree=3).collect()]}
+    # leaves lose their (only) pivot: reach2 = 0 but capped flagged
+    assert out[1]["reach2"] == 0 and out[1]["pivots_capped"] == 1
+    assert out[0]["reach2"] == 0 and out[0]["pivots_capped"] == 0

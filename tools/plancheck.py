@@ -53,7 +53,11 @@ NL_EXEMPT = {"knn_cosine", "embedding_near_dup", "knn_cosine_ivf",
              # centroid frame by contract (assign_clusters
              # strategy="join"); the map-side partial max collapses the
              # n*k stream to n rows before the one exchange
-             "semantic_dedup_largek"}
+             "semantic_dedup_largek",
+             # same 1-row class as cuped_adjust: the single-row grand-
+             # total frame crossed onto the (group x strata)-sized cell
+             # frame to form pooled weights
+             "standardized_rates"}
 
 #: max Exchange nodes allowed (shuffles; BroadcastExchange excluded).
 #: window/sessionize pipelines must reuse ONE exchange.
