@@ -3724,6 +3724,52 @@ def _q_two_hop(spark, sf_dir):
     return two_hop_reach(e, max_degree=1000)
 
 
+def _q_burstiness(spark, sf_dir):
+    """Inter-event burstiness (profile.burstiness): Goh-Barabási
+    B = (sd-mean)/(sd+mean) over per-user integer-us gaps; decimal
+    square-sums, fixed double op order, fp-dust clamp. Oracle replays
+    lead, sums, and the closed form."""
+    from feat_spark.operators.profile import burstiness
+
+    return burstiness(_events(spark, sf_dir), "user_id")
+
+
+def _q_weighted_topk_sample(spark, sf_dir):
+    """A-ES weighted without-replacement sampling (sampling.
+    weighted_topk_sample): 20 docs per source proportional to n_chars
+    via frozen md5 uniforms and exponential keys -ln(u)/w — size-exact
+    where Bernoulli can't be. Oracle replays hash, key, and the
+    per-group top-k."""
+    from feat_spark.operators.sampling import weighted_topk_sample
+
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return weighted_topk_sample(d, "source", "n_chars", 20, "doc_id")
+
+
+def _q_fd_check(spark, sf_dir):
+    """Functional-dependency audit (audit.fd_check) on orders:
+    o_orderkey->o_custkey must hold (PK determines everything);
+    o_custkey->o_orderpriority must break (customers order at many
+    priorities) — both margins exact count_distinct. Oracle replays
+    per-pair aggregation."""
+    from feat_spark.plans.audit import fd_check
+
+    return fd_check(
+        _t(spark, sf_dir, "orders"),
+        [("o_orderkey", "o_custkey"), ("o_custkey", "o_orderpriority")],
+    )
+
+
+def _q_lorenz(spark, sf_dir):
+    """Lorenz curve points (profile.lorenz_curve) of event value per
+    event type: integer-cent rank + reused-sort cumulative, integer
+    ceiling decile assignment, one division per output row. Oracle
+    replays rank, cum, and decile arithmetic."""
+    from feat_spark.operators.profile import lorenz_curve
+
+    return lorenz_curve(_events(spark, sf_dir), "event_type", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -3754,13 +3800,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-107, after the window froze):
-    # 57 brand-new gates (scd2_build..inverted_index, then
-    # autocorr..two_hop_reach) built AFTER the r4 window was
+    # LATE-ROUND-4 ADDITIONS (positions 51-111, after the window froze):
+    # 61 brand-new gates (scd2_build..inverted_index, then
+    # autocorr..lorenz) built AFTER the r4 window was
     # fixed; all dtype-strict-selfcheck green at sf0.01 in their build
     # session, never driver-checked. ROUND-5 WINDOW PLAN, in order:
-    # (1) the 57 late-r4 gates + semantic_dedup + knn_cosine_ivf
-    # (positions 51-109 — pure registry slide, they are already first
+    # (1) the 61 late-r4 gates + semantic_dedup + knn_cosine_ivf
+    # (positions 51-113 — pure registry slide, they are already first
     # after the cut); (2) the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
     # r5); (3) the r2-green trailers (stable_order..feature_extract)
@@ -3877,6 +3923,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confusion_stats": _q_confusion_stats,
         "time_weighted_avg": _q_time_weighted_avg,
         "two_hop_reach": _q_two_hop,
+        "burstiness": _q_burstiness,
+        "weighted_topk": _q_weighted_topk_sample,
+        "fd_check": _q_fd_check,
+        "lorenz": _q_lorenz,
         "split_balance": _q_split_balance,
         "assortativity": _q_assortativity,
         "ndcg": _q_ndcg,
@@ -7407,4 +7457,91 @@ def oracle_sql() -> dict[str, str]:
           from deg
           left join two on deg.u = two.u
           left join capped on deg.u = capped.u""",
+        "burstiness": """
+          with b as (
+            select user_id, epoch_us(ts) as t, event_id from events),
+          l as (
+            select user_id,
+                   lead(t) over (partition by user_id
+                                 order by t, event_id) - t as g
+            from b),
+          a as (
+            select user_id, count(*) as n_gaps,
+                   cast(sum(g) as bigint) as sx,
+                   cast(sum(cast(g as decimal(28,0))
+                            * cast(g as decimal(28,0))) as double)
+                     as sxx
+            from l where g is not null group by 1),
+          c as (
+            select user_id, n_gaps, sx / n_gaps as mean,
+                   greatest(sxx / n_gaps
+                            - (sx / n_gaps) * (sx / n_gaps), 0.0)
+                     as var
+            from a)
+          select user_id, n_gaps, round(mean, 6) as mean_gap_us,
+                 case when n_gaps >= 2 and sqrt(var) + mean > 0
+                      then round((sqrt(var) - mean)
+                                 / (sqrt(var) + mean), 6)
+                 end as b
+          from c""",
+        "weighted_topk": """
+          with b as (
+            select source, doc_id, n_chars,
+                   (('0x' || substr(md5('wtk:' || cast(doc_id as varchar)), 1, 8))::BIGINT % 2147483647 + 1) / 2147483648.0 as u
+            from documents where n_chars > 0),
+          k as (
+            select source, doc_id, n_chars,
+                   -ln(u) / cast(n_chars as double) as kk
+            from b),
+          r as (
+            select *, row_number() over (partition by source
+                       order by kk asc, doc_id asc) as rn
+            from k)
+          select source, doc_id, n_chars, round(kk, 6) as srk
+          from r where rn <= 20""",
+        "fd_check": """
+          with a1 as (
+            select o_orderkey, count(distinct o_custkey) as nd
+            from orders group by 1),
+          a2 as (
+            select o_custkey, count(distinct o_orderpriority) as nd
+            from orders group by 1)
+          select 'o_orderkey->o_custkey' as fd,
+                 count(*) as n_keys,
+                 cast(sum(case when nd > 1 then 1 else 0 end) as bigint)
+                   as n_violating,
+                 max(nd) as max_distinct
+          from a1
+          union all
+          select 'o_custkey->o_orderpriority', count(*),
+                 cast(sum(case when nd > 1 then 1 else 0 end) as bigint),
+                 max(nd)
+          from a2""",
+        "lorenz": """
+          with b as (
+            select event_type,
+                   cast(cast(value as decimal(18,2)) * 100 as bigint)
+                     as c
+            from events),
+          r as (
+            select event_type, c,
+                   row_number() over (partition by event_type
+                                      order by c asc) as rk,
+                   count(*) over (partition by event_type) as n,
+                   cast(sum(c) over (partition by event_type) as bigint)
+                     as tot,
+                   cast(sum(c) over (partition by event_type
+                     order by c asc rows between unbounded preceding
+                     and current row) as bigint) as cum
+            from b),
+          a as (
+            select event_type, (rk * 10 + n - 1) // n as point,
+                   rk, cum, tot
+            from r)
+          select event_type, point,
+                 cast(max(rk) as int) as n_rows,
+                 max(cum) as cum_cents,
+                 case when max(tot) > 0
+                      then round(max(cum) / max(tot), 6) end as cum_share
+          from a group by 1, 2""",
     }

@@ -795,3 +795,108 @@ def gini_concentration(
             "gini"
         ),
     )
+
+
+def burstiness(
+    df: DataFrame,
+    key_cols: Sequence[str] | str,
+    ts_col: str = "ts",
+    tiebreak: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Inter-event burstiness per entity — Goh & Barabási's
+    ``B = (σ - μ) / (σ + μ)`` over the gap distribution: B -> -1 for
+    metronome regularity (cron jobs, bots), B ≈ 0 for Poisson arrivals
+    (memoryless), B -> +1 for heavy-tailed human bursts. The
+    inter-arrival companion to :func:`hourly_profile`'s clock-face
+    view — a "user" with hourly_profile flatness AND B ≈ -1 is
+    automation.
+
+    Exactness: gaps are integer microseconds from ONE lead over the
+    stable (ts, tiebreak) order; the gap sum is an exact integer and
+    the gap square-sum runs in decimal (a 26-day gap squares past
+    int64). Mean/variance close in double with a FIXED operator order
+    written identically in the oracle; variance clamps at 0 against
+    fp dust. Entities with fewer than 2 gaps return NULL B (no
+    dispersion exists).
+
+    Output: key cols + ``(n_gaps, mean_gap_us, b)``, 6dp.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(*keys).orderBy(
+        "__t", *[F.col(c) for c in tiebreak]
+    )
+    base = df.select(
+        *keys, us.alias("__t"), *[F.col(c) for c in tiebreak]
+    ).withColumn("__g", F.lead("__t").over(w) - F.col("__t"))
+    g = F.col("__g")
+    gd = g.cast("decimal(18,0)")
+    agg = base.filter(g.isNotNull()).groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(g).alias("__sx"),
+        F.sum(gd * gd).cast("double").alias("__sxx"),
+    )
+    mean = F.col("__sx") / F.col("n_gaps")
+    var = F.greatest(
+        F.col("__sxx") / F.col("n_gaps") - mean * mean, F.lit(0.0)
+    )
+    sd = F.sqrt(var)
+    return agg.select(
+        *keys,
+        "n_gaps",
+        F.round(mean, 6).alias("mean_gap_us"),
+        F.when(
+            (F.col("n_gaps") >= 2) & ((sd + mean) > 0),
+            F.round((sd - mean) / (sd + mean), 6),
+        ).alias("b"),
+    )
+
+
+def lorenz_curve(
+    df: DataFrame,
+    key_cols: Sequence[str] | str,
+    value_col: str = "value",
+    n_points: int = 10,
+) -> DataFrame:
+    """Lorenz curve points per group — the curve
+    :func:`gini_concentration` integrates: after sorting the group's
+    members by value ascending, the cumulative value share at each
+    population decile ("the bottom 80% of users hold 12% of the
+    spend"). The readout product teams actually plot.
+
+    Exactness: integer cents, one rank window and its reused-sort
+    cumulative sum, decile assignment by INTEGER ceiling arithmetic
+    (``(rank * p + n - 1) div n``), per-decile cum = max(cum)
+    (monotone, so order-free), ONE division per output row. All-zero
+    groups emit NULL shares.
+
+    Output: key cols + ``(point, n_rows, cum_cents, cum_share)``
+    where point 1..n_points is the upper population quantile edge.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    w = Window.partitionBy(*keys).orderBy(F.col("__c").asc())
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = Window.partitionBy(*keys)
+    r = (
+        df.select(*keys, cents.alias("__c"))
+        .withColumn("__rank", F.row_number().over(w))
+        .withColumn("__cum", F.sum("__c").over(wc))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .withColumn("__tot", F.sum("__c").over(wn))
+    )
+    pt = F.expr(f"(__rank * {int(n_points)} + __n - 1) div __n")
+    agg = r.withColumn("point", pt).groupBy(*keys, "point").agg(
+        F.max("__rank").alias("n_rows"),
+        F.max("__cum").alias("cum_cents"),
+        F.max("__tot").alias("__t"),
+    )
+    return agg.select(
+        *keys,
+        "point",
+        "n_rows",
+        "cum_cents",
+        F.when(
+            F.col("__t") > 0, F.round(F.col("cum_cents") / F.col("__t"), 6)
+        ).alias("cum_share"),
+    )

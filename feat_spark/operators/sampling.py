@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from feat_spark.functions.text import md5_long32
@@ -200,4 +200,54 @@ def temporal_split_embargo(
         F.when(ts_us < train_end, F.lit("train"))
         .when(ts_us >= cutoff_us, F.lit("test"))
         .otherwise(F.lit("embargo")),
+    )
+
+
+def weighted_topk_sample(
+    df: DataFrame,
+    group_cols: "Sequence[str] | str",
+    weight_col: str,
+    k: int,
+    id_col: str,
+    seed: str = "wtk",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group — the
+    Efraimidis-Spirakis A-ES scheme: each row draws a deterministic
+    uniform ``u`` from its id (md5 — the engine's frozen-randomness
+    device) and the k rows with the smallest exponential keys
+    ``-ln(u) / w`` are EXACTLY a weight-proportional without-
+    replacement sample. :func:`weighted_sample` (Bernoulli) can't
+    promise a sample SIZE; per-group quotas + weights need this.
+
+    Fully deterministic and replayable (same ids + seed -> same
+    sample on any cluster layout); one hash projection + one per-group
+    top-k window (TakeOrdered shape, groups independent). Rows with
+    non-positive or NULL weight are excluded by contract — a zero
+    weight must never be sampled, and a silent epsilon would fake
+    one.
+
+    Output: input columns + ``(srk)`` (the selection key, 1..k rank
+    NOT included — callers re-rank if they need order).
+    """
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    from feat_spark.functions.text import md5_long32
+
+    m = 2_147_483_647
+    h = F.pmod(
+        md5_long32(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))),
+        F.lit(m),
+    )
+    u = (h + 1).cast("double") / F.lit(float(m + 1))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("__k").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__k", key)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .withColumnRenamed("__k", "srk")
+        .withColumn("srk", F.round(F.col("srk"), 6))
     )

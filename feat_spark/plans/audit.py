@@ -351,3 +351,46 @@ def split_leakage(
         ),
     )
     return agg.filter(F.col("n_splits") > 1)
+
+
+def fd_check(
+    df: DataFrame,
+    pairs: "list[tuple[str, str]]",
+) -> DataFrame:
+    """Functional-dependency audit — for each declared ``A -> B``
+    ("order id determines customer", "SKU determines category"), how
+    many A-keys map to MORE than one distinct B: the schema-semantics
+    twin of :func:`fk_coverage` (that one checks keys exist; this one
+    checks keys MEAN one thing), and the profiling step that catches
+    silently denormalized joins and dirty dimension merges.
+
+    One exact ``count_distinct(B) group by A`` per declared pair (a
+    partial-aggregatable shuffle on A), then a 1-row summary each,
+    unioned long. Violations report the worst fan-out too —
+    ``max_distinct = 1`` for a clean FD, 2+ localizes how bad.
+
+    Output: ``(fd, n_keys, n_violating, max_distinct)``.
+    """
+    outs = []
+    for det, dep in pairs:
+        per = df.groupBy(det).agg(
+            F.count_distinct(dep).alias("__nd")
+        )
+        outs.append(
+            per.agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum((F.col("__nd") > 1).cast("long")).alias(
+                    "n_violating"
+                ),
+                F.max("__nd").alias("max_distinct"),
+            ).select(
+                F.lit(f"{det}->{dep}").alias("fd"),
+                "n_keys",
+                "n_violating",
+                "max_distinct",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

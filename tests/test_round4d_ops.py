@@ -926,3 +926,90 @@ def test_two_hop_reach_hub_cap(spark):
     # leaves lose their (only) pivot: reach2 = 0 but capped flagged
     assert out[1]["reach2"] == 0 and out[1]["pivots_capped"] == 1
     assert out[0]["reach2"] == 0 and out[0]["pivots_capped"] == 0
+
+
+# ------------------------------------------------------------------- burstiness
+
+
+def test_burstiness_metronome_vs_bursty(spark):
+    import datetime
+    from feat_spark.operators.profile import burstiness
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # metronome: constant 60s gaps -> sd 0 -> B = -1
+    for i in range(5):
+        rows.append((i, base + datetime.timedelta(minutes=i), "bot"))
+    # bursty: 19 one-second gaps then a 100000s silence
+    secs = list(range(20)) + [100019]
+    for j, s in enumerate(secs):
+        rows.append((10 + j, base + datetime.timedelta(seconds=s), "human"))
+    # singleton gap -> NULL
+    rows += [(20, base, "one"), (21, base + datetime.timedelta(seconds=5), "one")]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id string")
+    out = {r["user_id"]: r for r in
+           [q.asDict() for q in burstiness(df, "user_id").collect()]}
+    assert out["bot"]["b"] == -1.0 and out["bot"]["n_gaps"] == 4
+    assert out["human"]["b"] > 0.5 and out["human"]["n_gaps"] == 20
+    assert out["one"]["b"] is None and out["one"]["n_gaps"] == 1
+
+
+# --------------------------------------------------------- weighted_topk_sample
+
+
+def test_weighted_topk_deterministic_and_sized(spark):
+    from feat_spark.operators.sampling import weighted_topk_sample
+
+    rows = [("g", i, float(1 + i % 3)) for i in range(30)] + [
+        ("g", 99, 0.0),   # zero weight: excluded by contract
+        ("h", 1, 2.0),    # under-k group: all rows kept
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, w double")
+    out = [r.asDict() for r in
+           weighted_topk_sample(df, "grp", "w", 5, "id").collect()]
+    by_g = [r for r in out if r["grp"] == "g"]
+    assert len(by_g) == 5
+    assert all(r["id"] != 99 for r in by_g)
+    assert [r["id"] for r in out if r["grp"] == "h"] == [1]
+    # deterministic: second run identical
+    out2 = [r.asDict() for r in
+            weighted_topk_sample(df, "grp", "w", 5, "id").collect()]
+    assert sorted(r["id"] for r in out) == sorted(r["id"] for r in out2)
+
+
+# --------------------------------------------------------------------- fd_check
+
+
+def test_fd_check_clean_and_violated(spark):
+    from feat_spark.plans.audit import fd_check
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (1, "a", "y"), (2, "b", "x"), (3, "a", "x")],
+        "k long, cat string, other string",
+    )
+    out = {r["fd"]: r for r in
+           [q.asDict() for q in fd_check(df, [("k", "cat"), ("k", "other")]).collect()]}
+    # k -> cat holds (each k maps to one cat)
+    assert out["k->cat"]["n_violating"] == 0
+    assert out["k->cat"]["max_distinct"] == 1
+    # k -> other violated by k=1 (x and y)
+    assert out["k->other"]["n_violating"] == 1
+    assert out["k->other"]["max_distinct"] == 2
+    assert out["k->other"]["n_keys"] == 3
+
+
+# ----------------------------------------------------------------- lorenz_curve
+
+
+def test_lorenz_curve_whale(spark):
+    from feat_spark.operators.profile import lorenz_curve
+
+    # 4 users: 0,0,0,40 -> at point 5 (bottom half) share 0; whale at top
+    rows = [("g", 0.0), ("g", 0.0), ("g", 0.0), ("g", 40.0)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = {r["point"]: r for r in
+           [q.asDict() for q in lorenz_curve(df, "grp", n_points=4).collect()]}
+    assert out[1]["cum_share"] == 0.0
+    assert out[3]["cum_share"] == 0.0
+    assert out[4]["cum_share"] == 1.0 and out[4]["cum_cents"] == 4000
+    assert out[4]["n_rows"] == 4
