@@ -3770,6 +3770,119 @@ def _q_lorenz(spark, sf_dir):
     return lorenz_curve(_events(spark, sf_dir), "event_type", "value")
 
 
+def _q_stream_cdc(spark, sf_dir):
+    """Streaming gate #8: foreachBatch CDC materialization
+    (pipeline.stream_apply_cdc). Batch 1 = even-orderkey updates
+    (cents*2, %7 deleted); batch 2 = later re-upserts for %4 keys
+    (cents*3, day+1 — resurrecting deleted %28 keys, correctly) and
+    OLDER out-of-order updates for %10==6 non-deleted keys (cents*5,
+    day-1 — which must LOSE). Final parquet state must equal the
+    batch upsert_latest over the concatenated log; the oracle IS that
+    batch form."""
+    import uuid
+
+    import pandas as pd
+
+    from feat_spark.streaming.pipeline import stream_apply_cdc
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        "o_custkey",
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("day"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    c1 = o.filter(F.col("k") % 2 == 0).select(
+        "k", "o_custkey", "day", (F.col("cents") * 2).alias("cents"),
+        F.when(F.col("k") % 7 == 0, "D").otherwise("U").alias("op"),
+    )
+    c2 = o.filter(F.col("k") % 4 == 0).select(
+        "k", "o_custkey", (F.col("day") + 1).alias("day"),
+        (F.col("cents") * 3).alias("cents"), F.lit("U").alias("op"),
+    ).unionByName(
+        o.filter((F.col("k") % 10 == 6) & (F.col("k") % 7 != 0)).select(
+            "k", "o_custkey", (F.col("day") - 1).alias("day"),
+            (F.col("cents") * 5).alias("cents"), F.lit("U").alias("op"),
+        )
+    )
+    d = _stream_scratch("cdcstream")
+    tgt = os.path.join(_stream_scratch("cdctarget"), "state")
+    for i, part in enumerate((c1, c2), start=1):
+        pdf = part.toPandas().sort_values(["k", "day"]).reset_index(drop=True)
+        pdf.to_parquet(os.path.join(d, f"part{i}.parquet"), index=False)
+    _space_mtimes(d, ["part1.parquet", "part2.parquet"])
+    stream = (
+        spark.readStream.schema(
+            "k long, o_custkey long, day long, cents long, op string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = stream_apply_cdc(stream, tgt, "k", "day", tiebreak_col="cents")
+    q.awaitTermination()
+    return spark.read.parquet(tgt).select("k", "o_custkey", "day", "cents")
+
+
+def _q_jsonl_roundtrip(spark, sf_dir):
+    """Schema-first JSONL source (layout.read_jsonl): events rendered
+    to JSON lines (plus one planted corrupt line), read back with the
+    corrupt-record channel, and summarized — n_rows / n_corrupt /
+    exact cent sum of parsed values. The oracle recomputes the
+    expected summary from the events table directly."""
+    import uuid
+
+    from feat_spark.sources.layout import read_jsonl
+
+    d = _stream_scratch("jsonlsrc")
+    e = _events(spark, sf_dir).select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+    )
+    lines = [
+        r["js"]
+        for r in e.select(
+            F.to_json(F.struct("event_id", "ts_us", "value")).alias("js")
+        ).collect()
+    ]
+    with open(os.path.join(d, "part.jsonl"), "w") as f:
+        f.write("\n".join(lines))
+        f.write("\n{this line is not json\n")
+    out = read_jsonl(
+        spark, d, "event_id long, ts_us long, value double"
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("long")).alias(
+            "n_corrupt"
+        ),
+        F.sum(cents).alias("sum_cents"),
+        F.count_distinct("event_id").alias("n_ids"),
+    )
+
+
+def _q_cast_audit(spark, sf_dir):
+    """Type-coercion dry run (semistructured.cast_audit): three
+    declared casts over events-derived strings — event_type to int
+    (all fail), stringified value to double (all succeed), props JSON
+    to int (all fail) — one scan aggregate, NULL inputs separated.
+    Oracle: DuckDB TRY_CAST, same single-pass sums."""
+    from feat_spark.operators.semistructured import cast_audit
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.col("value").cast("string").alias("vs"),
+        "props",
+    )
+    return cast_audit(
+        e, [("event_type", "int"), ("vs", "double"), ("props", "int")]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -3800,13 +3913,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-111, after the window froze):
-    # 61 brand-new gates (scd2_build..inverted_index, then
-    # autocorr..lorenz) built AFTER the r4 window was
+    # LATE-ROUND-4 ADDITIONS (positions 51-114, after the window froze):
+    # 64 brand-new gates (scd2_build..inverted_index, then
+    # autocorr..cast_audit) built AFTER the r4 window was
     # fixed; all dtype-strict-selfcheck green at sf0.01 in their build
     # session, never driver-checked. ROUND-5 WINDOW PLAN, in order:
-    # (1) the 61 late-r4 gates + semantic_dedup + knn_cosine_ivf
-    # (positions 51-113 — pure registry slide, they are already first
+    # (1) the 64 late-r4 gates + semantic_dedup + knn_cosine_ivf
+    # (positions 51-116 — pure registry slide, they are already first
     # after the cut); (2) the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
     # r5); (3) the r2-green trailers (stable_order..feature_extract)
@@ -3927,6 +4040,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_topk": _q_weighted_topk_sample,
         "fd_check": _q_fd_check,
         "lorenz": _q_lorenz,
+        "stream_cdc": _q_stream_cdc,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "cast_audit": _q_cast_audit,
         "split_balance": _q_split_balance,
         "assortativity": _q_assortativity,
         "ndcg": _q_ndcg,
@@ -7544,4 +7660,65 @@ def oracle_sql() -> dict[str, str]:
                  case when max(tot) > 0
                       then round(max(cum) / max(tot), 6) end as cum_share
           from a group by 1, 2""",
+        "stream_cdc": """
+          with o as (
+            select o_orderkey as k, o_custkey,
+                   epoch_us(o_orderdate) // 86400000000 as day,
+                   (o_totalprice::decimal(18,2) * 100)::BIGINT as cents
+            from orders),
+          c1 as (
+            select k, o_custkey, day, cents * 2 as cents,
+                   case when k % 7 = 0 then 'D' else 'U' end as op
+            from o where k % 2 = 0),
+          c2 as (
+            select k, o_custkey, day + 1 as day, cents * 3 as cents,
+                   'U' as op
+            from o where k % 4 = 0
+            union all
+            select k, o_custkey, day - 1, cents * 5, 'U'
+            from o where k % 10 = 6 and k % 7 <> 0),
+          u as (select * from c1 union all select * from c2),
+          r as (
+            select *, row_number() over (partition by k
+                       order by day desc, cents desc) as rn
+            from u)
+          select k, o_custkey, day, cents
+          from r where rn = 1 and op <> 'D'""",
+        "jsonl_roundtrip": """
+          select count(*) + 1 as n_rows,
+                 cast(1 as bigint) as n_corrupt,
+                 cast(sum((value::decimal(18,2) * 100)::BIGINT)
+                      as bigint) as sum_cents,
+                 count(distinct event_id) as n_ids
+          from events""",
+        "cast_audit": """
+          with b as (
+            select event_type, cast(value as varchar) as vs, props
+            from events),
+          s as (
+            select count(*) as n,
+                   sum(case when event_type is null then 1 else 0 end)
+                     as nn1,
+                   sum(case when event_type is not null
+                        and try_cast(event_type as int) is null
+                        then 1 else 0 end) as nf1,
+                   sum(case when vs is null then 1 else 0 end) as nn2,
+                   sum(case when vs is not null
+                        and try_cast(vs as double) is null
+                        then 1 else 0 end) as nf2,
+                   sum(case when props is null then 1 else 0 end)
+                     as nn3,
+                   sum(case when props is not null
+                        and try_cast(props as int) is null
+                        then 1 else 0 end) as nf3
+            from b)
+          select 'event_type' as col, 'int' as target_type, n as n_rows,
+                 cast(nn1 as bigint) as n_null_in,
+                 cast(nf1 as bigint) as n_failed from s
+          union all
+          select 'vs', 'double', n, cast(nn2 as bigint),
+                 cast(nf2 as bigint) from s
+          union all
+          select 'props', 'int', n, cast(nn3 as bigint),
+                 cast(nf3 as bigint) from s""",
     }

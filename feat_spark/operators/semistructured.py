@@ -63,3 +63,53 @@ def parse_json_column(
     if drop_source:
         out = out.drop(json_col)
     return out
+
+
+def cast_audit(
+    df: DataFrame,
+    casts: "list[tuple[str, str]]",
+) -> DataFrame:
+    """Type-coercion audit — for each declared ``(column, target
+    type)``, how many values would fail the cast: the dry-run a
+    schema-migration or ingest-normalization step runs BEFORE
+    committing to a typed write (ANSI mode — this engine's default —
+    makes a bad cast a job-killing exception; this operator finds
+    them all in one pass instead of one crash at a time).
+
+    All checks fold into a SINGLE scan aggregate (``try_cast`` is a
+    codegen expression, one conditional sum per declared cast — the
+    ``expectation_report`` cost model). NULL inputs are counted
+    separately: they cast to NULL legally and must not be reported
+    as failures.
+
+    Output: ``(col, target_type, n_rows, n_null_in, n_failed)``.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, (col, typ) in enumerate(casts):
+        aggs.append(
+            F.sum(F.col(col).isNull().cast("long")).alias(f"__nn{i}")
+        )
+        aggs.append(
+            F.sum(
+                (
+                    F.col(col).isNotNull()
+                    & F.col(col).try_cast(typ).isNull()
+                ).cast("long")
+            ).alias(f"__nf{i}")
+        )
+    row = df.agg(*aggs)
+    outs = []
+    for i, (col, typ) in enumerate(casts):
+        outs.append(
+            row.select(
+                F.lit(col).alias("col"),
+                F.lit(typ).alias("target_type"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nn{i}").alias("n_null_in"),
+                F.col(f"__nf{i}").alias("n_failed"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -143,3 +143,32 @@ def prune_files(
         "skipped_bytes",
         F.when(~F.col("keep"), F.col(bytes_col)).otherwise(F.lit(0)),
     )
+
+
+def read_jsonl(
+    spark,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Schema-first JSONL (newline-delimited JSON) source with
+    corrupt-line accounting — the file-level twin of
+    ``operators/semistructured.py::parse_json_column``: the declared
+    schema is REQUIRED (schema inference triggers a full extra pass
+    over the data and freezes whatever the sample happened to contain
+    — never acceptable at 100 TB), and unparseable lines surface in
+    ``corrupt_col`` instead of vanishing, so ingest can count and
+    quarantine them.
+
+    The scan stays JVM-side Jackson with column pruning into the JSON
+    parser (Spark prunes unneeded fields at parse time); a missing
+    key is a NULL column, a corrupt line is a row with every data
+    column NULL and the raw text in ``corrupt_col``.
+    """
+    aug = schema + f", {corrupt_col} string"
+    return (
+        spark.read.schema(aug)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )

@@ -646,3 +646,84 @@ def stream_novelty_filter(
     ).dropDuplicates(key_cols)
     out = stream.join(idx, key_cols, "left_outer")
     return out.filter(F.col(marker).isNull()).drop(marker)
+
+
+def stream_apply_cdc(
+    changes: DataFrame,
+    target_dir: str,
+    key_col: str,
+    ts_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+    tiebreak_col: "str | None" = None,
+    checkpoint_dir: "str | None" = None,
+):
+    """Streaming CDC materialization — apply a change stream onto a
+    parquet snapshot with latest-wins/delete semantics, one atomic
+    snapshot swap per micro-batch: the ``foreachBatch`` pattern behind
+    every "keep a queryable current-state table fed by a change log"
+    deployment. At scale the body becomes Iceberg/Delta ``MERGE
+    INTO``; the parquet form here rewrites the (dimension-sized)
+    snapshot and swaps directories only after the new one is fully
+    written, so readers never observe a half-applied batch.
+
+    Semantics contract: the accumulated target is treated as a layer
+    of PRIOR CHANGES (op = upsert), and each batch merges by
+    ``plans.snapshot.upsert_latest`` recency over ``(ts, tiebreak)``
+    — so the final state equals the BATCH ``upsert_latest`` over the
+    full concatenated change log regardless of how the log was split
+    into micro-batches (pass a ``tiebreak_col`` that totally orders
+    changes within a key; without one, equal-ts cross-batch ties are
+    arbitrary). Replaying a batch after a crash is idempotent: the
+    merge of already-applied changes changes nothing.
+
+    ONE documented divergence from the batch twin: a DELETE erases
+    the key's timestamp memory from the materialized state, so a
+    strictly-OLDER change for the same key arriving in a LATER
+    micro-batch resurrects it (the batch form would let the delete
+    win). Exactly-ordered feeds (per-key monotone ts across batches —
+    what Kafka-partitioned CDC delivers) never hit this; out-of-order
+    feeds need tombstone retention, which at scale is Iceberg/Delta
+    MERGE with a tombstone table, not a parquet snapshot.
+
+    Returns the StreamingQuery (caller awaits termination).
+    """
+    import os
+    import shutil
+
+    from feat_spark.plans.snapshot import upsert_latest
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if os.path.exists(target_dir):
+            prior = spark.read.parquet(target_dir).withColumn(
+                op_col, F.lit("U")
+            )
+        else:
+            prior = spark.createDataFrame([], batch.schema)
+        empty_base = spark.createDataFrame(
+            [], batch.drop(op_col).schema
+        )
+        merged = upsert_latest(
+            empty_base,
+            prior.unionByName(batch),
+            key_col,
+            ts_col,
+            op_col=op_col,
+            delete_op=delete_op,
+            tiebreak_col=tiebreak_col,
+        )
+        tmp = target_dir.rstrip("/") + f".tmp-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = target_dir.rstrip("/") + f".old-{batch_id}"
+        if os.path.exists(target_dir):
+            os.rename(target_dir, old)
+        os.rename(tmp, target_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    writer = changes.writeStream.foreachBatch(apply).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -1013,3 +1013,76 @@ def test_lorenz_curve_whale(spark):
     assert out[3]["cum_share"] == 0.0
     assert out[4]["cum_share"] == 1.0 and out[4]["cum_cents"] == 4000
     assert out[4]["n_rows"] == 4
+
+
+# -------------------------------------------------------------- stream_apply_cdc
+
+
+def test_stream_apply_cdc_latest_wins_across_batches(spark, tmp_path_factory):
+    import os
+    import pandas as pd
+    from feat_spark.streaming.pipeline import stream_apply_cdc
+
+    src = str(tmp_path_factory.mktemp("cdcsrc"))
+    tgt = os.path.join(str(tmp_path_factory.mktemp("cdctgt")), "state")
+    b1 = pd.DataFrame({
+        "k": [1, 2, 4], "ts": [10, 10, 50],
+        "v": ["a", "b", "new"], "op": ["U", "U", "U"],
+    })
+    b2 = pd.DataFrame({
+        "k": [2, 1, 3, 4], "ts": [20, 20, 10, 20],
+        "v": ["b2", "x", "c", "old"], "op": ["U", "D", "U", "U"],
+    })
+    b1.to_parquet(os.path.join(src, "p1.parquet"), index=False)
+    b2.to_parquet(os.path.join(src, "p2.parquet"), index=False)
+    os.utime(os.path.join(src, "p2.parquet"))
+    stream = (
+        spark.readStream.schema("k long, ts long, v string, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_apply_cdc(stream, tgt, "k", "ts", tiebreak_col="v")
+    q.awaitTermination()
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(tgt).collect()}
+    # k1 deleted by the later change; k2 upgraded; k3 inserted;
+    # k4: batch2 carried an OLDER ts -> the batch-1 value must survive
+    assert rows == {2: "b2", 3: "c", 4: "new"}
+
+
+# ------------------------------------------------------------------- read_jsonl
+
+
+def test_read_jsonl_corrupt_accounting(spark, tmp_path_factory):
+    import os
+    from feat_spark.sources.layout import read_jsonl
+
+    d = str(tmp_path_factory.mktemp("jsonl"))
+    with open(os.path.join(d, "part.jsonl"), "w") as f:
+        f.write('{"id": 1, "v": 2.5}\n')
+        f.write('{"id": 2}\n')            # missing key -> NULL column
+        f.write('{broken\n')               # corrupt line
+    out = {r["id"]: r for r in
+           [q.asDict() for q in
+            read_jsonl(spark, d, "id long, v double").collect()]}
+    assert out[1]["v"] == 2.5 and out[1]["_corrupt_record"] is None
+    assert out[2]["v"] is None and out[2]["_corrupt_record"] is None
+    assert out[None]["_corrupt_record"] == "{broken"
+
+
+# ------------------------------------------------------------------- cast_audit
+
+
+def test_cast_audit_counts(spark):
+    from feat_spark.operators.semistructured import cast_audit
+
+    df = spark.createDataFrame(
+        [("1", "x"), ("2.5", None), ("oops", "y"), (None, "3")],
+        "a string, b string",
+    )
+    out = {(r["col"], r["target_type"]): r for r in
+           [q.asDict() for q in
+            cast_audit(df, [("a", "double"), ("b", "int")]).collect()]}
+    ra = out[("a", "double")]
+    assert (ra["n_rows"], ra["n_null_in"], ra["n_failed"]) == (4, 1, 1)
+    rb = out[("b", "int")]
+    assert (rb["n_null_in"], rb["n_failed"]) == (1, 2)  # x, y fail; 3 ok
