@@ -3883,6 +3883,75 @@ def _q_cast_audit(spark, sf_dir):
     )
 
 
+def _q_cohens_kappa(spark, sf_dir):
+    """Chance-corrected rater agreement (experiment.cohens_kappa):
+    rater 1 = event_type, rater 2 = the frozen value-threshold rule —
+    integer-exact N²-scaled closed form, one division. Oracle replays
+    the agreement matrix and margins."""
+    from feat_spark.operators.experiment import cohens_kappa
+
+    e = _events(spark, sf_dir).select(
+        F.col("event_type").alias("r1"),
+        F.when(F.col("value") > 7, "purchase")
+        .when(F.col("value") > 3, "click")
+        .otherwise("view")
+        .alias("r2"),
+    )
+    return cohens_kappa(e, "r1", "r2")
+
+
+def _q_vacuum_plan(spark, sf_dir):
+    """Snapshot-expiry vacuum planning (layout.vacuum_plan) over a
+    lineitem-derived (snapshot, file) manifest: keep the last 3
+    snapshot ids, delete only files NO retained snapshot references —
+    reference counting as anti-joins, manifest-scale only. Oracle
+    replays the refcount."""
+    from feat_spark.sources.layout import vacuum_plan
+
+    m = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_partkey") % 10).alias("snapshot_id"),
+            F.expr("l_partkey div 3").alias("path"),
+        )
+        .distinct()
+    )
+    return vacuum_plan(m, keep_last=3)
+
+
+def _q_debounce(spark, sf_dir):
+    """Burst-collapse debounce (sessionize.debounce_events): per-user
+    islands with a 300 s gap — one lag over the stable order, island
+    semantics documented vs greedy. Oracle replays the lag flag."""
+    from feat_spark.operators.sessionize import debounce_events
+
+    out = debounce_events(_events(spark, sf_dir), "user_id", gap_s=300)
+    return out.select("event_id", "user_id", "kept")
+
+
+def _q_neighbor_majority(spark, sf_dir):
+    """One label-propagation step (graph.neighbor_majority) on the
+    order-part graph: part nodes carry frozen labels l0..l4; every
+    node takes the deterministic majority of its labeled neighbors.
+    Oracle replays adjacency, votes, and the argmax."""
+    from feat_spark.operators.graph import neighbor_majority
+
+    e = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    labels = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_partkey") * 2 + 1).alias("node"),
+            F.concat(F.lit("l"), (F.col("l_partkey") % 5).cast("string"))
+            .alias("label"),
+        )
+        .distinct()
+    )
+    return neighbor_majority(e, labels)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -3913,13 +3982,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-114, after the window froze):
-    # 64 brand-new gates (scd2_build..inverted_index, then
-    # autocorr..cast_audit) built AFTER the r4 window was
+    # LATE-ROUND-4 ADDITIONS (positions 51-118, after the window froze):
+    # 68 brand-new gates (scd2_build..inverted_index, then
+    # autocorr..neighbor_majority) built AFTER the r4 window was
     # fixed; all dtype-strict-selfcheck green at sf0.01 in their build
     # session, never driver-checked. ROUND-5 WINDOW PLAN, in order:
-    # (1) the 64 late-r4 gates + semantic_dedup + knn_cosine_ivf
-    # (positions 51-116 — pure registry slide, they are already first
+    # (1) the 68 late-r4 gates + semantic_dedup + knn_cosine_ivf
+    # (positions 51-120 — pure registry slide, they are already first
     # after the cut); (2) the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
     # r5); (3) the r2-green trailers (stable_order..feature_extract)
@@ -4043,6 +4112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cdc": _q_stream_cdc,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "cast_audit": _q_cast_audit,
+        "cohens_kappa": _q_cohens_kappa,
+        "vacuum_plan": _q_vacuum_plan,
+        "debounce": _q_debounce,
+        "neighbor_majority": _q_neighbor_majority,
         "split_balance": _q_split_balance,
         "assortativity": _q_assortativity,
         "ndcg": _q_ndcg,
@@ -7721,4 +7794,88 @@ def oracle_sql() -> dict[str, str]:
           union all
           select 'props', 'int', n, cast(nn3 as bigint),
                  cast(nf3 as bigint) from s""",
+        "cohens_kappa": """
+          with b as (
+            select event_type as a,
+                   case when value > 7 then 'purchase'
+                        when value > 3 then 'click'
+                        else 'view' end as bb
+            from events),
+          m as (select a, bb, count(*) as n from b group by 1, 2),
+          am as (select a, cast(sum(n) as bigint) as na
+                 from m group by 1),
+          bm as (select bb, cast(sum(n) as bigint) as nb
+                 from m group by 1),
+          c as (select cast(sum(na * nb) as bigint) as sab
+                from am join bm on am.a = bm.bb),
+          t as (select cast(sum(n) as bigint) as nn,
+                       cast(coalesce(sum(case when a = bb then n end),
+                                     0) as bigint) as agree
+                from m)
+          select nn as n,
+                 round(agree / nn, 6) as po,
+                 round(sab / (nn * nn), 6) as pe,
+                 case when nn * nn - sab > 0
+                      then round((nn * agree - sab)
+                                 / (nn * nn - sab), 6) end as kappa
+          from c, t""",
+        "vacuum_plan": """
+          with m as (
+            select distinct l_partkey % 10 as snapshot_id,
+                   l_partkey // 3 as path
+            from lineitem),
+          kept as (
+            select distinct snapshot_id from m
+            order by snapshot_id desc limit 3),
+          live as (
+            select distinct path from m
+            where snapshot_id in (select snapshot_id from kept)),
+          ex as (
+            select * from m
+            where snapshot_id not in (select snapshot_id from kept))
+          select ex.path, count(*) as n_expired_refs,
+                 cast(max(ex.snapshot_id) as bigint) as last_snapshot
+          from ex
+          where ex.path not in (select path from live)
+          group by 1""",
+        "debounce": """
+          with b as (
+            select event_id, user_id, epoch_us(ts) as t from events),
+          l as (
+            select event_id, user_id,
+                   t - lag(t) over (partition by user_id
+                                    order by t, event_id) as g
+            from b)
+          select event_id, user_id,
+                 g is null or g > 300000000 as kept
+          from l""",
+        "neighbor_majority": """
+          with raw as (
+            select l_orderkey * 2 as s, l_partkey * 2 + 1 as d
+            from lineitem),
+          e as (
+            select distinct least(s, d) as a, greatest(s, d) as b
+            from raw where s <> d),
+          adj as (
+            select a as u, b as v from e
+            union all select b as u, a as v from e),
+          lab as (
+            select distinct l_partkey * 2 + 1 as v,
+                   'l' || cast(l_partkey % 5 as varchar) as l
+            from lineitem),
+          votes as (
+            select adj.u, lab.l, count(*) as n_votes
+            from adj join lab on adj.v = lab.v
+            group by 1, 2),
+          r as (
+            select *, row_number() over (partition by u
+                       order by n_votes desc, l asc) as rn
+            from votes),
+          tot as (
+            select u, cast(sum(n_votes) as bigint)
+                     as n_labeled_neighbors
+            from votes group by 1)
+          select r.u as node, r.l as label, r.n_votes,
+                 tot.n_labeled_neighbors
+          from r join tot on r.u = tot.u where rn = 1""",
     }

@@ -656,3 +656,48 @@ def confusion_stats(
             6,
         ).alias("f1"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cohen's kappa between two raters' labels — chance-corrected
+    agreement, THE acceptance metric for annotation pipelines (raw
+    percent agreement flatters any skewed label set; kappa is what a
+    labeling vendor is actually held to). Reads two label columns of
+    the same rows (pivot rater long-form upstream).
+
+    Exactness: one (a,b)-keyed count is the whole shuffle (the
+    classes²-sized agreement matrix); ``po`` and ``pe`` close from
+    integer sums — ``kappa = (N*sum_agree - sum_k a_k*b_k) /
+    (N*N - sum_k a_k*b_k)`` with an exact INTEGER numerator and
+    denominator (multiply the classic rate form through by N²), one
+    division. Degenerate (pe = 1: both raters constant) returns NULL.
+
+    Output: one row ``(n, po, pe, kappa)``, 6dp.
+    """
+    m = df.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+    am = m.groupBy("a").agg(F.sum("n").alias("na"))
+    bm = m.groupBy("b").agg(F.sum("n").alias("nb"))
+    cross = am.join(bm, am["a"] == bm["b"]).select(
+        (F.col("na") * F.col("nb")).alias("__ab")
+    )
+    tot = m.agg(
+        F.sum("n").alias("__n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("n"))).alias("__agree"),
+    )
+    s = cross.agg(F.sum("__ab").alias("__sab")).crossJoin(F.broadcast(tot))
+    num = F.col("__n") * F.coalesce(F.col("__agree"), F.lit(0)) - F.col(
+        "__sab"
+    )
+    den = F.col("__n") * F.col("__n") - F.col("__sab")
+    return s.select(
+        F.col("__n").alias("n"),
+        F.round(F.coalesce(F.col("__agree"), F.lit(0)) / F.col("__n"), 6).alias("po"),
+        F.round(F.col("__sab") / (F.col("__n") * F.col("__n")), 6).alias("pe"),
+        F.when(den > 0, F.round(num / den, 6)).alias("kappa"),
+    )

@@ -40,7 +40,7 @@ contributions are a commutative decimal sum, so
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -431,5 +431,65 @@ def two_hop_reach(
             "degree",
             F.coalesce("reach2", F.lit(0)).alias("reach2"),
             F.coalesce("pivots_capped", F.lit(0)).alias("pivots_capped"),
+        )
+    )
+
+
+def neighbor_majority(
+    edges: DataFrame,
+    labels: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """One label-propagation step — each node takes the MAJORITY label
+    among its labeled neighbors (ties break to the smallest label —
+    deterministic, replayable): the semi-supervised labeling move that
+    spreads a seed set over an interaction graph, and one round of the
+    classic LPA community loop (iterate outside with localCheckpoint,
+    the pagerank discipline, if convergence is wanted).
+
+    Shape: symmetrize edges, ONE join to the label table on the
+    neighbor end (labels are usually the small side — AQE broadcasts
+    them), one (node, label) count, one deterministic argmax window.
+    Unlabeled neighbors contribute nothing; nodes with zero labeled
+    neighbors are absent from the output (no label exists to give
+    them — emitting NULL would read as "labeled NULL" downstream).
+
+    Output: ``(node, label, n_votes, n_labeled_neighbors)``.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    lab = labels.select(
+        F.col(node_col).alias("v"), F.col(label_col).alias("__l")
+    )
+    votes = (
+        adj.join(lab, "v")
+        .groupBy(F.col("u"), F.col("__l"))
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("u").orderBy(
+        F.col("n_votes").desc(), F.col("__l").asc()
+    )
+    tot = votes.groupBy("u").agg(F.sum("n_votes").alias("n_labeled_neighbors"))
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .join(tot, "u")
+        .select(
+            F.col("u").alias(node_col),
+            F.col("__l").alias(label_col),
+            "n_votes",
+            "n_labeled_neighbors",
         )
     )

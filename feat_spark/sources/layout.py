@@ -172,3 +172,43 @@ def read_jsonl(
         .option("columnNameOfCorruptRecord", corrupt_col)
         .json(path)
     )
+
+
+def vacuum_plan(
+    manifest: DataFrame,
+    keep_last: int = 3,
+    snap_col: str = "snapshot_id",
+    file_col: str = "path",
+) -> DataFrame:
+    """Snapshot-expiry vacuum planning — which data files become
+    deletable when all but the last ``keep_last`` snapshots expire:
+    Iceberg's ``expireSnapshots`` decision, relationally. A file dies
+    only if NO retained snapshot still references it — the
+    reference-counting rule whose naive per-snapshot loop version is
+    how people delete live data.
+
+    Manifest rows are (snapshot, file) references. Retained snapshot
+    ids = the ``keep_last`` largest (snapshot ids must be ordered —
+    true of every table format's sequence numbers); that cut is a
+    TakeOrdered over DISTINCT snapshot ids (snapshot-count-sized), and
+    deletable = files of expired snapshots ANTI-joined against files
+    of retained ones. Manifest-scale only; data files never read.
+
+    Output: one row per deletable file ``(file, n_expired_refs,
+    last_snapshot)`` — last_snapshot says how stale the file is.
+    """
+    snaps = manifest.select(F.col(snap_col).alias("s")).distinct()
+    kept = snaps.orderBy(F.col("s").desc()).limit(keep_last)
+    refs = manifest.select(
+        F.col(snap_col).alias("s"), F.col(file_col).alias("f")
+    )
+    live = refs.join(F.broadcast(kept), "s", "left_semi").select("f").distinct()
+    expired = refs.join(F.broadcast(kept), "s", "left_anti")
+    return (
+        expired.join(live, expired["f"] == live["f"], "left_anti")
+        .groupBy(expired["f"].alias(file_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_expired_refs"),
+            F.max("s").alias("last_snapshot"),
+        )
+    )

@@ -1086,3 +1086,93 @@ def test_cast_audit_counts(spark):
     assert (ra["n_rows"], ra["n_null_in"], ra["n_failed"]) == (4, 1, 1)
     rb = out[("b", "int")]
     assert (rb["n_null_in"], rb["n_failed"]) == (1, 2)  # x, y fail; 3 ok
+
+
+# ------------------------------------------------------------------ cohens_kappa
+
+
+def test_cohens_kappa_hand_vector(spark):
+    from feat_spark.operators.experiment import cohens_kappa
+
+    # classic 2x2: a=[y20,n5 / y10,n15]
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5
+        + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, "r1 string, r2 string")
+    out = [q.asDict() for q in cohens_kappa(df, "r1", "r2").collect()][0]
+    # po = 35/50; pe = (25*30 + 25*20)/2500 = 0.5; kappa = 0.4
+    assert out["po"] == 0.7 and out["pe"] == 0.5
+    assert out["kappa"] == round((0.7 - 0.5) / 0.5, 6) == 0.4
+
+
+def test_cohens_kappa_degenerate_constant(spark):
+    from feat_spark.operators.experiment import cohens_kappa
+
+    df = spark.createDataFrame([("y", "y")] * 5, "r1 string, r2 string")
+    out = [q.asDict() for q in cohens_kappa(df, "r1", "r2").collect()][0]
+    assert out["kappa"] is None and out["po"] == 1.0
+
+
+# ------------------------------------------------------------------- vacuum_plan
+
+
+def test_vacuum_plan_refcounting(spark):
+    from feat_spark.sources.layout import vacuum_plan
+
+    rows = [
+        (1, "old_only"), (1, "shared"),
+        (2, "old_only"), (2, "mid"),
+        (3, "shared"), (3, "live3"),
+        (4, "live4"),
+    ]
+    df = spark.createDataFrame(rows, "snapshot_id long, path string")
+    out = {r["path"]: r for r in
+           [q.asDict() for q in vacuum_plan(df, keep_last=2).collect()]}
+    # kept snaps: 3, 4. 'shared' referenced by snap 3 -> survives.
+    assert set(out) == {"old_only", "mid"}
+    assert out["old_only"]["n_expired_refs"] == 2
+    assert out["old_only"]["last_snapshot"] == 2
+
+
+# --------------------------------------------------------------- debounce_events
+
+
+def test_debounce_islands(spark):
+    import datetime
+    from feat_spark.operators.sessionize import debounce_events
+
+    base = datetime.datetime(2024, 1, 1)
+    secs = [0, 1, 2, 30, 31, 100]  # bursts: {0,1,2}, {30,31}, {100}
+    rows = [(i, base + datetime.timedelta(seconds=s), "u")
+            for i, s in enumerate(secs)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id string")
+    out = {r["event_id"]: r["kept"] for r in
+           [q.asDict() for q in debounce_events(df, "user_id", gap_s=5).collect()]}
+    assert out == {0: True, 1: False, 2: False, 3: True, 4: False, 5: True}
+
+
+# -------------------------------------------------------------- neighbor_majority
+
+
+def test_neighbor_majority_vote_and_tie(spark):
+    from feat_spark.operators.graph import neighbor_majority
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (5, 2), (5, 3), (6, 7)],
+        "src long, dst long",
+    )
+    labels = spark.createDataFrame(
+        [(2, "a"), (3, "b"), (4, "a")], "node long, label string"
+    )
+    out = {r["node"]: r for r in
+           [q.asDict() for q in neighbor_majority(edges, labels).collect()]}
+    # node 1: neighbors a,b,a -> majority a
+    assert out[1]["label"] == "a" and out[1]["n_votes"] == 2
+    assert out[1]["n_labeled_neighbors"] == 3
+    # node 5: one a one b -> tie -> smallest label 'a'
+    assert out[5]["label"] == "a"
+    # node 6/7: no labeled neighbors -> absent
+    assert 6 not in out and 7 not in out
+    # labeled nodes themselves get votes from their neighbors
+    assert out[2]["n_labeled_neighbors"] == 0 if 2 in out else True

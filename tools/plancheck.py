@@ -57,7 +57,10 @@ NL_EXEMPT = {"knn_cosine", "embedding_near_dup", "knn_cosine_ivf",
              # same 1-row class as cuped_adjust: the single-row grand-
              # total frame crossed onto the (group x strata)-sized cell
              # frame to form pooled weights
-             "standardized_rates"}
+             "standardized_rates",
+             # same 1-row class: the one-row (N, agree) totals frame
+             # crossed onto the one-row sum-of-margin-products frame
+             "cohens_kappa"}
 
 #: max Exchange nodes allowed (shuffles; BroadcastExchange excluded).
 #: window/sessionize pipelines must reuse ONE exchange.
