@@ -3920,10 +3920,10 @@ def _q_vacuum_plan(spark, sf_dir):
 
 
 def _q_debounce(spark, sf_dir):
-    """Burst-collapse debounce (sessionize.debounce_events): per-user
+    """Burst-collapse debounce (eventops.debounce_events): per-user
     islands with a 300 s gap — one lag over the stable order, island
     semantics documented vs greedy. Oracle replays the lag flag."""
-    from feat_spark.operators.sessionize import debounce_events
+    from feat_spark.operators.eventops import debounce_events
 
     out = debounce_events(_events(spark, sf_dir), "user_id", gap_s=300)
     return out.select("event_id", "user_id", "kept")

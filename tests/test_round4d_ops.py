@@ -1140,7 +1140,7 @@ def test_vacuum_plan_refcounting(spark):
 
 def test_debounce_islands(spark):
     import datetime
-    from feat_spark.operators.sessionize import debounce_events
+    from feat_spark.operators.eventops import debounce_events
 
     base = datetime.datetime(2024, 1, 1)
     secs = [0, 1, 2, 30, 31, 100]  # bursts: {0,1,2}, {30,31}, {100}
