@@ -3952,6 +3952,87 @@ def _q_neighbor_majority(spark, sf_dir):
     return neighbor_majority(e, labels)
 
 
+def _q_sequential_ids(spark, sf_dir):
+    """Distributed sequential id assignment (ids.assign_sequential_ids):
+    dense 0..n-1 ids in key order WITHOUT a single-reducer global sort
+    — deterministic range buckets from driver min/max, per-bucket
+    counts -> offsets (window over the bucket-count frame only),
+    broadcast rejoin + per-bucket rank. The key is a scrambled
+    injection ``(event_id * 37) mod 100003`` (injective while n <=
+    100003, i.e. through sf0.1) so the rank is a REAL permutation, not
+    the identity. Oracle: one global row_number in key order."""
+    from feat_spark.operators.ids import assign_sequential_ids
+
+    d = _events(spark, sf_dir).select(
+        "event_id",
+        F.pmod(F.col("event_id") * 37, F.lit(100003)).alias("skey"),
+    )
+    return assign_sequential_ids(d, "skey", n_buckets=64)
+
+
+def _q_bloom_semi_join(spark, sf_dir):
+    """Bloom-pruned semi join (bloom.bloom_semi_join): lineitem rows
+    whose part is small (p_size < 10) — the filter is built
+    relationally (seeded xxhash64 -> word bit_or partial agg), the
+    probe is a literal-array bit test folded into the big-side scan,
+    and an exact LEFT SEMI removes false positives, so a single false
+    NEGATIVE (the property a Bloom filter must never violate) loses a
+    row and fails the gate. Oracle: the exact semi join."""
+    from feat_spark.operators.bloom import bloom_semi_join
+
+    big = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    small = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") < 10)
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    return bloom_semi_join(big, small, "l_partkey")
+
+
+def _q_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction (graph.adamic_adar) on a 1-in-7
+    slice of the order-part incidence graph: hub-capped wedge join,
+    direct edges anti-joined away, per-pair sorted-fold sum of
+    1/ln(deg(middle)) rounded 6dp. Oracle replays wedges, the anti
+    join, and the ordered fold with list_reduce."""
+    from feat_spark.operators.graph import adamic_adar
+
+    e = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select(
+            (F.col("l_orderkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+    )
+    return adamic_adar(e)
+
+
+def _q_embedding_covariance(spark, sf_dir):
+    """Embedding covariance matrix (vectors.embedding_covariance) over
+    the first 32 dimensions: one scan, per-vector upper-triangle cell
+    explode, decimal(27,12) partial-agg sums, closed-form
+    cov = sxy/n - (sx/n)(sy/n) on double readouts rounded 6dp. Oracle
+    replays the slice, the cell products, and the decimal sums."""
+    from feat_spark.operators.vectors import embedding_covariance
+
+    return embedding_covariance(
+        _t(spark, sf_dir, "embeddings"), "embedding", max_dim=32
+    )
+
+
+def _q_interpolate_daily(spark, sf_dir):
+    """Daily-grid linear interpolation (resample.interpolate_daily)
+    of per-user error-event values: day-grain last-observation
+    reduction, per-user day spine, prev/next ignorenulls frames, exact
+    integer-cents interpolation arithmetic with ONE double division.
+    Oracle replays the grain reduction, spine, and closed form."""
+    from feat_spark.operators.resample import interpolate_daily
+
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "error")
+    return interpolate_daily(e, "user_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -4119,6 +4200,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_balance": _q_split_balance,
         "assortativity": _q_assortativity,
         "ndcg": _q_ndcg,
+        "sequential_ids": _q_sequential_ids,
+        "bloom_semi_join": _q_bloom_semi_join,
+        "adamic_adar": _q_adamic_adar,
+        "embedding_covariance": _q_embedding_covariance,
+        "interpolate_daily": _q_interpolate_daily,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -7878,4 +7964,116 @@ def oracle_sql() -> dict[str, str]:
           select r.u as node, r.l as label, r.n_votes,
                  tot.n_labeled_neighbors
           from r join tot on r.u = tot.u where rn = 1""",
+        "sequential_ids": """
+          with d as (
+            select event_id,
+                   cast((event_id * 37) % 100003 as bigint) as skey
+            from events)
+          select event_id, skey,
+                 cast(row_number() over (order by skey) - 1 as bigint)
+                   as row_id
+          from d""",
+        "bloom_semi_join": """
+          select l_orderkey, l_partkey
+          from lineitem
+          where l_partkey in
+            (select p_partkey from part where p_size < 10)""",
+        "adamic_adar": """
+          with raw as (
+            select l_orderkey * 2 as s, l_partkey * 2 + 1 as d
+            from lineitem where l_orderkey % 7 = 0),
+          e as (
+            select distinct least(s, d) as a, greatest(s, d) as b
+            from raw where s <> d),
+          adj as (
+            select a as u, b as v from e
+            union all select b as u, a as v from e),
+          deg as (select u, count(*) as degree from adj group by 1),
+          mid as (
+            select u as m, 1.0 / ln(degree::DOUBLE) as term
+            from deg where degree <= 1000),
+          wed as (
+            select l.u as x, r.v as y, mid.m as z, mid.term
+            from adj l
+            join mid on l.v = mid.m
+            join adj r on mid.m = r.u
+            where l.u < r.v),
+          cand as (
+            select x, y, z, term from wed
+            where not exists (select 1 from e
+                              where e.a = wed.x and e.b = wed.y))
+          select x as node_a, y as node_b,
+                 cast(count(*) as bigint) as common_neighbors,
+                 round(list_reduce(
+                   list_prepend(0.0::DOUBLE, list(term order by z)),
+                   (a, b) -> a + b), 6) as aa_score
+          from cand group by 1, 2""",
+        "embedding_covariance": """
+          with v as (
+            select list_transform(embedding[1:32], x -> x::DOUBLE) as v
+            from embeddings where embedding is not null),
+          cells as (
+            select i - 1 as dim_i, j - 1 as dim_j,
+                   cast(v[i] as decimal(27,12)) as sxi,
+                   cast(v[j] as decimal(27,12)) as sxj,
+                   cast(v[i] * v[j] as decimal(27,12)) as sxy
+            from v
+            cross join unnest(generate_series(1, len(v))) as t(i)
+            cross join unnest(generate_series(1, len(v))) as u(j)
+            where j >= i),
+          agg as (
+            select dim_i, dim_j,
+                   cast(count(*) as bigint) as n,
+                   sum(sxi) as sxi, sum(sxj) as sxj, sum(sxy) as sxy
+            from cells group by 1, 2)
+          select dim_i, dim_j, n,
+                 round(sxy::DOUBLE / n::DOUBLE
+                       - (sxi::DOUBLE / n::DOUBLE)
+                         * (sxj::DOUBLE / n::DOUBLE), 6) as cov
+          from agg""",
+        "interpolate_daily": """
+          with raw as (
+            select user_id,
+                   epoch_us(cast(ts as timestamp)) as us,
+                   epoch_us(cast(ts as timestamp)) // 86400000000
+                     as day,
+                   cast(round(value * 100) as bigint) as c,
+                   event_id
+            from events where event_type = 'error'),
+          ranked as (
+            select *, row_number() over (partition by user_id, day
+                       order by us desc, event_id desc) as rn
+            from raw),
+          o as (select user_id, day, c from ranked where rn = 1),
+          span as (
+            select user_id, min(day) as lo, max(day) as hi
+            from o group by 1),
+          spine as (
+            select user_id, unnest(generate_series(lo, hi)) as day
+            from span),
+          g as (
+            select s.user_id, s.day, o.c
+            from spine s left join o
+              on s.user_id = o.user_id and s.day = o.day),
+          f as (
+            select user_id, day, c,
+                   last_value(case when c is not null then day end
+                     ignore nulls) over wp as pd,
+                   last_value(c ignore nulls) over wp as pc,
+                   first_value(case when c is not null then day end
+                     ignore nulls) over wn as nd,
+                   first_value(c ignore nulls) over wn as nc
+            from g
+            window
+              wp as (partition by user_id order by day
+                     rows between unbounded preceding and current row),
+              wn as (partition by user_id order by day
+                     rows between current row and unbounded following))
+          select user_id, day,
+                 round(case when c is not null then c / 100.0
+                       else (pc * (nd - day) + nc * (day - pd))::DOUBLE
+                            / (nd - pd) / 100.0 end, 6)
+                   as value_interp,
+                 (c is not null) as observed
+          from f""",
     }

@@ -1,0 +1,117 @@
+"""Regular-grid resampling with linear interpolation.
+
+Feature pipelines want entity time series on a REGULAR grid (one row
+per entity-day) while event logs are irregular; carrying forward the
+last value (``operators/windows.py`` ffill) is right for state-like
+signals, but magnitude-like signals (balances, scores, gauges) want
+the straight line between the surrounding observations — the standard
+"resample + interpolate" step.
+
+Fully relational, no iteration:
+
+1. reduce to day grain — the LAST observation per (key, day) by
+   ``(ts, tiebreak)`` (one window over event grain);
+2. build each key's day spine ``sequence(min_day, max_day)`` — the
+   explode is bounded by the calendar, not the event count;
+3. two frames over the spine: previous observed (day, value) via
+   ``last(..., ignorenulls)`` over unbounded-preceding, next observed
+   via ``first(..., ignorenulls)`` over unbounded-following;
+4. one closed-form projection:
+   ``v = (pc*(nd-d) + nc*(d-pd)) / (nd-pd)``.
+
+Scale shape: one exchange on the key for the day-grain window, then
+the spine frames reuse the same partitioning (plancheck: window
+specs share one hashpartitioning). Spine grain is entity×days — a
+GRAIN REDUCTION from the event log (the active_days device), so the
+windows run over the small frame. No extrapolation: days before the
+first / after the last observation do not exist in the spine, and the
+endpoints are observed by construction (``pd``/``nd`` never NULL).
+
+Determinism: values quantize to integer cents FIRST (``round(v*100)``
+— the repo-wide exact-cents device); ``pc*(nd-d) + nc*(d-pd)`` is
+exact integer arithmetic (< 2^53), one double division, one /100.0,
+rounded 6dp — bit-replayable by DuckDB running the same shape. Day
+index is ``epoch_us div 86_400_000_000`` (integer division; event
+clocks are post-1970 by contract, so floor == truncate).
+
+Lives OUTSIDE the flagship benchmark closure on purpose (see
+``operators/eventops.py`` for the rule).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_US_PER_DAY = 86_400_000_000
+
+
+def interpolate_daily(
+    df: DataFrame,
+    key_cols: "Sequence[str] | str",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: "Sequence[str]" = ("event_id",),
+) -> DataFrame:
+    """Daily grid per key with linear interpolation between observed
+    days. Returns ``(keys..., day, value_interp, observed)`` where
+    ``day`` is the epoch-day index and ``value_interp`` carries the
+    observed value (exact) on observed days."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(
+        *keys,
+        us.alias("__us"),
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) div {_US_PER_DAY}"
+        ).alias("day"),
+        F.round(F.col(value_col) * 100).cast("long").alias("__c"),
+        *[F.col(c) for c in tiebreak],
+    )
+    wday = Window.partitionBy(*keys, "day").orderBy(
+        F.col("__us").desc(), *[F.col(c).desc() for c in tiebreak]
+    )
+    obs = (
+        base.withColumn("__rn", F.row_number().over(wday))
+        .filter(F.col("__rn") == 1)
+        .select(*keys, "day", "__c")
+    )
+    span = obs.groupBy(*keys).agg(
+        F.min("day").alias("__lo"), F.max("day").alias("__hi")
+    )
+    spine = span.select(
+        *keys, F.explode(F.sequence("__lo", "__hi")).alias("day")
+    )
+    g = spine.join(obs, keys + ["day"], "left")
+
+    prev_w = (
+        Window.partitionBy(*keys)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    next_w = (
+        Window.partitionBy(*keys)
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    seen = F.col("__c").isNotNull()
+    pd_ = F.last(F.when(seen, F.col("day")), ignorenulls=True).over(prev_w)
+    pc = F.last("__c", ignorenulls=True).over(prev_w)
+    nd = F.first(F.when(seen, F.col("day")), ignorenulls=True).over(next_w)
+    nc = F.first("__c", ignorenulls=True).over(next_w)
+
+    interp = (
+        (pc * (nd - F.col("day")) + nc * (F.col("day") - pd_))
+        / (nd - pd_)
+        / F.lit(100.0)
+    )
+    return g.select(
+        *keys,
+        "day",
+        F.round(
+            F.when(seen, F.col("__c") / F.lit(100.0)).otherwise(interp), 6
+        ).alias("value_interp"),
+        seen.alias("observed"),
+    )

@@ -87,3 +87,75 @@ def quantize_embeddings(
     return df.select(
         F.col(id_col), F.transform(F.col(vec_col), _code).alias("codes")
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    max_dim: int | None = None,
+) -> DataFrame:
+    """Population covariance matrix of the embedding dimensions —
+    the one-pass statistic under PCA whitening, feature-redundancy
+    audits, and Mahalanobis outlier scoring over a vector corpus.
+
+    Returns the upper triangle ``(dim_i, dim_j, n, cov)`` with
+    ``dim_i <= dim_j`` (the matrix is symmetric; materializing both
+    halves doubles shuffle bytes for zero information).
+
+    Plan shape, and why it scales: ONE scan. Each vector explodes to
+    its d(d+1)/2 upper-triangle cell products — the d² blowup is the
+    irreducible arithmetic of a covariance matrix, not a join — and a
+    partial agg keyed ``(dim_i, dim_j)`` collapses every map partition
+    to d(d+1)/2 rows before the one tiny shuffle (same
+    combine-dominates argument as :func:`dimension_params`). Nothing
+    ever shuffles at vector grain. ``max_dim`` truncates leading
+    dimensions for wide embeddings where only a prefix block is
+    audited.
+
+    Determinism device (repo-wide): per-cell products ``x_i * x_j``
+    are computed in double (float->double widening exact, one IEEE
+    multiply — identical in any engine) then CAST TO DECIMAL(27,12)
+    so the partial-agg SUM is order-free; per-dimension sums take the
+    same device. The closed form
+    ``cov = sxy/n - (sx/n)*(sy/n)`` runs on decimal->double readouts
+    with a fixed op shape, rounded to 6dp.
+    """
+    d = df.select(F.col(vec_col).alias("v")).filter(F.col("v").isNotNull())
+    if max_dim is not None:
+        d = d.select(F.slice("v", 1, int(max_dim)).alias("v"))
+    cells = (
+        d.select(F.posexplode("v").alias("dim_i", "xi"), F.col("v"))
+        .select(
+            "dim_i",
+            F.col("xi").cast("double").alias("xi"),
+            F.posexplode("v").alias("dim_j", "xj"),
+        )
+        .filter(F.col("dim_j") >= F.col("dim_i"))
+        .select(
+            "dim_i",
+            "dim_j",
+            F.col("xi").cast("decimal(27,12)").alias("sxi"),
+            F.col("xj").cast("double").cast("decimal(27,12)").alias("sxj"),
+            (F.col("xi") * F.col("xj").cast("double"))
+            .cast("decimal(27,12)")
+            .alias("sxy"),
+        )
+    )
+    agg = cells.groupBy("dim_i", "dim_j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sxi").alias("sxi"),
+        F.sum("sxj").alias("sxj"),
+        F.sum("sxy").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    return agg.select(
+        "dim_i",
+        "dim_j",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.col("sxy").cast("double") / n
+            - (F.col("sxi").cast("double") / n)
+            * (F.col("sxj").cast("double") / n),
+            6,
+        ).alias("cov"),
+    )

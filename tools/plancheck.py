@@ -182,10 +182,13 @@ def check(name: str, plan: str) -> list[str]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])  # optional query-name filter
     spark = get_spark(master="local[4]")
     spark.sparkContext.setLogLevel("ERROR")
     failed = []
     for name, fn in E.queries().items():
+        if only and name not in only:
+            continue
         try:
             plan = plan_of(fn(spark, sf_dir))
         except Exception as exc:  # noqa: BLE001
