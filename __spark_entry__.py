@@ -4033,6 +4033,155 @@ def _q_interpolate_daily(spark, sf_dir):
     return interpolate_daily(e, "user_id")
 
 
+def _q_stream_sessionize(spark, sf_dir):
+    """Streaming gate: NATIVE session windows (F.session_window) under
+    Structured Streaming — a real 2-micro-batch availableNow run with
+    a TIME-ORDERED file cut, so sessions spanning the cut must MERGE
+    their partial windows across micro-batches (the semantics only the
+    streaming session-state machinery provides). Watermark delay
+    exceeds the corpus span (no finalization losses), complete output
+    mode, so the batch gaps-and-islands oracle applies: session_window
+    merges at gap <= 30 min exactly like the island flag's
+    `> 30 min -> new session` (probed: an EXACT 30-min gap merges in
+    both)."""
+    import uuid
+
+    from feat_spark.streaming.pipeline import run_to_memory, session_stream_agg
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    pdf = e.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    if getattr(pdf["ts"].dtype, "tz", None) is None:
+        pdf["ts"] = pdf["ts"].dt.tz_localize("UTC")
+    cut = len(pdf) // 2
+    d = _stream_scratch("sessstream")
+    pq_opts = dict(index=False, coerce_timestamps="us",
+                   allow_truncated_timestamps=True)
+    pdf.iloc[:cut].to_parquet(os.path.join(d, "part1.parquet"), **pq_opts)
+    pdf.iloc[cut:].to_parquet(os.path.join(d, "part2.parquet"), **pq_opts)
+    _space_mtimes(d, ["part1.parquet", "part2.parquet"])
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = session_stream_agg(
+        stream, gap="30 minutes", watermark="720 hours",
+        keys=("user_id",), ts="ts",
+    )
+    name = "stream_sess_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name, output_mode="complete")
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_horizon").alias("horizon_us"),
+        F.col("n_turns").cast("long").alias("n_turns"),
+    )
+
+
+def _q_stream_interval_join(spark, sf_dir):
+    """Streaming gate: native stream-stream INNER join with an
+    event-time range predicate (pipeline.stream_interval_join) —
+    purchases within 4 h after a click, per user, both sides LIVE
+    streams split into 2 micro-batch files each. Watermark delay
+    exceeds the span, so the batch range join is the exact oracle."""
+    import uuid
+
+    from feat_spark.streaming.pipeline import (
+        run_to_memory,
+        stream_interval_join,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    pdf = ev.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    if getattr(pdf["ts"].dtype, "tz", None) is None:
+        pdf["ts"] = pdf["ts"].dt.tz_localize("UTC")
+    clicks = pdf[pdf.event_type == "click"].rename(
+        columns={"ts": "c_ts", "event_id": "click_id"}
+    )[["user_id", "c_ts", "click_id"]]
+    purch = pdf[pdf.event_type == "purchase"].rename(
+        columns={"ts": "p_ts", "event_id": "purchase_id"}
+    )[["user_id", "p_ts", "purchase_id"]]
+    pq_opts = dict(index=False, coerce_timestamps="us",
+                   allow_truncated_timestamps=True)
+    dl = _stream_scratch("ivjl")
+    dr = _stream_scratch("ivjr")
+    for frame, d in ((clicks, dl), (purch, dr)):
+        half = len(frame) // 2
+        frame.iloc[:half].to_parquet(os.path.join(d, "part1.parquet"), **pq_opts)
+        frame.iloc[half:].to_parquet(os.path.join(d, "part2.parquet"), **pq_opts)
+        _space_mtimes(d, ["part1.parquet", "part2.parquet"])
+    left = (
+        spark.readStream.schema("user_id long, c_ts timestamp, click_id long")
+        .option("maxFilesPerTrigger", 1).parquet(dl)
+    )
+    right = (
+        spark.readStream.schema("user_id long, p_ts timestamp, purchase_id long")
+        .option("maxFilesPerTrigger", 1).parquet(dr)
+    )
+    out = stream_interval_join(
+        left, right, "user_id", "c_ts", "p_ts",
+        upper="4 hours", watermark="720 hours",
+    )
+    name = "stream_ivj_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name)
+    return spark.table(name).select(
+        "user_id", "click_id", "purchase_id",
+        F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000")
+        .alias("lag_s"),
+    )
+
+
+def _q_rendezvous(spark, sf_dir):
+    """Rendezvous hashing (ids.rendezvous_assign): every event key
+    picks the shard with the highest md5(key, shard) weight — a
+    scan-only literal fold, no shuffle, no join; md5 so the oracle
+    replays the winner bit-for-bit. Minimal-movement property is
+    pinned by test_round4e goldens."""
+    from feat_spark.operators.ids import rendezvous_assign
+
+    shards = [f"shard-{i:02d}" for i in range(8)]
+    return rendezvous_assign(
+        _events(spark, sf_dir).select("event_id"), "event_id", shards
+    )
+
+
+def _q_kcore(spark, sf_dir):
+    """Fixed-round k-core peeling (graph.kcore): 4 unrolled
+    degree-filter + semi-join rounds toward the 3-core of the 1-in-7
+    order-part graph — monotone from above, replayable as a finite
+    SQL twin (run-to-convergence is not). Oracle unrolls the same 4
+    rounds as nested CTEs."""
+    from feat_spark.operators.graph import kcore
+
+    e = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select(
+            (F.col("l_orderkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+    )
+    return kcore(e, k=3, rounds=4)
+
+
+def _q_segment_overlap(spark, sf_dir):
+    """Pairwise audience overlap (cooccur.segment_overlap): distinct
+    (user, event_type) grain, entity-keyed self-join bounded by
+    segments-per-entity, integer Jaccard with one division. Oracle
+    replays grain, pairs, and sizes."""
+    from feat_spark.operators.cooccur import segment_overlap
+
+    return segment_overlap(
+        _events(spark, sf_dir), "user_id", "event_type"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -4205,6 +4354,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar": _q_adamic_adar,
         "embedding_covariance": _q_embedding_covariance,
         "interpolate_daily": _q_interpolate_daily,
+        "stream_sessionize": _q_stream_sessionize,
+        "stream_interval_join": _q_stream_interval_join,
+        "rendezvous_shards": _q_rendezvous,
+        "kcore": _q_kcore,
+        "segment_overlap": _q_segment_overlap,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -8076,4 +8230,91 @@ def oracle_sql() -> dict[str, str]:
                    as value_interp,
                  (c is not null) as observed
           from f""",
+        "stream_sessionize": f"""
+          select user_id,
+                 epoch_us(min(ts)) as start_us,
+                 epoch_us(max(ts) + interval '30 minutes') as horizon_us,
+                 cast(count(*) as bigint) as n_turns
+          from ({_SESSION_IDS_SQL})
+          group by user_id, session_id""",
+        "stream_interval_join": """
+          select c.user_id, c.event_id as click_id,
+                 p.event_id as purchase_id,
+                 (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 as lag_s
+          from events c
+          join events p
+            on c.user_id = p.user_id
+           and p.ts >= c.ts
+           and p.ts <= c.ts + interval '4 hours'
+          where c.event_type = 'click'
+            and p.event_type = 'purchase'""",
+        "rendezvous_shards": """
+          with shards as (
+            select unnest([
+              'shard-00','shard-01','shard-02','shard-03',
+              'shard-04','shard-05','shard-06','shard-07']) as s),
+          scored as (
+            select event_id, s,
+                   md5(cast(event_id as varchar) || chr(1) || s) as w
+            from events cross join shards),
+          r as (
+            select *, row_number() over (partition by event_id
+                       order by w desc, s desc) as rn
+            from scored)
+          select event_id, s as shard from r where rn = 1""",
+        "kcore": """
+          with raw as (
+            select l_orderkey * 2 as s, l_partkey * 2 + 1 as d
+            from lineitem where l_orderkey % 7 = 0),
+          e0 as (
+            select distinct least(s, d) as a, greatest(s, d) as b
+            from raw where s <> d),
+          al1 as (
+            select u from (select a as u from e0
+                           union all select b from e0)
+            group by u having count(*) >= 3),
+          e1 as (
+            select e0.a, e0.b from e0
+            join al1 x on e0.a = x.u join al1 y on e0.b = y.u),
+          al2 as (
+            select u from (select a as u from e1
+                           union all select b from e1)
+            group by u having count(*) >= 3),
+          e2 as (
+            select e1.a, e1.b from e1
+            join al2 x on e1.a = x.u join al2 y on e1.b = y.u),
+          al3 as (
+            select u from (select a as u from e2
+                           union all select b from e2)
+            group by u having count(*) >= 3),
+          e3 as (
+            select e2.a, e2.b from e2
+            join al3 x on e2.a = x.u join al3 y on e2.b = y.u),
+          al4 as (
+            select u from (select a as u from e3
+                           union all select b from e3)
+            group by u having count(*) >= 3),
+          e4 as (
+            select e3.a, e3.b from e3
+            join al4 x on e3.a = x.u join al4 y on e3.b = y.u)
+          select u as node, cast(count(*) as bigint) as degree
+          from (select a as u from e4 union all select b from e4)
+          group by u having count(*) >= 3""",
+        "segment_overlap": """
+          with grain as (
+            select distinct user_id as e, event_type as s from events),
+          sizes as (select s, count(*) as n from grain group by 1),
+          common as (
+            select l.s as seg_a, r.s as seg_b, count(*) as n_common
+            from grain l join grain r on l.e = r.e and l.s < r.s
+            group by 1, 2)
+          select seg_a, seg_b,
+                 cast(a.n as bigint) as n_a,
+                 cast(b.n as bigint) as n_b,
+                 cast(n_common as bigint) as n_common,
+                 round(n_common::DOUBLE
+                       / (a.n + b.n - n_common)::DOUBLE, 6) as jaccard
+          from common
+          join sizes a on common.seg_a = a.s
+          join sizes b on common.seg_b = b.s""",
     }

@@ -196,3 +196,72 @@ def basket_rules(
             ).alias("lift"),
         )
     )
+
+
+def segment_overlap(
+    df: DataFrame,
+    entity_col: str,
+    segment_col: str,
+    max_segments_per_entity: int | None = None,
+) -> DataFrame:
+    """Pairwise audience overlap between segments — shared-entity
+    counts and Jaccard for every segment pair with at least one common
+    member: the "how much do these cohorts overlap" readout under
+    audience planning, label-taxonomy audits, and redundant-segment
+    pruning.
+
+    Scale shape (the :func:`basket_rules` device): reduce to DISTINCT
+    (entity, segment) grain first, then ONE self-join keyed by the
+    ENTITY — fan-out per entity is (segments-per-entity choose 2),
+    bounded by the schema (segments are a taxonomy, not data), with
+    ``max_segments_per_entity`` as the optional hard cap for
+    pathological entities (capped entities are DROPPED from pair
+    counting, the honest form — a partial pair set would silently
+    bias Jaccard). Segment sizes ride a second tiny agg; the final
+    join is segment-pair-sized (dimension-scale).
+
+    Jaccard = common / (n_a + n_b - common): integer operands, one
+    double division, 6dp — bit-replayable.
+    """
+    grain = df.select(
+        F.col(entity_col).alias("e"), F.col(segment_col).alias("s")
+    ).distinct()
+    if max_segments_per_entity is not None:
+        counts = grain.groupBy("e").agg(F.count(F.lit(1)).alias("__n"))
+        keep = counts.filter(
+            F.col("__n") <= max_segments_per_entity
+        ).select("e")
+        grain = grain.join(keep, "e", "left_semi")
+    sizes = grain.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+    l = grain.select("e", F.col("s").alias("seg_a"))
+    r = grain.select("e", F.col("s").alias("seg_b"))
+    common = (
+        l.join(r, "e")
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col("s").alias("seg_a"), F.col("n").alias("n_a")),
+            "seg_a",
+        )
+        .join(
+            sizes.select(F.col("s").alias("seg_b"), F.col("n").alias("n_b")),
+            "seg_b",
+        )
+        .select(
+            "seg_a",
+            "seg_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -582,3 +582,67 @@ def adamic_adar(
             ).alias("aa_score"),
         )
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling: repeatedly drop nodes of degree
+    < ``k`` (and their edges) ``rounds`` times — the standard
+    densest-region extractor for fraud rings, community kernels, and
+    graph-cleaning before expensive per-node work.
+
+    Fixed rounds, not run-to-convergence, on purpose (the
+    :func:`pagerank` contract): each peel is a degree agg + two
+    semi-joins, deterministic, and an external engine can replay the
+    unrolled rounds verbatim — a convergence loop cannot be expressed
+    as a finite SQL twin. Peeling converges monotonically (node sets
+    only shrink), so ``rounds`` under-approximates the true k-core
+    from ABOVE: surviving nodes are a SUPERSET of the k-core, never a
+    subset, and real cores are typically reached in a handful of
+    rounds. Callers wanting the fixpoint raise ``rounds``.
+
+    Per round: one degree partial agg + one semi join per endpoint —
+    all equi-joins on node ids. Lineage is truncated per round with a
+    lazy ``localCheckpoint`` (the iterative-plan rule; see
+    ``dedup.connected_components``).
+
+    Returns ``(node, degree)`` of nodes alive after ``rounds`` peels,
+    with their degree in the surviving subgraph.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    for _ in range(rounds):
+        adj = e.select(F.col("a").alias("u")).unionAll(
+            e.select(F.col("b").alias("u"))
+        )
+        alive = (
+            adj.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .filter(F.col("degree") >= k)
+            .select("u")
+        )
+        e = (
+            e.join(alive.select(F.col("u").alias("a")), "a", "left_semi")
+            .join(alive.select(F.col("u").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    adj = e.select(F.col("a").alias("u")).unionAll(
+        e.select(F.col("b").alias("u"))
+    )
+    return (
+        adj.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= k)
+        .select(F.col("u").alias("node"), "degree")
+    )

@@ -82,3 +82,43 @@ def assign_sequential_ids(
         )
         .drop("__bkt", "__offset")
     )
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    key_col: str,
+    shards: "list[str]",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing — assign every key a
+    shard such that adding or removing ONE shard moves only ~1/N of
+    the keys (mod-N hashing reshuffles almost everything): the
+    placement primitive under shard routing, cache partitioning, and
+    sticky A/B bucketing.
+
+    Per key, each shard scores ``md5(key || chr(1) || shard)`` and the
+    lexicographically largest hex digest wins — md5 (not xxhash64) on
+    purpose: it is the engine-portable hash this repo uses wherever an
+    external system must replay the choice bit-for-bit (DuckDB has
+    md5; Spark's xxhash64 exists nowhere else). The argmax folds the
+    shard list into ONE ``greatest`` over (digest, shard) structs —
+    scan-only, zero shuffle, zero joins, whole-stage codegen; the
+    shard list is a literal fold, the same k <= ~10^3 regime as the
+    centroid-literal path in ``operators/similarity.py`` (shard counts
+    are configuration-sized by nature).
+
+    The minimal-movement property is the test contract: re-assigning
+    against ``shards + [new]`` changes only keys whose new winner IS
+    ``new`` — every other key's pairwise scores are untouched.
+    """
+    sep = "\x01"  # cannot appear in sane shard names or stringified keys
+    skey = F.col(key_col).cast("string")
+    scored = [
+        F.struct(
+            F.md5(F.concat(skey, F.lit(sep + s))).alias("w"),
+            F.lit(s).alias("s"),
+        )
+        for s in shards
+    ]
+    winner = scored[0] if len(scored) == 1 else F.greatest(*scored)
+    return df.withColumn(out_col, winner["s"])

@@ -727,3 +727,45 @@ def stream_apply_cdc(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    upper: str = "4 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native stream-stream INNER join with a time-range predicate —
+    "every right event within [left_ts, left_ts + upper] of a left
+    event with the same key": the attribution / conversion-pairing
+    join run directly between two live streams.
+
+    This is the join Structured Streaming can evaluate with BOUNDED
+    state precisely BECAUSE of its two ingredients: watermarks on both
+    inputs plus an event-time range in the join condition let the
+    engine prove when a buffered row can never match again and evict
+    it — an unconstrained stream-stream equi-join would buffer both
+    streams forever. State per key is O(rows inside the watermark
+    horizon), independent of stream length; output mode is append
+    (the only mode stream-stream inner joins support).
+
+    Column contract: ``left_ts`` / ``right_ts`` (and all non-key
+    payload columns) must be DISTINCT names — rename before the call;
+    only ``key`` is shared and the join equates it.
+
+    Batch parity: the result equals the batch range join
+    ``l JOIN r ON l.key = r.key AND r.ts BETWEEN l.ts AND l.ts +
+    upper`` whenever the watermark delay exceeds the data's event-time
+    span (no eviction losses) — which is what the oracle gate runs.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"interval {upper}"))
+    )
+    return l.join(r, cond, "inner").drop(r[key])

@@ -154,3 +154,120 @@ def test_interpolate_daily_last_obs_wins(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     out = _rows(interpolate_daily(df, "user_id"))
     assert len(out) == 1 and out[0]["value_interp"] == 9.0
+
+
+# ------------------------------------------------------------ rendezvous_assign
+
+
+def test_rendezvous_minimal_movement(spark):
+    from feat_spark.operators.ids import rendezvous_assign
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    a = {r["k"]: r["shard"] for r in rendezvous_assign(df, "k", ["s0", "s1", "s2", "s3"]).collect()}
+    b = {r["k"]: r["shard"] for r in rendezvous_assign(df, "k", ["s0", "s1", "s2", "s3", "s4"]).collect()}
+    moved = {k for k in a if a[k] != b[k]}
+    # every moved key moved TO the new shard, never between old shards
+    assert all(b[k] == "s4" for k in moved)
+    # ~1/5 of keys move (binomial; generous envelope)
+    assert 50 <= len(moved) <= 160
+    # deterministic: re-run is identical
+    again = {r["k"]: r["shard"] for r in rendezvous_assign(df, "k", ["s0", "s1", "s2", "s3"]).collect()}
+    assert again == a
+
+
+def test_rendezvous_single_shard(spark):
+    from feat_spark.operators.ids import rendezvous_assign
+
+    df = spark.createDataFrame([(1,), (2,)], "k long")
+    out = rendezvous_assign(df, "k", ["only"]).collect()
+    assert all(r["shard"] == "only" for r in out)
+
+
+# --------------------------------------------------------------------- kcore
+
+
+def test_kcore_triangle_with_tail(spark):
+    from feat_spark.operators.graph import kcore
+
+    # triangle 1-2-3 plus a pendant 3-4: the 2-core is the triangle
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    out = {r["node"]: r["degree"] for r in kcore(e, k=2, rounds=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_chain_peels_to_nothing(spark):
+    from feat_spark.operators.graph import kcore
+
+    # a path has no 2-core; each round peels both endpoints
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    assert kcore(e, k=2, rounds=3).count() == 0
+
+
+def test_kcore_fixed_rounds_superset(spark):
+    from feat_spark.operators.graph import kcore
+
+    # one round on a long path leaves an inner segment (superset of
+    # the empty true 2-core) — the documented from-above contract
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    assert kcore(e, k=2, rounds=1).count() == 3  # nodes 2,3,4 survive
+
+
+# ----------------------------------------------------------- segment_overlap
+
+
+def test_segment_overlap_jaccard(spark):
+    from feat_spark.operators.cooccur import segment_overlap
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c")]
+    df = spark.createDataFrame(rows, "e long, s string")
+    out = {
+        (r["seg_a"], r["seg_b"]): (r["n_a"], r["n_b"], r["n_common"], r["jaccard"])
+        for r in segment_overlap(df, "e", "s").collect()
+    }
+    assert out[("a", "b")] == (3, 2, 2, round(2 / 3, 6))
+    assert out[("a", "c")] == (3, 1, 1, round(1 / 3, 6))
+    assert ("b", "c") not in out  # no shared member
+
+
+def test_segment_overlap_entity_cap(spark):
+    from feat_spark.operators.cooccur import segment_overlap
+
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, "e long, s string")
+    out = {
+        (r["seg_a"], r["seg_b"]): r["n_common"]
+        for r in segment_overlap(df, "e", "s", max_segments_per_entity=2).collect()
+    }
+    # entity 1 (3 segments) dropped entirely; only entity 2's pair remains
+    assert out == {("a", "b"): 1}
+
+
+# ------------------------------------------------------- stream_interval_join
+
+
+def test_stream_interval_join_batch_shape(spark):
+    # the join CONDITION semantics on a batch frame (streaming wiring
+    # is exercised end-to-end by the driver gate)
+    from feat_spark.streaming.pipeline import stream_interval_join
+    from pyspark.sql import functions as F
+
+    l = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10)], "user_id long, c_ts string, click_id long"
+    ).withColumn("c_ts", F.col("c_ts").cast("timestamp"))
+    r = spark.createDataFrame(
+        [
+            (1, "2024-01-01 01:00:00", 20),  # inside
+            (1, "2024-01-01 05:00:00", 21),  # outside 4h
+            (2, "2024-01-01 01:00:00", 22),  # wrong key
+            (1, "2023-12-31 23:00:00", 23),  # before the click
+        ],
+        "user_id long, p_ts string, purchase_id long",
+    ).withColumn("p_ts", F.col("p_ts").cast("timestamp"))
+    out = stream_interval_join(l, r, "user_id", "c_ts", "p_ts", upper="4 hours")
+    assert [row["purchase_id"] for row in out.collect()] == [20]
