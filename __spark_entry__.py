@@ -4182,6 +4182,95 @@ def _q_segment_overlap(spark, sf_dir):
     )
 
 
+def _q_entity_resolution(spark, sf_dir):
+    """End-to-end record linkage (composition): blocked Levenshtein
+    candidate pairs (dedup.fuzzy_pairs, the fuzzy_pairs gate's exact
+    config) -> connected components -> longest-name survivor per
+    cluster (dedup.canonical_docs). Every constituent has its own
+    gate; this row checks the COMPOSITION. Oracle chains the fuzzy
+    pair SQL, the recursive-CTE component fixpoint, and the survivor
+    rank."""
+    from feat_spark.operators.dedup import (
+        canonical_docs,
+        connected_components,
+        fuzzy_pairs,
+    )
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    toks = F.split(F.col("p_name"), " ")
+    blk = F.concat_ws(":", toks[0], F.substring(toks[1], 1, 1))
+    pairs = fuzzy_pairs(
+        p, id_col="p_partkey", str_col="p_name", max_dist=2, block=blk
+    )
+    comps = connected_components(pairs)
+    docs = p.select(
+        F.col("p_partkey").alias("doc_id"), F.col("p_name").alias("text")
+    )
+    return canonical_docs(comps, docs)
+
+
+def _q_hash_features(spark, sf_dir):
+    """The hashing trick (encoding.hash_features): event_type + the
+    props-JSON k value land in a fixed 64-bucket signed feature space
+    via the portable md5 hash — vocabulary-free featurization, sparse
+    (id, bucket, weight) output, collisions summed with signs. Oracle
+    replays tokens, buckets, signs, and the collision sum."""
+    from feat_spark.operators.encoding import hash_features
+
+    e = _events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").alias("k"),
+    )
+    return hash_features(e, "event_id", ["event_type", "k"], n_features=64)
+
+
+def _q_join_cardinality(spark, sf_dir):
+    """Pre-join blast-radius audit (plans/audit.join_cardinality_audit)
+    of the lineitem SELF-join on l_orderkey: per-key side counts and
+    projected output rows, top 20 by explosion — the report that names
+    the many-to-many key BEFORE the join runs. Oracle replays counts
+    and the TakeOrdered cut."""
+    from feat_spark.plans.audit import join_cardinality_audit
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    return join_cardinality_audit(li, li, "l_orderkey", top_k=20)
+
+
+def _q_k_anonymity(spark, sf_dir):
+    """k-anonymity violation report (plans/audit.k_anonymity_audit)
+    over the (user_id, day) quasi-identifier at k=5: groups an
+    attacker can re-identify, with 1/n risk — violation-sized output,
+    one partial-agg pass. Oracle replays the group counts."""
+    from feat_spark.plans.audit import k_anonymity_audit
+
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+        .alias("day"),
+    )
+    return k_anonymity_audit(e, ["user_id", "day"], k=5)
+
+
+def _q_rolling_corr(spark, sf_dir):
+    """Rolling Pearson correlation (rolling.rolling_corr) between the
+    event value and the props-JSON k metric over the trailing 20
+    events per user: integer-cent windowed sums, exact integer
+    numerator/radicand, one sqrt + one division, 6dp;
+    zero-variance / short windows NULL. Oracle replays every sum and
+    the closed form."""
+    from feat_spark.operators.rolling import rolling_corr
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "value",
+        F.get_json_object("props", "$.k").cast("double").alias("yk"),
+    )
+    out = rolling_corr(
+        e, "user_id", ["ts", "event_id"], "value", "yk", window=20
+    )
+    return out.select("event_id", "r")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -4359,6 +4448,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rendezvous_shards": _q_rendezvous,
         "kcore": _q_kcore,
         "segment_overlap": _q_segment_overlap,
+        "entity_resolution": _q_entity_resolution,
+        "hash_features": _q_hash_features,
+        "join_cardinality": _q_join_cardinality,
+        "k_anonymity": _q_k_anonymity,
+        "rolling_corr": _q_rolling_corr,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -8317,4 +8411,107 @@ def oracle_sql() -> dict[str, str]:
           from common
           join sizes a on common.seg_a = a.s
           join sizes b on common.seg_b = b.s""",
+        "entity_resolution": """
+          with recursive d as (
+            select p_partkey as id, p_name as s,
+                   concat_ws(':', split_part(p_name, ' ', 1),
+                     nullif(substr(split_part(p_name, ' ', 2), 1, 1), ''))
+                     as b
+            from part where p_name is not null),
+          pairs as (
+            select a.id as id_a, c.id as id_b
+            from d a join d c
+              on a.b = c.b and a.id < c.id
+             and abs(len(a.s) - len(c.s)) <= 2
+            where levenshtein(a.s, c.s) <= 2),
+          e as (select id_a as a, id_b as b from pairs
+                union
+                select id_b as a, id_a as b from pairs),
+          reach(v, r) as (
+            select a, a from e
+            union
+            select e.a, reach.r from e join reach on reach.v = e.b),
+          comp as (
+            select v as doc_id, min(r) as component
+            from reach group by v),
+          m as (
+            select comp.doc_id, comp.component,
+                   len(p.p_name) as l
+            from comp join part p on p.p_partkey = comp.doc_id),
+          surv as (
+            select component, doc_id as canonical_id
+            from (select *, row_number() over (partition by component
+                             order by l desc, doc_id asc) as rn
+                  from m)
+            where rn = 1)
+          select m.doc_id, m.component, surv.canonical_id,
+                 m.doc_id = surv.canonical_id as is_canonical
+          from m join surv on m.component = surv.component""",
+        "hash_features": """
+          with toks as (
+            select event_id as id, tok from (
+              select event_id,
+                     unnest(['event_type=' || event_type,
+                             case when json_extract_string(props, '$.k')
+                                       is not null
+                                  then 'k=' ||
+                                       json_extract_string(props, '$.k')
+                             end]) as tok
+              from events)
+            where tok is not null),
+          scored as (
+            select id,
+                   cast((('0x' || substr(md5(tok), 1, 8))::BIGINT) % 64
+                        as int) as bucket,
+                   case when ('0x' || substr(md5(tok), 9, 1))::BIGINT % 2
+                             = 0
+                        then 1 else -1 end as sgn
+            from toks)
+          select id, bucket, cast(sum(sgn) as bigint) as weight
+          from scored group by 1, 2""",
+        "join_cardinality": """
+          with c as (
+            select l_orderkey as join_key, count(*) as n
+            from lineitem where l_orderkey is not null group by 1)
+          select join_key,
+                 cast(n as bigint) as n_left,
+                 cast(n as bigint) as n_right,
+                 cast(n * n as bigint) as out_rows
+          from c
+          order by out_rows desc, join_key
+          limit 20""",
+        "k_anonymity": """
+          with g as (
+            select user_id,
+                   epoch_us(cast(ts as timestamp)) // 86400000000 as day,
+                   count(*) as n
+            from events group by 1, 2)
+          select user_id, day, cast(n as bigint) as n,
+                 round(1.0 / n, 6) as risk
+          from g where n < 5""",
+        "rolling_corr": """
+          with base as (
+            select event_id, user_id, ts,
+                   cast(round(value * 100) as bigint) as x,
+                   cast(round(cast(json_extract_string(props, '$.k')
+                              as double) * 100) as bigint) as y
+            from events),
+          s as (
+            select event_id,
+                   count(*) over w as n,
+                   sum(x) over w as sx, sum(y) over w as sy,
+                   sum(x * x) over w as sxx, sum(y * y) over w as syy,
+                   sum(x * y) over w as sxy
+            from base
+            window w as (partition by user_id order by ts, event_id
+                         rows between 19 preceding and current row))
+          select event_id,
+                 case when n >= 3
+                       and (n * sxx - sx * sx) > 0
+                       and (n * syy - sy * sy) > 0
+                      then round((n * sxy - sx * sy)::DOUBLE
+                             / sqrt((n * sxx - sx * sx)::DOUBLE
+                                    * (n * syy - sy * sy)::DOUBLE), 6)
+                 end as r
+          from s""",
     }

@@ -809,3 +809,57 @@ def time_weighted_avg(
             F.round(F.col("__wsum") / (F.col("span_us") * 100), 6),
         ).alias("twa"),
     )
+
+
+def hash_features(
+    df: DataFrame,
+    id_col: str,
+    cat_cols: "list[str]",
+    n_features: int = 64,
+) -> DataFrame:
+    """The hashing trick (feature hashing): map arbitrary categorical
+    values into a FIXED feature space with a signed hash — the
+    vocabulary-free featurizer that needs no fitted dictionary, no
+    broadcast vocab, and no schema change when new categories appear
+    (the property that matters on a 100 TB stream of drifting
+    categories; collisions are the accepted, bounded noise).
+
+    Per (row, column): feature token ``col=value`` (column-name
+    prefixed so identical values in different columns cannot
+    collide by construction), bucket = portable md5 32-bit hash mod
+    ``n_features``, sign = parity of the hash's next hex nibble
+    (+1/-1 — the signed variant that makes collisions cancel in
+    expectation, per Weinberger et al.'s public formulation). Output
+    is the SPARSE form ``(id, bucket, weight)`` with weight the
+    signed collision sum — one explode bounded by len(cat_cols), one
+    partial agg keyed (id, bucket). NULL category values contribute
+    nothing (no "None" pseudo-category).
+
+    md5, not xxhash64, for the repo's portability rule: an external
+    engine must produce the same buckets (DuckDB twin:
+    ``('0x' || substr(md5(t),1,8))::BIGINT``).
+    """
+    from feat_spark.functions.text import md5_long32
+
+    tokens = F.array(
+        *[
+            F.when(
+                F.col(c).isNotNull(),
+                F.concat(F.lit(c + "="), F.col(c).cast("string")),
+            )
+            for c in cat_cols
+        ]
+    )
+    t = df.select(F.col(id_col).alias("id"), F.explode(tokens).alias("tok")) \
+        .filter(F.col("tok").isNotNull())
+    h = md5_long32(F.col("tok"))
+    nib = F.conv(F.substring(F.md5(F.col("tok")), 9, 1), 16, 10).cast("long")
+    return (
+        t.select(
+            "id",
+            F.pmod(h, F.lit(n_features)).cast("int").alias("bucket"),
+            F.when(nib % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("sgn"),
+        )
+        .groupBy("id", "bucket")
+        .agg(F.sum("sgn").cast("long").alias("weight"))
+    )

@@ -29,6 +29,8 @@ compute-bound, not memory-bound, at any partition size.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -64,3 +66,57 @@ def rolling_median(
     )
     med: Column = F.percentile(F.col(value_col), F.lit(0.5)).over(w)
     return df.withColumn(out_col, med)
+
+
+def rolling_corr(
+    df: DataFrame,
+    key_cols: "Sequence[str] | str",
+    order_cols: "Sequence[str]",
+    x_col: str,
+    y_col: str,
+    window: int = 20,
+    out_col: str = "r",
+    min_periods: int = 3,
+) -> DataFrame:
+    """Rolling Pearson correlation between two metrics over the
+    trailing ``window`` rows per key — the co-movement monitor
+    (does latency track load? does spend track engagement?) at event
+    grain.
+
+    Exactness discipline (module rule): both inputs quantize to
+    integer cents first; every windowed sum (``sx, sy, sxx, syy,
+    sxy``) is then an INTEGER aggregate over a bounded frame — order-
+    free and exact (products bounded by cents²·window < 2^53 for sane
+    metrics). The closed form
+    ``(n·sxy − sx·sy) / sqrt((n·sxx − sx²) · (n·syy − sy²))``
+    has an exact integer numerator and radicand; one sqrt + one
+    division in double, 6dp. Zero-variance windows (either side) are
+    NULL, as are windows shorter than ``min_periods``.
+
+    One exchange + one sort; all five sums share the single window
+    frame (Spark collapses same-spec window functions into one
+    physical window operator).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window - 1), 0)
+    )
+    x = F.round(F.col(x_col) * 100).cast("long")
+    y = F.round(F.col(y_col) * 100).cast("long")
+    base = df.withColumn("__x", x).withColumn("__y", y)
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("__x").over(w)
+    sy = F.sum("__y").over(w)
+    sxx = F.sum(F.col("__x") * F.col("__x")).over(w)
+    syy = F.sum(F.col("__y") * F.col("__y")).over(w)
+    sxy = F.sum(F.col("__x") * F.col("__y")).over(w)
+    num = (n * sxy - sx * sy).cast("double")
+    varx = (n * sxx - sx * sx).cast("double")
+    vary = (n * syy - sy * sy).cast("double")
+    r = F.when(
+        (n >= min_periods) & (varx > 0) & (vary > 0),
+        F.round(num / F.sqrt(varx * vary), 6),
+    )
+    return base.withColumn(out_col, r).drop("__x", "__y")

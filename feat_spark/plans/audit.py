@@ -394,3 +394,74 @@ def fd_check(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def join_cardinality_audit(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Pre-join blast-radius audit: for each join key, how many rows
+    each side holds and how many output rows the equi-join would emit
+    — the pre-flight that catches the accidental many-to-many before
+    it runs for six hours at 100 TB (a single key with 10^5 rows on
+    both sides emits 10^10 rows; this report names that key BEFORE the
+    join does).
+
+    One count agg per side (partial-agg map-side collapse), an inner
+    join of the two KEY-GRAIN count frames (dimension-sized), and a
+    TakeOrdered top-``top_k`` by projected output rows — no global
+    sort, no touch of the fact rows beyond the two aggs. NULL keys are
+    excluded (equi-joins drop them anyway).
+
+    Output: ``(join_key, n_left, n_right, out_rows)``, the ``top_k``
+    heaviest keys, ordered for stable comparison by
+    ``(out_rows DESC, join_key)``.
+    """
+    lc = (
+        left.filter(F.col(key).isNotNull())
+        .groupBy(F.col(key).alias("join_key"))
+        .agg(F.count(F.lit(1)).alias("n_left"))
+    )
+    rc = (
+        right.filter(F.col(key).isNotNull())
+        .groupBy(F.col(key).alias("join_key"))
+        .agg(F.count(F.lit(1)).alias("n_right"))
+    )
+    return (
+        lc.join(rc, "join_key")
+        .withColumn("out_rows", (F.col("n_left") * F.col("n_right")).cast("long"))
+        .orderBy(F.col("out_rows").desc(), F.col("join_key"))
+        .limit(top_k)
+    )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: "list[str]",
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity violation report over a quasi-identifier tuple:
+    every combination of ``quasi_cols`` values shared by FEWER than
+    ``k`` rows, with its group size and re-identification risk
+    ``1/n`` — the release-gate audit run before publishing an
+    "anonymized" extract (a quasi-identifier group of size 1 IS an
+    identification).
+
+    ONE partial-agg pass keyed by the quasi tuple; the report is
+    violation-sized, not data-sized (compliant groups never leave the
+    reducers). NULL is treated as a value — two rows that both lack a
+    zip code still look alike to an attacker, which is the honest
+    reading.
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") < k)
+        .select(
+            *quasi_cols,
+            F.col("n").cast("long").alias("n"),
+            F.round(F.lit(1.0) / F.col("n"), 6).alias("risk"),
+        )
+    )

@@ -271,3 +271,98 @@ def test_stream_interval_join_batch_shape(spark):
     ).withColumn("p_ts", F.col("p_ts").cast("timestamp"))
     out = stream_interval_join(l, r, "user_id", "c_ts", "p_ts", upper="4 hours")
     assert [row["purchase_id"] for row in out.collect()] == [20]
+
+
+# --------------------------------------------------------------- hash_features
+
+
+def test_hash_features_stable_and_null_safe(spark):
+    from feat_spark.operators.encoding import hash_features
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", None), (3, "b", "x")],
+        "id long, c1 string, c2 string",
+    )
+    out = hash_features(df, "id", ["c1", "c2"], n_features=8)
+    rows = [(r["id"], r["bucket"], r["weight"]) for r in out.collect()]
+    # id=2's NULL c2 contributes nothing: one token only
+    assert sum(1 for i, _, _ in rows if i == 2) == 1
+    # identical tokens hash identically across rows: c1=a buckets match
+    a1 = {(b, w) for i, b, w in rows if i == 1}
+    a2 = {(b, w) for i, b, w in rows if i == 2}
+    assert a2 <= a1  # id 2's single (bucket, weight) appears in id 1's set
+    assert all(w in (-1, 1) for _, _, w in rows)  # no collisions at this size
+
+
+def test_hash_features_collision_sum(spark):
+    from feat_spark.operators.encoding import hash_features
+
+    # same token in both columns via equal prefixed strings is
+    # impossible (prefix), but duplicate column listing forces the
+    # collision path: weights sum
+    df = spark.createDataFrame([(1, "a")], "id long, c1 string")
+    out = hash_features(df, "id", ["c1", "c1"], n_features=8).collect()
+    assert len(out) == 1 and out[0]["weight"] in (-2, 2)
+
+
+# ------------------------------------------------------ join_cardinality_audit
+
+
+def test_join_cardinality_audit(spark):
+    from feat_spark.plans.audit import join_cardinality_audit
+
+    l = spark.createDataFrame([(1,), (1,), (1,), (2,), (None,)], "k long")
+    r = spark.createDataFrame([(1,), (1,), (3,)], "k long")
+    out = [r_.asDict() for r_ in join_cardinality_audit(l, r, "k").collect()]
+    # only key 1 is on both sides; nulls excluded
+    assert out == [{"join_key": 1, "n_left": 3, "n_right": 2, "out_rows": 6}]
+
+
+def test_join_cardinality_topk_order(spark):
+    from feat_spark.plans.audit import join_cardinality_audit
+
+    rows = [(k,) for k in [1, 1, 1, 2, 2, 3]]
+    df = spark.createDataFrame(rows, "k long")
+    out = join_cardinality_audit(df, df, "k", top_k=2).collect()
+    assert [r["join_key"] for r in out] == [1, 2]
+    assert [r["out_rows"] for r in out] == [9, 4]
+
+
+# ----------------------------------------------------------- k_anonymity_audit
+
+
+def test_k_anonymity_audit(spark):
+    from feat_spark.plans.audit import k_anonymity_audit
+
+    rows = [("a", 1)] * 5 + [("b", 1)] * 2 + [("c", None)]
+    df = spark.createDataFrame(rows, "q1 string, q2 long")
+    out = {
+        (r["q1"], r["q2"]): (r["n"], r["risk"])
+        for r in k_anonymity_audit(df, ["q1", "q2"], k=5).collect()
+    }
+    # group a (n=5) compliant; b (n=2) and the NULL-q2 group (n=1) violate
+    assert out == {("b", 1): (2, 0.5), ("c", None): (1, 1.0)}
+
+
+# ----------------------------------------------------------------- rolling_corr
+
+
+def test_rolling_corr_perfect_and_anti(spark):
+    from feat_spark.operators.rolling import rolling_corr
+
+    rows = [(1, i, float(i), float(2 * i + 3), float(-i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "k long, i long, ts double, y1 double, y2 double")
+    pos = rolling_corr(df, "k", ["i"], "y1", "y1", window=5).orderBy("i").collect()
+    # self-correlation: NULL until min_periods, then exactly 1
+    assert [r["r"] for r in pos] == [None, None, 1.0, 1.0, 1.0]
+    anti = rolling_corr(df, "k", ["i"], "y1", "y2", window=5).orderBy("i").collect()
+    assert [r["r"] for r in anti] == [None, None, -1.0, -1.0, -1.0]
+
+
+def test_rolling_corr_zero_variance_null(spark):
+    from feat_spark.operators.rolling import rolling_corr
+
+    rows = [(1, i, 5.0, float(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "k long, i long, x double, y double")
+    out = rolling_corr(df, "k", ["i"], "x", "y", window=4).collect()
+    assert all(r["r"] is None for r in out)  # constant x: undefined
