@@ -4271,6 +4271,102 @@ def _q_rolling_corr(spark, sf_dir):
     return out.select("event_id", "r")
 
 
+def _q_incremental_rollup(spark, sf_dir):
+    """Incremental materialized rollup (plans/incremental): the
+    algebraic identity rollup(old) MERGE rollup(new) == rollup(all) —
+    old = events before epoch-day 19740, delta = the rest, per
+    (user_id, event_type) with count / decimal sum / min / max states;
+    avg derived at read time from (sum, n). Decimal sums make the
+    merge bit-equal to the from-scratch oracle."""
+    from feat_spark.plans.incremental import build_rollup, merge_rollup
+
+    keys = ["user_id", "event_type"]
+    measures = [
+        ("n", "count", "value"),
+        ("sum_value", "sum", "value_dec"),
+        ("vmin", "min", "value_dec"),
+        ("vmax", "max", "value_dec"),
+    ]
+    e = _events(spark, sf_dir).withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    ).withColumn(
+        "day", F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    )
+    prev = build_rollup(e.filter(F.col("day") < 19740), keys, measures)
+    delta = build_rollup(e.filter(F.col("day") >= 19740), keys, measures)
+    merged = merge_rollup(prev, delta, keys, measures)
+    return merged.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("vmin").cast("double").alias("vmin"),
+        F.col("vmax").cast("double").alias("vmax"),
+        (F.col("sum_value").cast("double") / F.col("n").cast("double"))
+        .alias("avg_value"),
+    )
+
+
+def _q_bitmap_overlap(spark, sf_dir):
+    """Bitmap audience index (operators/bitmap): per-segment bitsets
+    over the user-id space (one bit_or partial agg), pairwise
+    intersection sizes by popcounting word ANDs — the repeated-query
+    twin of segment_overlap's one-shot self-join. The oracle computes
+    ground truth by the DIRECT distinct-intersection count, so the
+    whole bitmap path is cross-checked against an independent
+    formulation."""
+    from feat_spark.operators.bitmap import bitmap_index, bitmap_intersect
+
+    idx = bitmap_index(
+        _events(spark, sf_dir), "event_type", "user_id"
+    )
+    return bitmap_intersect(idx)
+
+
+def _q_stream_tumbling(spark, sf_dir):
+    """Streaming gate: watermarked tumbling-window rollup
+    (pipeline.tumbling_stream_agg) through a real 2-micro-batch
+    availableNow run with a time-ordered cut — hour windows split by
+    the cut must combine their partial counts. Complete mode,
+    watermark past the span; oracle = the batch time_bucket rollup."""
+    import uuid
+
+    from feat_spark.streaming.pipeline import run_to_memory, tumbling_stream_agg
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_type").alias("text"),
+    )
+    pdf = e.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    if getattr(pdf["ts"].dtype, "tz", None) is None:
+        pdf["ts"] = pdf["ts"].dt.tz_localize("UTC")
+    cut = len(pdf) // 2
+    d = _stream_scratch("tumbstream")
+    pq_opts = dict(index=False, coerce_timestamps="us",
+                   allow_truncated_timestamps=True)
+    pdf.iloc[:cut].to_parquet(os.path.join(d, "part1.parquet"), **pq_opts)
+    pdf.iloc[cut:].to_parquet(os.path.join(d, "part2.parquet"), **pq_opts)
+    _space_mtimes(d, ["part1.parquet", "part2.parquet"])
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = tumbling_stream_agg(
+        stream, duration="1 hour", watermark="720 hours",
+        keys=("user_id",), ts="ts",
+    )
+    name = "stream_tumb_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name, output_mode="complete")
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("win_start").alias("start_us"),
+        F.col("n_turns").cast("long").alias("n"),
+        F.col("chars").cast("long").alias("chars"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -4453,6 +4549,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_cardinality": _q_join_cardinality,
         "k_anonymity": _q_k_anonymity,
         "rolling_corr": _q_rolling_corr,
+        "incremental_rollup": _q_incremental_rollup,
+        "bitmap_overlap": _q_bitmap_overlap,
+        "stream_tumbling": _q_stream_tumbling,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -8514,4 +8613,29 @@ def oracle_sql() -> dict[str, str]:
                                     * (n * syy - sy * sy)::DOUBLE), 6)
                  end as r
           from s""",
+        "incremental_rollup": """
+          select user_id, event_type,
+                 cast(count(*) as bigint) as n,
+                 cast(sum(cast(value as decimal(18,2))) as double)
+                   as sum_value,
+                 cast(min(cast(value as decimal(18,2))) as double) as vmin,
+                 cast(max(cast(value as decimal(18,2))) as double) as vmax,
+                 cast(sum(cast(value as decimal(18,2))) as double)
+                   / cast(count(*) as double) as avg_value
+          from events group by 1, 2""",
+        "bitmap_overlap": """
+          with grain as (
+            select distinct event_type as s, user_id as e from events),
+          common as (
+            select l.s as seg_a, r.s as seg_b,
+                   cast(count(*) as bigint) as n_common
+            from grain l join grain r on l.e = r.e and l.s < r.s
+            group by 1, 2)
+          select * from common where n_common > 0""",
+        "stream_tumbling": """
+          select user_id,
+                 epoch_us(time_bucket(interval '1 hour', ts)) as start_us,
+                 cast(count(*) as bigint) as n,
+                 cast(sum(len(event_type)) as bigint) as chars
+          from events group by 1, 2""",
     }

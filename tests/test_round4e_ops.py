@@ -366,3 +366,62 @@ def test_rolling_corr_zero_variance_null(spark):
     df = spark.createDataFrame(rows, "k long, i long, x double, y double")
     out = rolling_corr(df, "k", ["i"], "x", "y", window=4).collect()
     assert all(r["r"] is None for r in out)  # constant x: undefined
+
+
+# ---------------------------------------------------------- incremental rollup
+
+
+def test_merge_rollup_identity(spark):
+    from feat_spark.plans.incremental import build_rollup, merge_rollup
+    from pyspark.sql import functions as F
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 7.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "k string, v double").withColumn(
+        "vd", F.col("v").cast("decimal(18,2)")
+    )
+    ms = [("n", "count", "v"), ("s", "sum", "vd"),
+          ("lo", "min", "vd"), ("hi", "max", "vd")]
+    old = build_rollup(df.filter("v < 3"), ["k"], ms)
+    new = build_rollup(df.filter("v >= 3"), ["k"], ms)
+    merged = {
+        r["k"]: (r["n"], float(r["s"]), float(r["lo"]), float(r["hi"]))
+        for r in merge_rollup(old, new, ["k"], ms).collect()
+    }
+    assert merged == {"a": (3, 10.0, 1.0, 7.0), "b": (1, 5.0, 5.0, 5.0)}
+
+
+def test_build_rollup_rejects_non_algebraic(spark):
+    import pytest
+
+    from feat_spark.plans.incremental import build_rollup
+
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    with pytest.raises(ValueError, match="not an algebraic"):
+        build_rollup(df, ["k"], [("m", "median", "v")])
+
+
+# --------------------------------------------------------------------- bitmap
+
+
+def test_bitmap_overlap_matches_direct(spark):
+    from feat_spark.operators.bitmap import bitmap_index, bitmap_intersect
+
+    # entities straddle a word boundary (63/64) on purpose
+    rows = [("a", 1), ("a", 63), ("a", 64), ("a", 200),
+            ("b", 63), ("b", 64), ("b", 999),
+            ("c", 5)]
+    df = spark.createDataFrame(rows, "s string, e long")
+    out = {
+        (r["seg_a"], r["seg_b"]): r["n_common"]
+        for r in bitmap_intersect(bitmap_index(df, "s", "e")).collect()
+    }
+    assert out == {("a", "b"): 2}  # 63 and 64; (a,c)/(b,c) share none
+
+
+def test_bitmap_index_dedups_membership(spark):
+    from feat_spark.operators.bitmap import bitmap_index, bitmap_intersect
+
+    rows = [("a", 7), ("a", 7), ("b", 7)]
+    df = spark.createDataFrame(rows, "s string, e long")
+    out = bitmap_intersect(bitmap_index(df, "s", "e")).collect()
+    assert len(out) == 1 and out[0]["n_common"] == 1
