@@ -4367,6 +4367,66 @@ def _q_stream_tumbling(spark, sf_dir):
     )
 
 
+def _q_time_travel(spark, sf_dir):
+    """Time-travel read planning (layout.time_travel_plan): VERSION
+    AS OF 6 over a lineitem-derived add/remove change log — one
+    monotone-id filter, one map-side-combinable per-file argmax, one
+    predicate; visible = latest action is an add. Oracle replays the
+    log replay."""
+    from feat_spark.sources.layout import time_travel_plan
+
+    log = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_partkey") % 10).alias("snapshot_id"),
+            F.expr("l_partkey div 3").alias("path"),
+        )
+        .distinct()
+        .withColumn(
+            "op",
+            F.when(
+                (F.col("path") + F.col("snapshot_id")) % 5 == 0,
+                F.lit("remove"),
+            ).otherwise(F.lit("add")),
+        )
+    )
+    return time_travel_plan(log, snapshot=6)
+
+
+def _q_sql_surface(spark, sf_dir):
+    """The spark.sql entrypoint end-to-end (SURVEY §3): temp views +
+    a CTE + join + aggregate + window, parsed and planned through the
+    SQL surface rather than the DataFrame API — the parser/analyzer
+    path a SQL-first user of the engine exercises. Oracle is the same
+    ANSI query."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql("""
+        with seg as (
+          select c.c_mktsegment as segment,
+                 count(*) as n_orders,
+                 cast(sum(cast(o.o_totalprice as decimal(18,2)))
+                      as double) as revenue
+          from v_orders o join v_customer c on o.o_custkey = c.c_custkey
+          group by c.c_mktsegment)
+        select segment, n_orders, revenue,
+               cast(rank() over (order by revenue desc, segment) as int)
+                 as rnk
+        from seg""")
+
+
+def _q_arrow_features(spark, sf_dir):
+    """The mapInArrow UDF surface (udfs.arrow_text_bytes): Arrow-
+    native per-batch compute, no pandas materialization — UTF-8 byte
+    vs char lengths per document. Oracle: DuckDB strlen (bytes) and
+    length (chars)."""
+    from feat_spark.functions.udfs import arrow_text_bytes
+
+    return arrow_text_bytes(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -4552,6 +4612,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup": _q_incremental_rollup,
         "bitmap_overlap": _q_bitmap_overlap,
         "stream_tumbling": _q_stream_tumbling,
+        "time_travel": _q_time_travel,
+        "sql_surface": _q_sql_surface,
+        "arrow_features": _q_arrow_features,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -8638,4 +8701,38 @@ def oracle_sql() -> dict[str, str]:
                  cast(count(*) as bigint) as n,
                  cast(sum(len(event_type)) as bigint) as chars
           from events group by 1, 2""",
+        "time_travel": """
+          with log as (
+            select distinct l_partkey % 10 as snapshot_id,
+                   l_partkey // 3 as path
+            from lineitem),
+          ops as (
+            select snapshot_id, path,
+                   case when (path + snapshot_id) % 5 = 0
+                        then 'remove' else 'add' end as op
+            from log),
+          last as (
+            select path, snapshot_id as added_at, op,
+                   row_number() over (partition by path
+                     order by snapshot_id desc) as rn
+            from ops where snapshot_id <= 6)
+          select path, cast(added_at as bigint) as added_at
+          from last where rn = 1 and op = 'add'""",
+        "sql_surface": """
+          with seg as (
+            select c.c_mktsegment as segment,
+                   cast(count(*) as bigint) as n_orders,
+                   cast(sum(cast(o.o_totalprice as decimal(18,2)))
+                        as double) as revenue
+            from orders o join customer c on o.o_custkey = c.c_custkey
+            group by c.c_mktsegment)
+          select segment, n_orders, revenue,
+                 cast(rank() over (order by revenue desc, segment) as int)
+                   as rnk
+          from seg""",
+        "arrow_features": """
+          select doc_id as id,
+                 cast(strlen(text) as bigint) as n_bytes,
+                 cast(length(text) as bigint) as n_chars
+          from documents""",
     }

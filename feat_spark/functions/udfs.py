@@ -97,3 +97,37 @@ def sentence_split_udtf_class():
                     pos += 1
 
     return SplitSentences
+
+
+def arrow_text_bytes(df, id_col: str, text_col: str):
+    """The ``mapInArrow`` UDF surface (SURVEY §2.11): per-batch
+    Arrow-native compute with ZERO pandas materialization — the
+    lowest-overhead Python hook Spark offers, the one to reach for
+    when the per-batch work is itself vectorized (pyarrow.compute,
+    numpy over buffers) and the pandas conversion would be pure tax.
+
+    Emits ``(id, n_bytes, n_chars)`` — UTF-8 byte length vs character
+    length (their ratio is the multibyte detector). Feature math runs
+    inside pyarrow.compute on the Arrow buffers; the batch never
+    becomes Python objects. Deterministic, embarrassingly parallel,
+    no shuffle.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyspark.sql import functions as F  # noqa: F401 (parity with module style)
+
+    def mapper(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(id_col),
+                    pc.cast(pc.binary_length(b.column(text_col)), pa.int64()),
+                    pc.cast(pc.utf8_length(b.column(text_col)), pa.int64()),
+                ],
+                ["id", "n_bytes", "n_chars"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        mapper, schema="id long, n_bytes long, n_chars long"
+    )

@@ -212,3 +212,39 @@ def vacuum_plan(
             F.max("s").alias("last_snapshot"),
         )
     )
+
+
+def time_travel_plan(
+    changelog: DataFrame,
+    snapshot: int,
+    snap_col: str = "snapshot_id",
+    file_col: str = "path",
+    op_col: str = "op",
+    add_op: str = "add",
+) -> DataFrame:
+    """Time-travel read planning — which data files a query AS OF
+    ``snapshot`` must scan, from an add/remove change log: the
+    log-replay decision under Iceberg/Delta ``VERSION AS OF``,
+    relationally. A file is visible iff its LATEST action at or
+    before the snapshot is an add.
+
+    One filter (``snapshot_id <= snapshot`` — monotone ids, the same
+    contract as :func:`vacuum_plan`) + one per-file argmax by
+    snapshot id (map-side-combinable ``max(struct(snap, op))``, no
+    window sort) + one predicate. Manifest-scale only; data files
+    never read. At most one action per (snapshot, file) by contract —
+    table formats serialize commits.
+
+    Output: ``(path, added_at)`` — the visible files and the snapshot
+    of their last add.
+    """
+    upto = changelog.filter(F.col(snap_col) <= snapshot).select(
+        F.col(file_col).alias("path"),
+        F.struct(
+            F.col(snap_col).cast("long").alias("s"), F.col(op_col).alias("o")
+        ).alias("__act"),
+    )
+    last = upto.groupBy("path").agg(F.max("__act").alias("__last"))
+    return last.filter(F.col("__last")["o"] == add_op).select(
+        "path", F.col("__last")["s"].alias("added_at")
+    )

@@ -425,3 +425,42 @@ def test_bitmap_index_dedups_membership(spark):
     df = spark.createDataFrame(rows, "s string, e long")
     out = bitmap_intersect(bitmap_index(df, "s", "e")).collect()
     assert len(out) == 1 and out[0]["n_common"] == 1
+
+
+# ------------------------------------------------------------ time_travel_plan
+
+
+def test_time_travel_plan_replay(spark):
+    from feat_spark.sources.layout import time_travel_plan
+
+    log = spark.createDataFrame(
+        [
+            (1, "f1", "add"),
+            (2, "f1", "remove"),
+            (3, "f1", "add"),     # re-added: visible at >=3
+            (1, "f2", "add"),
+            (4, "f2", "remove"),  # removed after the read point
+            (5, "f3", "add"),     # added after the read point
+        ],
+        "snapshot_id long, path string, op string",
+    )
+    at3 = {r["path"]: r["added_at"] for r in time_travel_plan(log, 3).collect()}
+    assert at3 == {"f1": 3, "f2": 1}
+    at2 = {r["path"]: r["added_at"] for r in time_travel_plan(log, 2).collect()}
+    assert at2 == {"f2": 1}  # f1's latest action at 2 is the remove
+    at5 = {r["path"]: r["added_at"] for r in time_travel_plan(log, 5).collect()}
+    assert at5 == {"f1": 3, "f3": 5}
+
+
+# ------------------------------------------------------------ arrow_text_bytes
+
+
+def test_arrow_text_bytes_multibyte(spark):
+    from feat_spark.functions.udfs import arrow_text_bytes
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "café"), (3, "")], "doc_id long, text string"
+    )
+    out = {r["id"]: (r["n_bytes"], r["n_chars"])
+           for r in arrow_text_bytes(df, "doc_id", "text").collect()}
+    assert out == {1: (3, 3), 2: (5, 4), 3: (0, 0)}
