@@ -4427,6 +4427,55 @@ def _q_arrow_features(spark, sf_dir):
     )
 
 
+def _q_stratified_kfold(spark, sf_dir):
+    """Size-exact stratified k-fold CV assignment
+    (sampling.stratified_kfold): within each event_type stratum, fold
+    sizes differ by at most one; folds frozen-random by md5(id||salt)
+    with id tiebreak. Oracle replays the hash rank and the mod."""
+    from feat_spark.operators.sampling import stratified_kfold
+
+    out = stratified_kfold(
+        _events(spark, sf_dir), ["event_type"], "event_id", k=5
+    )
+    return out.select("event_id", "event_type", "fold")
+
+
+def _q_did_readout(spark, sf_dir):
+    """Difference-in-differences (experiment.did_readout): treat =
+    even user ids, post = epoch-day >= 19740 — the 2x2 mean table and
+    the DiD estimate from ONE scan aggregate of integer-cent
+    conditional sums. Oracle replays every cell."""
+    from feat_spark.operators.experiment import did_readout
+
+    e = _events(spark, sf_dir).select(
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        (
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            >= 19740
+        ).alias("post"),
+        "value",
+    )
+    return did_readout(e, "treat", "post", "value")
+
+
+def _q_centroid_drift(spark, sf_dir):
+    """Per-group semantic drift (similarity.centroid_drift): cosine
+    between each label's pre/post mean embedding (period = vec_id
+    parity), first 16 dims — decimal cell means, dimension-scale
+    join, decimal dot/norm sums, one sqrt+division. Oracle replays
+    cells, means, and the closed form."""
+    from feat_spark.operators.similarity import centroid_drift
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "label",
+        F.when(F.col("vec_id") % 2 == 0, F.lit("pre"))
+        .otherwise(F.lit("post"))
+        .alias("period"),
+        "embedding",
+    )
+    return centroid_drift(e, "label", "period", max_dim=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -4615,6 +4664,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel": _q_time_travel,
         "sql_surface": _q_sql_surface,
         "arrow_features": _q_arrow_features,
+        "stratified_kfold": _q_stratified_kfold,
+        "did_readout": _q_did_readout,
+        "centroid_drift": _q_centroid_drift,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -8735,4 +8787,75 @@ def oracle_sql() -> dict[str, str]:
                  cast(strlen(text) as bigint) as n_bytes,
                  cast(length(text) as bigint) as n_chars
           from documents""",
+        "stratified_kfold": """
+          select event_id, event_type,
+                 cast((row_number() over (partition by event_type
+                        order by ('0x' || substr(md5(
+                          cast(event_id as varchar) || 'kfold'), 1, 8)
+                          )::BIGINT,
+                        event_id) - 1) % 5 as int) as fold
+          from events""",
+        "did_readout": """
+          with c as (
+            select (user_id % 2 = 0) as t,
+                   (epoch_us(cast(ts as timestamp)) // 86400000000
+                     >= 19740) as p,
+                   cast(round(value * 100) as bigint) as v
+            from events),
+          a as (
+            select sum(case when t and not p then v end) as s_t0,
+                   count(*) filter (t and not p) as n_t0,
+                   sum(case when t and p then v end) as s_tp,
+                   count(*) filter (t and p) as n_tp,
+                   sum(case when not t and not p then v end) as s_c0,
+                   count(*) filter (not t and not p) as n_c0,
+                   sum(case when not t and p then v end) as s_cp,
+                   count(*) filter (not t and p) as n_cp
+            from c)
+          select round(s_t0::DOUBLE / n_t0::DOUBLE / 100.0, 6)
+                   as mean_treat_pre,
+                 round(s_tp::DOUBLE / n_tp::DOUBLE / 100.0, 6)
+                   as mean_treat_post,
+                 round(s_c0::DOUBLE / n_c0::DOUBLE / 100.0, 6)
+                   as mean_ctrl_pre,
+                 round(s_cp::DOUBLE / n_cp::DOUBLE / 100.0, 6)
+                   as mean_ctrl_post,
+                 round((s_tp::DOUBLE / n_tp::DOUBLE / 100.0
+                        - s_t0::DOUBLE / n_t0::DOUBLE / 100.0)
+                       - (s_cp::DOUBLE / n_cp::DOUBLE / 100.0
+                          - s_c0::DOUBLE / n_c0::DOUBLE / 100.0), 6)
+                   as did
+          from a""",
+        "centroid_drift": """
+          with d as (
+            select label as g,
+                   case when vec_id % 2 = 0 then 'pre' else 'post' end
+                     as p,
+                   list_transform(embedding[1:16], x -> x::DOUBLE) as v
+            from embeddings where embedding is not null),
+          cells as (
+            select g, p, i - 1 as dim,
+                   cast(v[i] as decimal(27,12)) as x
+            from d cross join unnest(generate_series(1, len(v))) as t(i)),
+          means as (
+            select g, p, dim,
+                   sum(x)::DOUBLE / count(*)::DOUBLE as m
+            from cells group by 1, 2, 3),
+          j as (
+            select a.g,
+                   cast(a.m * b.m as decimal(27,12)) as ab,
+                   cast(a.m * a.m as decimal(27,12)) as aa,
+                   cast(b.m * b.m as decimal(27,12)) as bb
+            from means a join means b
+              on a.g = b.g and a.dim = b.dim
+             and a.p = 'pre' and b.p = 'post'),
+          s as (
+            select g, sum(ab)::DOUBLE as ab, sum(aa)::DOUBLE as aa,
+                   sum(bb)::DOUBLE as bb
+            from j group by g)
+          select g as label,
+                 case when aa > 0 and bb > 0
+                      then round(ab / (sqrt(aa) * sqrt(bb)), 6)
+                 end as drift_cosine
+          from s""",
     }

@@ -701,3 +701,59 @@ def cohens_kappa(
         F.round(F.col("__sab") / (F.col("__n") * F.col("__n")), 6).alias("pe"),
         F.when(den > 0, F.round(num / den, 6)).alias("kappa"),
     )
+
+
+def did_readout(
+    df: DataFrame,
+    treat_col: str,
+    post_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Difference-in-differences: the 2x2 (treatment x period) mean
+    table and the DiD estimate ``(T_post - T_pre) - (C_post - C_pre)``
+    — the standard quasi-experimental readout when assignment was not
+    randomized but both groups share a pre-period trend.
+
+    ONE scan aggregate: the four cell sums and counts are conditional
+    sums (``sum(case when ...)``) in a single partial agg — no joins,
+    no pivot, no shuffle beyond the 1-row reduction. The module's
+    exactness device: integer cents for sums, one double division per
+    mean with a fixed op shape, 6dp. Any empty cell yields NULL means
+    and a NULL estimate (the honest answer; a DiD without all four
+    cells is not a DiD).
+
+    ``treat_col`` / ``post_col`` are booleans.
+    """
+    c = F.round(F.col(value_col) * 100).cast("long")
+    t, p = F.col(treat_col), F.col(post_col)
+
+    def cell(cond, name):
+        s = F.sum(F.when(cond, c)).alias(f"__s_{name}")
+        n = F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).alias(
+            f"__n_{name}"
+        )
+        return [s, n]
+
+    agg = df.agg(
+        *cell(t & p, "tp"),
+        *cell(t & ~p, "t0"),
+        *cell(~t & p, "cp"),
+        *cell(~t & ~p, "c0"),
+    )
+
+    def mean(name):
+        return F.when(
+            F.col(f"__n_{name}") > 0,
+            F.col(f"__s_{name}").cast("double")
+            / F.col(f"__n_{name}").cast("double")
+            / F.lit(100.0),
+        )
+
+    m_tp, m_t0, m_cp, m_c0 = (mean(x) for x in ("tp", "t0", "cp", "c0"))
+    return agg.select(
+        F.round(m_t0, 6).alias("mean_treat_pre"),
+        F.round(m_tp, 6).alias("mean_treat_post"),
+        F.round(m_c0, 6).alias("mean_ctrl_pre"),
+        F.round(m_cp, 6).alias("mean_ctrl_post"),
+        F.round((m_tp - m_t0) - (m_cp - m_c0), 6).alias("did"),
+    )

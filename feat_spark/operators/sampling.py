@@ -251,3 +251,34 @@ def weighted_topk_sample(
         .withColumnRenamed("__k", "srk")
         .withColumn("srk", F.round(F.col("srk"), 6))
     )
+
+
+def stratified_kfold(
+    df: DataFrame,
+    strata_cols: "list[str]",
+    id_col: str,
+    k: int = 5,
+    salt: str = "kfold",
+    out_col: str = "fold",
+) -> DataFrame:
+    """Size-exact stratified k-fold assignment: within every stratum,
+    fold sizes differ by at most one — the cross-validation property a
+    proportional hash split (:func:`assign_split`) deliberately trades
+    away for shuffle-freedom. Folds are frozen-random (md5 of
+    ``id || salt``, the module's determinism device), so re-runs and
+    external replays agree bit-for-bit, and the id tiebreak makes the
+    rank total even under hash collisions.
+
+    ``fold = (rank within stratum by hash) mod k`` — round-robin over
+    a hash-shuffled order is exactly balanced AND unbiased w.r.t. any
+    data ordering. Cost is honest: one exchange + one sort per stratum
+    (size-exactness NEEDS a rank; when proportional-in-expectation is
+    enough, assign_split does it with zero shuffle). Strata are the
+    window partitions, so skew follows the largest stratum — same
+    profile as every per-group rank in this engine.
+    """
+    h = md5_long32(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(*strata_cols).orderBy(h, F.col(id_col))
+    return df.withColumn(
+        out_col, ((F.row_number().over(w) - 1) % k).cast("int")
+    )

@@ -854,3 +854,72 @@ def centroid_distances(
             6,
         ).alias("d2")
     )
+
+
+def centroid_drift(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+    vec_col: str = "embedding",
+    pre: str = "pre",
+    post: str = "post",
+    max_dim: int | None = None,
+) -> DataFrame:
+    """Semantic drift monitor: per group, the cosine similarity
+    between the group's PRE-period and POST-period mean embeddings —
+    "did what this source/segment talks about move?" as one number
+    per group, the embedding-space twin of ``psi_drift``.
+
+    Fully relational, no vector ever crosses a shuffle whole:
+    posexplode to (group, period, dim) cells, decimal partial-agg
+    means (order-free), ONE equi-join of the pre/post per-dimension
+    mean frames on (group, dim) — dimension-scale, not data-scale —
+    then dot/norm sums per group with products cast DECIMAL(27,12) so
+    the d-term sums are order-free too; cosine is one sqrt+division
+    readout in double, 6dp. Groups missing either period are honestly
+    absent (the join is inner). Degenerate all-zero centroids yield
+    NULL via the zero-norm guard.
+    """
+    d = df.select(
+        F.col(group_col).alias("g"),
+        F.col(period_col).alias("p"),
+        F.col(vec_col).alias("v"),
+    ).filter(F.col("v").isNotNull() & F.col("p").isin(pre, post))
+    if max_dim is not None:
+        d = d.withColumn("v", F.slice("v", 1, int(max_dim)))
+    cells = d.select(
+        "g", "p", F.posexplode("v").alias("dim", "x")
+    ).select(
+        "g", "p", "dim",
+        F.col("x").cast("double").cast("decimal(27,12)").alias("x"),
+    )
+    means = cells.groupBy("g", "p", "dim").agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("m")
+    )
+    a = means.filter(F.col("p") == pre).select(
+        "g", "dim", F.col("m").alias("ma")
+    )
+    b = means.filter(F.col("p") == post).select(
+        "g", "dim", F.col("m").alias("mb")
+    )
+    j = a.join(b, ["g", "dim"]).select(
+        "g",
+        (F.col("ma") * F.col("mb")).cast("decimal(27,12)").alias("ab"),
+        (F.col("ma") * F.col("ma")).cast("decimal(27,12)").alias("aa"),
+        (F.col("mb") * F.col("mb")).cast("decimal(27,12)").alias("bb"),
+    )
+    s = j.groupBy("g").agg(
+        F.sum("ab").cast("double").alias("ab"),
+        F.sum("aa").cast("double").alias("aa"),
+        F.sum("bb").cast("double").alias("bb"),
+    )
+    return s.select(
+        F.col("g").alias(group_col),
+        F.when(
+            (F.col("aa") > 0) & (F.col("bb") > 0),
+            F.round(
+                F.col("ab") / (F.sqrt(F.col("aa")) * F.sqrt(F.col("bb"))), 6
+            ),
+        ).alias("drift_cosine"),
+    )

@@ -464,3 +464,69 @@ def test_arrow_text_bytes_multibyte(spark):
     out = {r["id"]: (r["n_bytes"], r["n_chars"])
            for r in arrow_text_bytes(df, "doc_id", "text").collect()}
     assert out == {1: (3, 3), 2: (5, 4), 3: (0, 0)}
+
+
+# ------------------------------------------------------------ stratified_kfold
+
+
+def test_stratified_kfold_balance(spark):
+    from feat_spark.operators.sampling import stratified_kfold
+
+    rows = [(i, "a" if i < 11 else "b") for i in range(18)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = stratified_kfold(df, ["s"], "id", k=3).collect()
+    from collections import Counter
+
+    for stratum, size in (("a", 11), ("b", 7)):
+        c = Counter(r["fold"] for r in out if r["s"] == stratum)
+        assert sum(c.values()) == size
+        assert max(c.values()) - min(c.values()) <= 1  # size-exact
+    # frozen-random: stable across invocations
+    again = stratified_kfold(df, ["s"], "id", k=3).collect()
+    assert {(r["id"], r["fold"]) for r in again} == {
+        (r["id"], r["fold"]) for r in out
+    }
+
+
+# ------------------------------------------------------------------ did_readout
+
+
+def test_did_readout_hand_values(spark):
+    from feat_spark.operators.experiment import did_readout
+
+    rows = [
+        (True, False, 10.0), (True, False, 20.0),   # T pre mean 15
+        (True, True, 40.0),                          # T post mean 40
+        (False, False, 5.0),                         # C pre mean 5
+        (False, True, 10.0),                         # C post mean 10
+    ]
+    df = spark.createDataFrame(rows, "t boolean, p boolean, v double")
+    out = did_readout(df, "t", "p", "v").collect()[0]
+    assert out["mean_treat_pre"] == 15.0 and out["mean_treat_post"] == 40.0
+    assert out["did"] == (40.0 - 15.0) - (10.0 - 5.0)
+
+
+def test_did_readout_empty_cell_null(spark):
+    from feat_spark.operators.experiment import did_readout
+
+    rows = [(True, True, 1.0), (False, False, 2.0), (False, True, 3.0)]
+    df = spark.createDataFrame(rows, "t boolean, p boolean, v double")
+    out = did_readout(df, "t", "p", "v").collect()[0]
+    assert out["mean_treat_pre"] is None and out["did"] is None
+
+
+# --------------------------------------------------------------- centroid_drift
+
+
+def test_centroid_drift_identical_and_orthogonal(spark):
+    from feat_spark.operators.similarity import centroid_drift
+
+    rows = [
+        ("same", "pre", [1.0, 0.0]), ("same", "post", [1.0, 0.0]),
+        ("orth", "pre", [1.0, 0.0]), ("orth", "post", [0.0, 1.0]),
+        ("anti", "pre", [1.0, 0.0]), ("anti", "post", [-1.0, 0.0]),
+        ("lonely", "pre", [1.0, 0.0]),  # no post: absent from output
+    ]
+    df = spark.createDataFrame(rows, "g string, p string, embedding array<float>")
+    out = {r["g"]: r["drift_cosine"] for r in centroid_drift(df, "g", "p").collect()}
+    assert out == {"same": 1.0, "orth": 0.0, "anti": -1.0}
