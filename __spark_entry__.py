@@ -4506,17 +4506,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-118, after the window froze):
-    # 68 brand-new gates (scd2_build..inverted_index, then
-    # autocorr..neighbor_majority) built AFTER the r4 window was
-    # fixed; all dtype-strict-selfcheck green at sf0.01 in their build
-    # session, never driver-checked. ROUND-5 WINDOW PLAN, in order:
-    # (1) the 68 late-r4 gates + semantic_dedup + knn_cosine_ivf
-    # (positions 51-120 — pure registry slide, they are already first
-    # after the cut); (2) the r2-green refill
+    # LATE-ROUND-4 ADDITIONS (positions 51-142, after the window froze):
+    # 92 brand-new gates built AFTER the r4 window was fixed
+    # (scd2_build..neighbor_majority from the mid-round sessions,
+    # split_balance..ndcg, then sequential_ids..centroid_drift from
+    # the final session); all dtype-strict-selfcheck green at sf0.01
+    # in their build session, never driver-checked. ROUND-5 WINDOW
+    # PLAN, in order: (1) as many of the 92 late-r4 gates +
+    # semantic_dedup + knn_cosine_ivf (positions 51-144) as fit the
+    # 50-slot window, oldest-built first (scd2_build..), the rest
+    # queue for r6; (2) then the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
-    # r5); (3) the r2-green trailers (stable_order..feature_extract)
-    # as slots remain. r3-green and r4-green blocks hold their rows.
+    # r5); (3) then the r2-green trailers (stable_order..
+    # feature_extract). r3-green and r4-green blocks hold their rows.
     return {
         # --- (1) touched or NEW this round ---------------------------
         "semantic_dedup_largek": _q_semantic_dedup_largek,
