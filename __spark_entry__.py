@@ -4476,6 +4476,79 @@ def _q_centroid_drift(spark, sf_dir):
     return centroid_drift(e, "label", "period", max_dim=16)
 
 
+def _q_frame_sample_plan(spark, sf_dir):
+    """Uniform frame-sampling plan (multimodal.frame_sample_plan):
+    midpoint timestamps t_i = (2i+1)*dur/2k as all-integer ms
+    floor-divisions, k=8, durations faked from n_chars/50 seconds —
+    the decode-stage work list a video pipeline fans out over. Oracle
+    replays the integer arithmetic."""
+    from feat_spark.operators.multimodal import frame_sample_plan
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") / 50.0).alias("duration_s")
+    )
+    return frame_sample_plan(d, "doc_id", "duration_s", k=8)
+
+
+def _q_dedup_report(spark, sf_dir):
+    """Per-source duplication readout (dedup.dedup_report) over the
+    simhash near-dup components of the doubled corpus (the
+    dedup_components gate's exact graph): docs in clusters, distinct
+    clusters, redundant rows, dup_rate per source — cross-source
+    clusters counted in every source they touch (documented). Oracle
+    recomputes components with the recursive CTE and replays the
+    aggregation."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text", "source"
+        )
+    )
+    sims = D.simhash32(corpus, id_col="doc_id", text_col="text")
+    pairs = D.simhash_near_pairs(sims, id_col="doc_id", max_hamming=6)
+    comps = D.connected_components(pairs)
+    return D.dedup_report(comps, corpus, "source")
+
+
+def _q_stickiness(spark, sf_dir):
+    """DAU/MAU-style stickiness (composition of
+    windows.rolling_distinct_count at 7 and 28 days): per
+    (event_type, day), the share of the trailing-28-day actives seen
+    in the trailing 7 days — both exact interval-merge counts, one
+    equi-join on the shared spine, one double division. Oracle runs
+    the naive windowed-distinct twice."""
+    from feat_spark.operators.windows import rolling_distinct_count
+
+    e = _events(spark, sf_dir)
+    d7 = rolling_distinct_count(
+        e, group_col="event_type", entity_col="user_id",
+        ts_col="ts", window_days=7, out_col="dau7",
+    )
+    d28 = rolling_distinct_count(
+        e, group_col="event_type", entity_col="user_id",
+        ts_col="ts", window_days=28, out_col="dau28",
+    )
+    return d7.join(d28, ["event_type", "day"]).select(
+        "event_type", "day", "dau7", "dau28",
+        F.round(
+            F.col("dau7").cast("double") / F.col("dau28").cast("double"), 6
+        ).alias("stickiness"),
+    )
+
+
+def _q_dow_seasonality(spark, sf_dir):
+    """Day-of-week seasonality strength (profile.
+    dow_seasonality_strength): one-way ANOVA eta² per event_type —
+    integer-cent sums, decimal square-sums, decimal-cast between-group
+    terms so no float sum depends on order. Oracle replays both
+    aggregation levels and the closed form."""
+    from feat_spark.operators.profile import dow_seasonality_strength
+
+    return dow_seasonality_strength(
+        _events(spark, sf_dir), "event_type"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -4669,6 +4742,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_kfold": _q_stratified_kfold,
         "did_readout": _q_did_readout,
         "centroid_drift": _q_centroid_drift,
+        "frame_sample_plan": _q_frame_sample_plan,
+        "dedup_report": _q_dedup_report,
+        "stickiness": _q_stickiness,
+        "dow_seasonality": _q_dow_seasonality,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -8860,4 +8937,98 @@ def oracle_sql() -> dict[str, str]:
                       then round(ab / (sqrt(aa) * sqrt(bb)), 6)
                  end as drift_cosine
           from s""",
+        "frame_sample_plan": """
+          with d as (
+            select doc_id as id,
+                   cast(round((n_chars / 50.0) * 1000) as bigint) as ms
+            from documents where n_chars / 50.0 > 0)
+          select id, cast(i as int) as frame_idx,
+                 cast(((2 * i + 1) * ms) // 16 as bigint) as t_ms
+          from d cross join unnest(generate_series(0, 7)) as t(i)""",
+        "dedup_report": f"""
+          with recursive pairs as ({_SIMHASH_NEAR_SQL}),
+          e as (select id_a as a, id_b as b from pairs
+                union
+                select id_b as a, id_a as b from pairs),
+          reach(v, r) as (
+            select a, a from e
+            union
+            select e.a, reach.r from e join reach on reach.v = e.b),
+          comp as (
+            select v as doc_id, min(r) as c from reach group by v),
+          corpus as (
+            select doc_id, source from documents
+            union all
+            select doc_id + 200000, source from documents),
+          totals as (
+            select source as g, count(*) as n_docs
+            from corpus group by 1),
+          clustered as (
+            select corpus.source as g,
+                   count(*) as n_dup_members,
+                   count(distinct comp.c) as n_clusters
+            from comp join corpus on comp.doc_id = corpus.doc_id
+            group by 1)
+          select t.g as source,
+                 cast(t.n_docs as bigint) as n_docs,
+                 cast(coalesce(c.n_dup_members, 0) as bigint)
+                   as n_dup_members,
+                 cast(coalesce(c.n_clusters, 0) as bigint) as n_clusters,
+                 round((coalesce(c.n_dup_members, 0)
+                        - coalesce(c.n_clusters, 0))::DOUBLE
+                       / t.n_docs::DOUBLE, 6) as dup_rate
+          from totals t left join clustered c on t.g = c.g""",
+        "stickiness": """
+          with d as (
+            select distinct event_type, user_id, ts::date as day
+            from events),
+          s7 as (
+            select event_type, day,
+                   count(distinct user_id) over
+                     (partition by event_type order by day
+                      range between interval 6 days preceding
+                        and current row) as dau7
+            from d
+            qualify row_number() over (partition by event_type, day) = 1),
+          s28 as (
+            select event_type, day,
+                   count(distinct user_id) over
+                     (partition by event_type order by day
+                      range between interval 27 days preceding
+                        and current row) as dau28
+            from d
+            qualify row_number() over (partition by event_type, day) = 1)
+          select s7.event_type, s7.day,
+                 cast(s7.dau7 as bigint) as dau7,
+                 cast(s28.dau28 as bigint) as dau28,
+                 round(s7.dau7::DOUBLE / s28.dau28::DOUBLE, 6)
+                   as stickiness
+          from s7 join s28
+            on s7.event_type = s28.event_type and s7.day = s28.day""",
+        "dow_seasonality": """
+          with cells as (
+            select event_type as k,
+                   (epoch_us(cast(ts as timestamp)) // 86400000000 + 3)
+                     % 7 as dow,
+                   cast(round(value * 100) as bigint) as c
+            from events),
+          d as (
+            select k, dow, count(*) as n_d, sum(c) as s_d,
+                   sum(cast(c * c as decimal(27,0))) as ss_d
+            from cells group by 1, 2),
+          ks as (
+            select k, sum(n_d) as n, sum(s_d) as s, sum(ss_d) as ss,
+                   sum(cast(s_d::DOUBLE * s_d::DOUBLE / n_d::DOUBLE
+                            as decimal(27,12))) as sb
+            from d group by 1)
+          select k as event_type, cast(n as bigint) as n,
+                 case when (ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+                           > 0
+                      then round((sb::DOUBLE
+                                  - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+                                 / (ss::DOUBLE
+                                    - s::DOUBLE * s::DOUBLE / n::DOUBLE),
+                                 6)
+                 end as eta2
+          from ks""",
     }

@@ -1081,3 +1081,64 @@ def prefix_filter_pairs(
         df, id_col=id_col, text_col=text_col, n=1,
         threshold=threshold, candidates=cand,
     )
+
+
+def dedup_report(
+    components: DataFrame,
+    docs: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    comp_col: str = "component",
+) -> DataFrame:
+    """Per-group duplication readout from a
+    :func:`connected_components` result — the curation dashboard row
+    "how duplicated is each source, and how much would dedup save":
+    ``n_docs`` (all docs in the group), ``n_dup_members`` (docs that
+    sit in some dup cluster), ``n_clusters`` (distinct clusters
+    touching the group), ``n_redundant = n_dup_members − n_clusters``
+    (rows a keep-one-per-cluster pass drops — cross-group clusters are
+    counted in EVERY group they touch, the per-group reading, stated
+    so nobody sums the column and expects the global figure), and
+    ``dup_rate = n_redundant / n_docs``.
+
+    Two partial aggs (group grain), one dimension-sized join — the
+    expensive work (pairs, components) already happened upstream.
+    """
+    totals = docs.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    clustered = (
+        components.select(
+            F.col(id_col).alias("doc_id"), F.col(comp_col).alias("c")
+        )
+        .join(
+            docs.select(
+                F.col(id_col).alias("doc_id"), F.col(group_col).alias("g")
+            ),
+            "doc_id",
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_members"),
+            F.count_distinct("c").alias("n_clusters"),
+        )
+    )
+    return (
+        totals.join(clustered, "g", "left")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.coalesce("n_dup_members", F.lit(0)).cast("long")
+            .alias("n_dup_members"),
+            F.coalesce("n_clusters", F.lit(0)).cast("long")
+            .alias("n_clusters"),
+            F.round(
+                (
+                    F.coalesce("n_dup_members", F.lit(0))
+                    - F.coalesce("n_clusters", F.lit(0))
+                ).cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )

@@ -174,3 +174,45 @@ def synth_media(spark, n_convs: int = 10, per_conv: int = 3, seed: int = 42) -> 
             payload = rng.integers(0, 256, 128, dtype=np.uint8).tobytes()
             rows.append((f"conv-{c:08d}", m, m, kind, f"{kind}/x-fake", bytearray(payload)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    id_col: str,
+    duration_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Uniform frame-sampling plan for media columns — which K
+    timestamps to decode per asset: the Spark-side plumbing of a video
+    feature pipeline (the decode itself is the codec registry's job;
+    see the module's stub contract). Midpoint sampling,
+    ``t_i = (2i+1) * duration / 2k``, so frames sit centered in equal
+    bins rather than bunched at 0 — the convention frame samplers
+    (ffmpeg fps filters, CLIP-video preprocessors) actually use.
+
+    All-integer arithmetic: duration quantizes to ms once
+    (``round(d*1000)``), each offset is one integer floor-division —
+    bit-replayable, no float drift across engines. One
+    ``explode(sequence(0, k-1))`` — output grain is assets×k, a pure
+    scan-side fan-out with no shuffle; the plan joins back to the
+    binary column only inside the decode stage's mapInPandas batches.
+    Non-positive durations yield no rows (nothing to decode).
+    """
+    dur_ms = F.round(F.col(duration_col) * 1000).cast("long")
+    return (
+        df.filter(F.col(duration_col) > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            dur_ms.alias("__ms"),
+            F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1))).alias(
+                "frame_idx"
+            ),
+        )
+        .select(
+            "id",
+            "frame_idx",
+            F.expr(f"((2 * frame_idx + 1) * __ms) div {2 * int(k)}").alias(
+                "t_ms"
+            ),
+        )
+    )

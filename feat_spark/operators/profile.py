@@ -900,3 +900,77 @@ def lorenz_curve(
             F.col("__t") > 0, F.round(F.col("cum_cents") / F.col("__t"), 6)
         ).alias("cum_share"),
     )
+
+
+def dow_seasonality_strength(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """How much of a metric's variance the day-of-week explains — the
+    one-way ANOVA eta-squared ``SS_between / SS_total`` with
+    day-of-week as the factor, per key: the seasonality-strength
+    number that says whether a weekly seasonal baseline
+    (``seasonal_anomaly``) is even worth fitting.
+
+    Exactness: values quantize to integer cents; per-(key, dow) sums
+    and counts are integers, squared sums ride DECIMAL(27,0) (the
+    burstiness device — cents² escapes int64 at scale).
+    ``SS_total = Σx² − S²/N`` and
+    ``SS_between = Σ_d s_d²/n_d − S²/N`` are fixed-shape double
+    expressions over those exact readouts; ``eta2`` rounds to 6dp and
+    is NULL for constant keys (SS_total = 0). Day-of-week is the
+    repo's ``(epoch_day + 3) % 7`` closed form (0 = Monday), no
+    calendar table.
+
+    Two partial aggs (dow grain ≤ 7 rows per key, then key grain) —
+    grain reduction first, so the second agg touches 7 rows per key.
+    """
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div 86400000000"
+    )
+    c = F.round(F.col(value_col) * 100).cast("long")
+    cells = (
+        df.select(
+            F.col(key_col).alias("k"),
+            ((day + 3) % 7).alias("dow"),
+            c.alias("c"),
+        )
+        .groupBy("k", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_d"),
+            F.sum("c").alias("s_d"),
+            F.sum(
+                (F.col("c") * F.col("c")).cast("decimal(27,0)")
+            ).alias("ss_d"),
+        )
+    )
+    keys = cells.groupBy("k").agg(
+        F.sum("n_d").alias("n"),
+        F.sum("s_d").alias("s"),
+        F.sum("ss_d").alias("ss"),
+        # each dow term is a double cast to decimal BEFORE the sum, so
+        # partial-agg order cannot change the result (the repo-wide
+        # order-free-sum device)
+        F.sum(
+            (
+                F.col("s_d").cast("double")
+                * F.col("s_d").cast("double")
+                / F.col("n_d").cast("double")
+            ).cast("decimal(27,12)")
+        ).alias("sb_raw"),
+    )
+    grand = (
+        F.col("s").cast("double") * F.col("s").cast("double")
+        / F.col("n").cast("double")
+    )
+    ss_total = F.col("ss").cast("double") - grand
+    ss_between = F.col("sb_raw").cast("double") - grand
+    return keys.select(
+        F.col("k").alias(key_col),
+        F.col("n").cast("long").alias("n"),
+        F.when(ss_total > 0, F.round(ss_between / ss_total, 6)).alias(
+            "eta2"
+        ),
+    )

@@ -530,3 +530,65 @@ def test_centroid_drift_identical_and_orthogonal(spark):
     df = spark.createDataFrame(rows, "g string, p string, embedding array<float>")
     out = {r["g"]: r["drift_cosine"] for r in centroid_drift(df, "g", "p").collect()}
     assert out == {"same": 1.0, "orth": 0.0, "anti": -1.0}
+
+
+# ------------------------------------------------------------ frame_sample_plan
+
+
+def test_frame_sample_plan_midpoints(spark):
+    from feat_spark.operators.multimodal import frame_sample_plan
+
+    df = spark.createDataFrame([(1, 8.0), (2, 0.0)], "id long, dur double")
+    out = [
+        (r["frame_idx"], r["t_ms"])
+        for r in frame_sample_plan(df, "id", "dur", k=4).orderBy("frame_idx").collect()
+    ]
+    # 8s at k=4: midpoints at 1s, 3s, 5s, 7s; zero-duration asset absent
+    assert out == [(0, 1000), (1, 3000), (2, 5000), (3, 7000)]
+
+
+# ----------------------------------------------------------------- dedup_report
+
+
+def test_dedup_report_counts(spark):
+    from feat_spark.operators.dedup import dedup_report
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)], "doc_id long, component long"
+    )
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b")],
+        "doc_id long, source string",
+    )
+    out = {r["source"]: r for r in dedup_report(comps, docs, "source").collect()}
+    # source a: 3 docs, 3 in clusters, 2 clusters -> 1 redundant
+    a = out["a"]
+    assert (a["n_docs"], a["n_dup_members"], a["n_clusters"]) == (3, 3, 2)
+    assert a["dup_rate"] == round(1 / 3, 6)
+    # source b: doc 4 clustered (cross-source cluster 3 counted here too)
+    b = out["b"]
+    assert (b["n_docs"], b["n_dup_members"], b["n_clusters"]) == (2, 1, 1)
+    assert b["dup_rate"] == 0.0
+
+
+# ------------------------------------------------------ dow_seasonality_strength
+
+
+def test_dow_seasonality_extremes(spark):
+    import datetime
+
+    from feat_spark.operators.profile import dow_seasonality_strength
+
+    base = datetime.datetime(2024, 1, 1)  # a Monday
+    rows = []
+    for d in range(28):
+        ts = base + datetime.timedelta(days=d)
+        dow = d % 7
+        # key "seasonal": value fully determined by dow
+        rows.append(("seasonal", ts, float(dow)))
+        # key "flat": constant -> NULL eta2
+        rows.append(("flat", ts, 5.0))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = {r["k"]: r["eta2"] for r in dow_seasonality_strength(df, "k").collect()}
+    assert out["seasonal"] == 1.0
+    assert out["flat"] is None
