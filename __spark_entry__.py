@@ -4549,6 +4549,59 @@ def _q_dow_seasonality(spark, sf_dir):
     )
 
 
+def _q_stream_rollup(spark, sf_dir):
+    """Streaming gate: incremental rollup maintenance
+    (pipeline.stream_maintain_rollup) — a 2-micro-batch time-ordered
+    event stream folds into a per-(user_id, event_type) aggregate
+    snapshot via foreachBatch build+merge+atomic-swap. By the
+    algebraic identity the final snapshot equals the from-scratch
+    rollup however the stream was cut, which is exactly what the
+    oracle (the full-input rollup) checks."""
+    import uuid
+
+    from feat_spark.streaming.pipeline import stream_maintain_rollup
+
+    keys = ["user_id", "event_type"]
+    measures = [
+        ("n", "count", "value"),
+        ("sum_value", "sum", "value_dec"),
+        ("vmin", "min", "value_dec"),
+        ("vmax", "max", "value_dec"),
+    ]
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").cast("decimal(18,2)").alias("value_dec"),
+        "value",
+    )
+    pdf = e.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    if getattr(pdf["ts"].dtype, "tz", None) is None:
+        pdf["ts"] = pdf["ts"].dt.tz_localize("UTC")
+    cut = len(pdf) // 2
+    d = _stream_scratch("rollstream")
+    tgt = os.path.join(_stream_scratch("rolltarget"), "state")
+    pq_opts = dict(index=False, coerce_timestamps="us",
+                   allow_truncated_timestamps=True)
+    pdf.iloc[:cut].to_parquet(os.path.join(d, "part1.parquet"), **pq_opts)
+    pdf.iloc[cut:].to_parquet(os.path.join(d, "part2.parquet"), **pq_opts)
+    _space_mtimes(d, ["part1.parquet", "part2.parquet"])
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = stream_maintain_rollup(stream, tgt, keys, measures)
+    q.awaitTermination()
+    out = spark.read.parquet(tgt)
+    return out.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("vmin").cast("double").alias("vmin"),
+        F.col("vmax").cast("double").alias("vmax"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -4746,6 +4799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_report": _q_dedup_report,
         "stickiness": _q_stickiness,
         "dow_seasonality": _q_dow_seasonality,
+        "stream_rollup": _q_stream_rollup,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -9031,4 +9085,12 @@ def oracle_sql() -> dict[str, str]:
                                  6)
                  end as eta2
           from ks""",
+        "stream_rollup": """
+          select user_id, event_type,
+                 cast(count(*) as bigint) as n,
+                 cast(sum(cast(value as decimal(18,2))) as double)
+                   as sum_value,
+                 cast(min(cast(value as decimal(18,2))) as double) as vmin,
+                 cast(max(cast(value as decimal(18,2))) as double) as vmax
+          from events group by 1, 2""",
     }

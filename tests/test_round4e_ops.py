@@ -592,3 +592,29 @@ def test_dow_seasonality_extremes(spark):
     out = {r["k"]: r["eta2"] for r in dow_seasonality_strength(df, "k").collect()}
     assert out["seasonal"] == 1.0
     assert out["flat"] is None
+
+
+# ------------------------------------------------------ stream_maintain_rollup
+
+
+def test_stream_maintain_rollup_crash_shape(spark, tmp_path):
+    # batch-path identity: applying two deltas sequentially through the
+    # foreachBatch body's logic == one from-scratch rollup (the
+    # streaming wiring is exercised end-to-end by the driver gate)
+    from feat_spark.plans.incremental import build_rollup, merge_rollup
+    from pyspark.sql import functions as F
+
+    rows = [("a", 1.0), ("a", 2.0), ("b", 3.0), ("a", 4.0)]
+    df = spark.createDataFrame(rows, "k string, v double").withColumn(
+        "vd", F.col("v").cast("decimal(18,2)")
+    )
+    ms = [("n", "count", "v"), ("s", "sum", "vd")]
+    b1, b2 = df.filter("v <= 2"), df.filter("v > 2")
+    state = build_rollup(b1, ["k"], ms)
+    state = merge_rollup(state, build_rollup(b2, ["k"], ms), ["k"], ms)
+    got = {r["k"]: (r["n"], float(r["s"])) for r in state.collect()}
+    want = {
+        r["k"]: (r["n"], float(r["s"]))
+        for r in build_rollup(df, ["k"], ms).collect()
+    }
+    assert got == want
