@@ -4602,6 +4602,41 @@ def _q_stream_rollup(spark, sf_dir):
     )
 
 
+def _q_daily_bands(spark, sf_dir):
+    """Daily p25/p50/p75 value bands per event_type
+    (profile.daily_percentile_bands): dyadic quartiles over integer
+    cents interpolate exactly (the RFM-cuts device) — the p99 float
+    case is explicitly left to the sketch family. Oracle:
+    quantile_cont at the same dyadic probs."""
+    from feat_spark.operators.profile import daily_percentile_bands
+
+    return daily_percentile_bands(_events(spark, sf_dir), "event_type")
+
+
+def _q_scd_overlap(spark, sf_dir):
+    """SCD-2 validity-overlap audit (plans/audit.scd_overlap_audit)
+    over an orders-derived dimension (valid_from = order day,
+    valid_to = day + orderkey%15): consecutive intervals per customer
+    that overlap — the corruption that double-joins every as-of
+    lookup. Oracle replays the lag and the NULL-safe predicate."""
+    from feat_spark.plans.audit import scd_overlap_audit
+
+    dim = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("valid_from"),
+        (
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp))"
+                " div 86400000000"
+            )
+            + F.col("o_orderkey") % 15
+        ).alias("valid_to"),
+    )
+    return scd_overlap_audit(dim, "k")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -4800,6 +4835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stickiness": _q_stickiness,
         "dow_seasonality": _q_dow_seasonality,
         "stream_rollup": _q_stream_rollup,
+        "daily_bands": _q_daily_bands,
+        "scd_overlap_audit": _q_scd_overlap,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -9093,4 +9130,34 @@ def oracle_sql() -> dict[str, str]:
                  cast(min(cast(value as decimal(18,2))) as double) as vmin,
                  cast(max(cast(value as decimal(18,2))) as double) as vmax
           from events group by 1, 2""",
+        "daily_bands": """
+          with c as (
+            select event_type as k,
+                   epoch_us(cast(ts as timestamp)) // 86400000000 as day,
+                   cast(round(value * 100) as bigint) as c
+            from events)
+          select k as event_type, day,
+                 cast(count(*) as bigint) as n,
+                 quantile_cont(c, 0.25) / 100.0 as p25,
+                 quantile_cont(c, 0.5) / 100.0 as p50,
+                 quantile_cont(c, 0.75) / 100.0 as p75
+          from c group by 1, 2""",
+        "scd_overlap_audit": """
+          with dim as (
+            select o_custkey as k,
+                   epoch_us(cast(o_orderdate as timestamp))
+                     // 86400000000 as valid_from,
+                   epoch_us(cast(o_orderdate as timestamp))
+                     // 86400000000 + o_orderkey % 15 as valid_to
+            from orders),
+          f as (
+            select k, valid_from,
+                   lag(valid_to) over w as prev_valid_to,
+                   lag(valid_from) over w as prev_from
+            from dim
+            window w as (partition by k order by valid_from, valid_to))
+          select k, valid_from, prev_valid_to
+          from f
+          where (prev_valid_to is null and prev_from is not null)
+             or valid_from < prev_valid_to""",
     }

@@ -974,3 +974,40 @@ def dow_seasonality_strength(
             "eta2"
         ),
     )
+
+
+def daily_percentile_bands(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-(key, day) p25/p50/p75 bands — the daily latency/value
+    envelope a monitoring dashboard draws. Quartiles ON PURPOSE, not
+    p90/p99: dyadic probabilities over integer cents interpolate to
+    exact quarters in double (the RFM-cuts device), so the bands are
+    bit-portable to any linear-interpolation engine; a p99 band's
+    0.99*(n-1) weight is float-formula territory and belongs to the
+    sketch family (``sketches`` gate) instead — the boundary is
+    stated, not fudged.
+
+    One grain-reducing partial agg per (key, day): three percentile
+    aggregates share the sort. Output values return to currency scale
+    (one /100.0 per band).
+    """
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div 86400000000"
+    )
+    c = F.round(F.col(value_col) * 100).cast("long")
+    g = df.select(
+        F.col(key_col).alias("k"), day.alias("day"), c.alias("c")
+    ).groupBy("k", "day")
+    return g.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.percentile("c", 0.25) / 100.0).alias("p25"),
+        (F.percentile("c", 0.5) / 100.0).alias("p50"),
+        (F.percentile("c", 0.75) / 100.0).alias("p75"),
+    ).select(
+        F.col("k").alias(key_col), "day",
+        F.col("n").cast("long").alias("n"), "p25", "p50", "p75",
+    )

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -465,3 +465,34 @@ def k_anonymity_audit(
             F.round(F.lit(1.0) / F.col("n"), 6).alias("risk"),
         )
     )
+
+
+def scd_overlap_audit(
+    dim: DataFrame,
+    key_col: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """SCD-2 validity-interval overlap audit — pairs of consecutive
+    rows per key whose intervals overlap (this row starts before the
+    previous one ends): THE classic dimension-table corruption, and
+    the one that silently double-joins every as-of lookup that lands
+    in the overlap. Open-ended current rows (NULL ``to``) overlap
+    everything after them by definition.
+
+    One window (lag of the previous row's end over the per-key
+    interval order) + one predicate — violation-sized output:
+    ``(key, valid_from, prev_valid_to)`` rows where
+    ``valid_from < prev_valid_to`` (NULL-safe: a NULL previous end is
+    treated as infinity). Zero output = a clean dimension; feed it to
+    ``expectation_report`` semantics as a release gate.
+    """
+    w = Window.partitionBy(key_col).orderBy(from_col, to_col)
+    flagged = dim.withColumn("prev_valid_to", F.lag(to_col).over(w)) \
+        .withColumn("__prev_from", F.lag(from_col).over(w))
+    open_prev = (
+        F.col("prev_valid_to").isNull() & F.col("__prev_from").isNotNull()
+    )
+    return flagged.filter(
+        open_prev | (F.col(from_col) < F.col("prev_valid_to"))
+    ).select(key_col, from_col, "prev_valid_to")

@@ -618,3 +618,34 @@ def test_stream_maintain_rollup_crash_shape(spark, tmp_path):
         for r in build_rollup(df, ["k"], ms).collect()
     }
     assert got == want
+
+
+# ------------------------------------------------------- daily_percentile_bands
+
+
+def test_daily_bands_quartiles(spark):
+    from feat_spark.operators.profile import daily_percentile_bands
+
+    rows = [("a", "2024-01-01 0%d:00:00" % h, float(v))
+            for h, v in enumerate([1, 2, 3, 4, 5])]
+    df = spark.createDataFrame(rows, "k string, ts string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = daily_percentile_bands(df, "k").collect()[0]
+    assert (out["n"], out["p25"], out["p50"], out["p75"]) == (5, 2.0, 3.0, 4.0)
+
+
+# ------------------------------------------------------------ scd_overlap_audit
+
+
+def test_scd_overlap_audit(spark):
+    from feat_spark.plans.audit import scd_overlap_audit
+
+    rows = [
+        (1, 0, 5), (1, 5, 10),    # touching, NOT overlapping
+        (1, 8, 12),               # overlaps previous (8 < 10)
+        (2, 0, None), (2, 3, 7),  # open-ended row followed by another
+        (3, 0, 4),                # clean singleton
+    ]
+    df = spark.createDataFrame(rows, "k long, valid_from long, valid_to long")
+    out = {(r["k"], r["valid_from"]) for r in scd_overlap_audit(df, "k").collect()}
+    assert out == {(1, 8), (2, 3)}
