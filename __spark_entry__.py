@@ -4667,14 +4667,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-142, after the window froze):
-    # 92 brand-new gates built AFTER the r4 window was fixed
+    # LATE-ROUND-4 ADDITIONS (positions 51-149, after the window froze):
+    # 99 brand-new gates built AFTER the r4 window was fixed
     # (scd2_build..neighbor_majority from the mid-round sessions,
-    # split_balance..ndcg, then sequential_ids..centroid_drift from
+    # split_balance..ndcg, then sequential_ids..scd_overlap_audit from
     # the final session); all dtype-strict-selfcheck green at sf0.01
     # in their build session, never driver-checked. ROUND-5 WINDOW
-    # PLAN, in order: (1) as many of the 92 late-r4 gates +
-    # semantic_dedup + knn_cosine_ivf (positions 51-144) as fit the
+    # PLAN, in order: (1) as many of the 99 late-r4 gates +
+    # semantic_dedup + knn_cosine_ivf (positions 51-151) as fit the
     # 50-slot window, oldest-built first (scd2_build..), the rest
     # queue for r6; (2) then the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
