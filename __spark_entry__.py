@@ -4637,6 +4637,34 @@ def _q_scd_overlap(spark, sf_dir):
     return scd_overlap_audit(dim, "k")
 
 
+def _q_window_funnel(spark, sf_dir):
+    """Strict sliding-window funnel (funnel.window_funnel, the
+    ClickHouse windowFunnel semantics): deepest view->click->purchase
+    chain within 4 h of ANY view anchor, per user — one time-band join
+    per step, greedy-earliest per anchor (optimal by the exchange
+    argument), max depth over anchors. Oracle unrolls the same
+    chained band joins."""
+    from feat_spark.operators.funnel import window_funnel
+
+    return window_funnel(
+        _events(spark, sf_dir),
+        steps=["view", "click", "purchase"],
+        window_s=4 * 3600,
+    )
+
+
+def _q_growth_accounting(spark, sf_dir):
+    """Daily growth accounting (funnel.growth_accounting): every
+    active day decomposes into new / retained / resurrected at a 7-day
+    comeback gap — grain reduction, one shared-partition window, one
+    day-keyed agg; n_active = new + retained + resurrected by
+    construction. Oracle replays grain, windows, and the
+    classification."""
+    from feat_spark.operators.funnel import growth_accounting
+
+    return growth_accounting(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -4667,14 +4695,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-149, after the window froze):
-    # 99 brand-new gates built AFTER the r4 window was fixed
+    # LATE-ROUND-4 ADDITIONS (positions 51-151, after the window froze):
+    # 101 brand-new gates built AFTER the r4 window was fixed
     # (scd2_build..neighbor_majority from the mid-round sessions,
-    # split_balance..ndcg, then sequential_ids..scd_overlap_audit from
+    # split_balance..ndcg, then sequential_ids..growth_accounting from
     # the final session); all dtype-strict-selfcheck green at sf0.01
     # in their build session, never driver-checked. ROUND-5 WINDOW
-    # PLAN, in order: (1) as many of the 99 late-r4 gates +
-    # semantic_dedup + knn_cosine_ivf (positions 51-151) as fit the
+    # PLAN, in order: (1) as many of the 101 late-r4 gates +
+    # semantic_dedup + knn_cosine_ivf (positions 51-153) as fit the
     # 50-slot window, oldest-built first (scd2_build..), the rest
     # queue for r6; (2) then the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
@@ -4837,6 +4865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rollup": _q_stream_rollup,
         "daily_bands": _q_daily_bands,
         "scd_overlap_audit": _q_scd_overlap,
+        "window_funnel": _q_window_funnel,
+        "growth_accounting": _q_growth_accounting,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -9160,4 +9190,58 @@ def oracle_sql() -> dict[str, str]:
           from f
           where (prev_valid_to is null and prev_from is not null)
              or valid_from < prev_valid_to""",
+        "window_funnel": """
+          with ev as (
+            select user_id as k, event_type as t,
+                   epoch_us(cast(ts as timestamp)) as u
+            from events),
+          a1 as (select k, u as t0 from ev where t = 'view'),
+          h2 as (
+            select a1.k, a1.t0, min(e.u) as u2
+            from a1 join ev e
+              on e.k = a1.k and e.t = 'click'
+             and e.u > a1.t0 and e.u <= a1.t0 + 14400000000
+            group by 1, 2),
+          h3 as (
+            select h2.k, h2.t0, min(e.u) as u3
+            from h2 join ev e
+              on e.k = h2.k and e.t = 'purchase'
+             and e.u > h2.u2 and e.u <= h2.t0 + 14400000000
+            group by 1, 2),
+          d as (
+            select a1.k, a1.t0,
+                   case when h3.u3 is not null then 3
+                        when h2.u2 is not null then 2
+                        else 1 end as depth
+            from a1
+            left join h2 on a1.k = h2.k and a1.t0 = h2.t0
+            left join h3 on a1.k = h3.k and a1.t0 = h3.t0)
+          select k as user_id,
+                 cast(count(*) as bigint) as n_anchors,
+                 cast(max(depth) as int) as max_depth
+          from d group by 1""",
+        "growth_accounting": """
+          with grain as (
+            select distinct user_id as e,
+                   epoch_us(cast(ts as timestamp)) // 86400000000 as day
+            from events),
+          g as (
+            select e, day,
+                   min(day) over (partition by e) as fday,
+                   lag(day) over (partition by e order by day) as prev
+            from grain),
+          s as (
+            select day,
+                   case when day = fday then 'new'
+                        when day - prev <= 7 then 'retained'
+                        else 'resurrected' end as st
+            from g)
+          select day,
+                 cast(count(*) as bigint) as n_active,
+                 cast(count(*) filter (st = 'new') as bigint) as n_new,
+                 cast(count(*) filter (st = 'retained') as bigint)
+                   as n_retained,
+                 cast(count(*) filter (st = 'resurrected') as bigint)
+                   as n_resurrected
+          from s group by 1""",
     }

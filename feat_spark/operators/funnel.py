@@ -382,3 +382,142 @@ def funnel_latency(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def window_funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    window_s: int = 3600,
+) -> DataFrame:
+    """Strict sliding-window funnel depth (the ClickHouse
+    ``windowFunnel`` semantics, vs :func:`session_funnel`'s
+    session-scoped form): for every entity, the deepest step chain
+    ``s1 < s2 < ... <= s1 + window`` achievable from ANY step-1
+    anchor — "did a view become a click become a purchase within an
+    hour OF THE VIEW", where sessions would blur the clock.
+
+    Relational unrolling, one time-band equi-join per step (funnels
+    are 3-5 steps — the join count is schema-bounded, never
+    data-bounded): each stage keeps, per (entity, anchor), the
+    EARLIEST qualifying next-step time (greedy-earliest maximizes
+    remaining window, so it is optimal — the exchange argument), and
+    the final agg takes the max depth over anchors. Anchor fan-out is
+    events-in-window per key, the same band-join shape as
+    ``attribution``.
+
+    Output: ``(key, n_anchors, max_depth)`` — entities with no step-1
+    event are honestly absent (depth 0 is "not in the funnel").
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = df.select(
+        F.col(key_col).alias("k"),
+        F.col(type_col).alias("t"),
+        us.alias("u"),
+    )
+    win = int(window_s) * 1_000_000
+    cur = (
+        ev.filter(F.col("t") == steps[0])
+        .select("k", F.col("u").alias("t0"))
+        .withColumn("prev", F.col("t0"))
+        .withColumn("depth", F.lit(1))
+    )
+    for i, s in enumerate(steps[1:], start=2):
+        nxt = ev.filter(F.col("t") == s).select(
+            F.col("k").alias("k2"), F.col("u").alias("un")
+        )
+        hit = (
+            cur.join(
+                nxt,
+                (F.col("k") == F.col("k2"))
+                & (F.col("un") > F.col("prev"))
+                & (F.col("un") <= F.col("t0") + F.lit(win)),
+            )
+            .groupBy("k", "t0")
+            .agg(F.min("un").alias("un"))
+        )
+        cur = (
+            cur.join(hit.withColumnRenamed("un", "__n"), ["k", "t0"], "left")
+            .select(
+                "k",
+                "t0",
+                F.coalesce("__n", F.col("prev")).alias("prev"),
+                F.when(F.col("__n").isNotNull(), F.lit(i))
+                .otherwise(F.col("depth"))
+                .alias("depth"),
+            )
+        )
+        # a stalled anchor keeps its depth and exits the join stream:
+        # its prev becomes NULL, and ``un > NULL`` never matches, so a
+        # later step cannot skip over the missing one
+        cur = cur.withColumn(
+            "prev",
+            F.when(F.col("depth") == i, F.col("prev")),
+        )
+    return cur.groupBy(F.col("k").alias(key_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        F.max("depth").cast("int").alias("max_depth"),
+    )
+
+
+def growth_accounting(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    resurrect_gap_days: int = 7,
+) -> DataFrame:
+    """Daily growth accounting — the new / retained / resurrected
+    decomposition of every day's active entities (the standard growth
+    dashboard): ``new`` = first-ever active day, ``retained`` = last
+    activity within ``resurrect_gap_days``, ``resurrected`` = came
+    back after a longer silence.
+
+    Grain reduction first — distinct (entity, day) — then ONE window
+    (min day + lag day per entity, shared partitioning) and one
+    day-keyed partial agg. All-integer day arithmetic.
+
+    Output per day: ``(day, n_active, n_new, n_retained,
+    n_resurrected)`` with the invariant
+    ``n_active = n_new + n_retained + n_resurrected`` (churn is
+    derivable: yesterday's actives minus today's retained).
+    """
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div 86400000000"
+    )
+    grain = df.select(
+        F.col(entity_col).alias("e"), day.alias("day")
+    ).distinct()
+    w = Window.partitionBy("e").orderBy("day")
+    first = Window.partitionBy("e")
+    g = grain.select(
+        "e",
+        "day",
+        F.min("day").over(first).alias("__first"),
+        F.lag("day").over(w).alias("__prev"),
+    )
+    status = (
+        F.when(F.col("day") == F.col("__first"), F.lit("new"))
+        .when(
+            F.col("day") - F.col("__prev") <= resurrect_gap_days,
+            F.lit("retained"),
+        )
+        .otherwise(F.lit("resurrected"))
+    )
+    return (
+        g.withColumn("__s", status)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum((F.col("__s") == "new").cast("long")).alias("n_new"),
+            F.sum((F.col("__s") == "retained").cast("long")).alias(
+                "n_retained"
+            ),
+            F.sum((F.col("__s") == "resurrected").cast("long")).alias(
+                "n_resurrected"
+            ),
+        )
+    )

@@ -649,3 +649,74 @@ def test_scd_overlap_audit(spark):
     df = spark.createDataFrame(rows, "k long, valid_from long, valid_to long")
     out = {(r["k"], r["valid_from"]) for r in scd_overlap_audit(df, "k").collect()}
     assert out == {(1, 8), (2, 3)}
+
+
+# ---------------------------------------------------------------- window_funnel
+
+
+def test_window_funnel_depths(spark):
+    from feat_spark.operators.funnel import window_funnel
+
+    rows = [
+        # user 1: full chain inside the window
+        (1, "view", "2024-01-01 00:00:00"),
+        (1, "click", "2024-01-01 00:10:00"),
+        (1, "buy", "2024-01-01 00:20:00"),
+        # user 2: step 3 lands outside the window of the only anchor
+        (2, "view", "2024-01-01 00:00:00"),
+        (2, "click", "2024-01-01 00:10:00"),
+        (2, "buy", "2024-01-01 02:00:00"),
+        # user 3: steps out of order -> depth 1
+        (3, "click", "2024-01-01 00:00:00"),
+        (3, "view", "2024-01-01 00:10:00"),
+        # user 4: no anchor at all -> absent
+        (4, "click", "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["user_id"]: (r["n_anchors"], r["max_depth"])
+        for r in window_funnel(df, ["view", "click", "buy"], window_s=3600).collect()
+    }
+    assert out == {1: (1, 3), 2: (1, 2), 3: (1, 1)}
+
+
+def test_window_funnel_no_step_skipping(spark):
+    from feat_spark.operators.funnel import window_funnel
+
+    # step 3 present but step 2 missing: depth stays 1 (no skipping)
+    rows = [
+        (1, "view", "2024-01-01 00:00:00"),
+        (1, "buy", "2024-01-01 00:10:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = window_funnel(df, ["view", "click", "buy"], window_s=3600).collect()
+    assert out[0]["max_depth"] == 1
+
+
+# ------------------------------------------------------------ growth_accounting
+
+
+def test_growth_accounting_classification(spark):
+    import datetime
+
+    from feat_spark.operators.funnel import growth_accounting
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def t(d):
+        return base + datetime.timedelta(days=d)
+
+    rows = [
+        (1, t(0)), (1, t(1)),            # new day0, retained day1
+        (1, t(20)),                       # resurrected (gap 19 > 7)
+        (2, t(1)),                        # new day1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r["day"]: (r["n_active"], r["n_new"], r["n_retained"], r["n_resurrected"])
+           for r in growth_accounting(df).collect()}
+    d0 = 19723  # 2024-01-01 epoch day
+    assert out[d0] == (1, 1, 0, 0)
+    assert out[d0 + 1] == (2, 1, 1, 0)
+    assert out[d0 + 20] == (1, 0, 0, 1)
