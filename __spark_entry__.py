@@ -4665,6 +4665,125 @@ def _q_growth_accounting(spark, sf_dir):
     return growth_accounting(_events(spark, sf_dir))
 
 
+def _q_theilsen_trend(spark, sf_dir):
+    """Per-user Theil-Sen robust spend trend (encoding.theilsen_fit):
+    median of all pairwise day-over-day slopes on per-day cent sums —
+    the 29.3%-breakdown sibling of group_trend's OLS. Pair generator
+    is a self-equi-join on user (fan-out bounded by the calendar after
+    grain reduction); each slope is one IEEE division of exact
+    integers; median of an identical double multiset matches in any
+    engine. Oracle replays grain, pairs, and the median."""
+    from feat_spark.operators.encoding import theilsen_fit
+
+    e = _events(spark, sf_dir)
+    grain = e.groupBy(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "d"
+        ),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    return theilsen_fit(grain, "d", "c", "user_id")
+
+
+def _q_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard (labels.nelson_aalen) over the
+    same hour-bucketed time-to-purchase frame as the km_curve gate:
+    H(t) = a decimal-summed, 12dp-rounded running sum of d/n
+    increments (the km_curve/PageRank device) — additive hazard with
+    zero float-order hazard. Oracle unrolls the same spine."""
+    from feat_spark.operators.labels import nelson_aalen, time_to_event
+
+    e = _events(spark, sf_dir)
+    tte = time_to_event(
+        e,
+        entity_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        target_filter=F.col("event_type") == "purchase",
+        horizon_sec=259200,
+    )
+    hours = tte.select(
+        (F.col("tte_sec") / 3600).cast("long").alias("t_hr"), "observed"
+    )
+    return nelson_aalen(hours, "t_hr", "observed")
+
+
+def _q_item_similarity(spark, sf_dir):
+    """Item-item cosine top-5 (cooccur.item_similarity) over the part
+    co-purchase incidence (basket = l_orderkey): n_ab/sqrt(n_a*n_b)
+    with per-item ranking on (cosine desc, n_ab desc, neighbor asc) —
+    the neighborhood-CF index. Basket-keyed self-equi-join bounds
+    fan-out by basket size (<=13 here), never the catalog. Oracle
+    replays incidence, pairs, cosine, and the ranked top-k."""
+    from feat_spark.operators.cooccur import item_similarity
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return item_similarity(
+        li, "l_orderkey", "l_partkey", k=5, min_pairs=2
+    )
+
+
+def _q_hll_mergeable(spark, sf_dir):
+    """Mergeable-sketch distinct rollup (profile.hll_rollup): one
+    Datasketches HLL per (event_type, day) leaf via hll_sketch_agg,
+    union-merged up to event_type via hll_union_agg — the incremental
+    100 TB distinct-counting pattern (slices = sketch unions, never
+    rescans). Sketch bits are engine-private, so the gate exports the
+    oracle-bounded form (the _q_sketches device): exact distinct rides
+    along, the merged estimate exports as a 5%+3 error boolean the
+    oracle asserts true."""
+    from feat_spark.operators.profile import hll_rollup
+
+    e = _events(spark, sf_dir)
+    return hll_rollup(
+        e,
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000"),
+        "user_id",
+    )
+
+
+def _q_recency_features(spark, sf_dir):
+    """Point-in-time recency features (eventops.recency_features):
+    per event, seconds since the user's previous SAME-TYPE event (one
+    lag) and since the previous purchase (conditional running MAX over
+    the strictly-preceding frame) — leakage-safe by frame construction,
+    cold starts NULL. Integer-microsecond arithmetic throughout.
+    Oracle mirrors both window frames."""
+    from feat_spark.operators.eventops import recency_features
+
+    e = _events(spark, sf_dir)
+    return recency_features(e).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "secs_since_same_type",
+        "secs_since_anchor",
+    )
+
+
+def _q_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient (graph.local_clustering) over the
+    same part co-purchase graph as the triangle_count gate:
+    2T/(d(d-1)) per node — ego density, the normalized readout of the
+    degree-ordered-orientation triangle count (O(E^1.5) bound, no
+    cartesian). Integer T and d, one IEEE division, 9dp. Oracle = the
+    triangle oracle plus the degree agg and the same ratio."""
+    from feat_spark.operators.graph import local_clustering
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").filter(
+        F.col("l_partkey") % 4 == 0
+    )
+    x = li.alias("x")
+    y = li.alias("y")
+    pairs = x.join(y, "l_orderkey").filter(
+        F.col("x.l_partkey") < F.col("y.l_partkey")
+    ).select(
+        F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+    )
+    return local_clustering(pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -4695,14 +4814,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-151, after the window froze):
-    # 101 brand-new gates built AFTER the r4 window was fixed
+    # LATE-ROUND-4 ADDITIONS (positions 51-157, after the window froze):
+    # 107 brand-new gates built AFTER the r4 window was fixed
     # (scd2_build..neighbor_majority from the mid-round sessions,
-    # split_balance..ndcg, then sequential_ids..growth_accounting from
-    # the final session); all dtype-strict-selfcheck green at sf0.01
-    # in their build session, never driver-checked. ROUND-5 WINDOW
-    # PLAN, in order: (1) as many of the 101 late-r4 gates +
-    # semantic_dedup + knn_cosine_ivf (positions 51-153) as fit the
+    # split_balance..ndcg, sequential_ids..growth_accounting, then
+    # theilsen_trend..clustering_coeff from the last session); all
+    # dtype-strict-selfcheck green at sf0.01 in their build session,
+    # never driver-checked. ROUND-5 WINDOW
+    # PLAN, in order: (1) as many of the 107 late-r4 gates +
+    # semantic_dedup + knn_cosine_ivf (positions 51-159) as fit the
     # 50-slot window, oldest-built first (scd2_build..), the rest
     # queue for r6; (2) then the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
@@ -4867,6 +4987,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd_overlap_audit": _q_scd_overlap,
         "window_funnel": _q_window_funnel,
         "growth_accounting": _q_growth_accounting,
+        "theilsen_trend": _q_theilsen_trend,
+        "nelson_aalen": _q_nelson_aalen,
+        "item_similarity": _q_item_similarity,
+        "hll_mergeable": _q_hll_mergeable,
+        "recency_features": _q_recency_features,
+        "clustering_coeff": _q_clustering_coeff,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -9244,4 +9370,160 @@ def oracle_sql() -> dict[str, str]:
                  cast(count(*) filter (st = 'resurrected') as bigint)
                    as n_resurrected
           from s group by 1""",
+        "theilsen_trend": """
+          with grain as (
+            select user_id,
+                   epoch_us(cast(ts as timestamp)) // 86400000000 as d,
+                   sum(cast(round(value * 100) as bigint)) as c
+            from events group by 1, 2),
+          p as (
+            select a.user_id as g, b.c - a.c as dy, b.d - a.d as dx
+            from grain a join grain b
+              on a.user_id = b.user_id and b.d > a.d)
+          select g as user_id,
+                 cast(count(*) as bigint) as n_pairs,
+                 round(median(cast(dy as double) / cast(dx as double)), 9)
+                   as slope
+          from p group by 1""",
+        "nelson_aalen": """
+          with e as (
+            select event_id, user_id, event_type, epoch_us(ts) as ts_us
+            from events),
+          nx as (
+            select event_id, ts_us,
+                   min(case when event_type = 'purchase' then ts_us end)
+                     over (partition by user_id order by ts_us, event_id
+                           rows between 1 following
+                             and unbounded following) as nxt
+            from e),
+          tte as (
+            select case when nxt is not null
+                         and (nxt - ts_us) // 1000000 <= 259200
+                   then (nxt - ts_us) // 1000000 else 259200 end as tte_sec,
+                   (nxt is not null
+                    and (nxt - ts_us) // 1000000 <= 259200) as observed
+            from nx),
+          hours as (select tte_sec // 3600 as t, observed from tte),
+          agg as (
+            select t,
+                   sum(case when observed then 1 else 0 end) as d,
+                   sum(case when not observed then 1 else 0 end) as c
+            from hours group by 1),
+          spine as (
+            select *, coalesce(sum(d + c) over
+              (order by t rows between unbounded preceding
+                 and 1 preceding), 0) as before
+            from agg),
+          s as (
+            select t, (select count(*) from hours) - before as n_at_risk,
+                   d, c
+            from spine),
+          tm as (
+            select *,
+                   cast(round(d / n_at_risk, 12) as decimal(27,12)) as term
+            from s)
+          select cast(t as bigint) as t,
+                 cast(n_at_risk as bigint) as n_at_risk,
+                 cast(d as bigint) as d,
+                 cast(c as bigint) as c,
+                 round(cast(sum(term) over
+                   (order by t rows between unbounded preceding
+                      and current row) as double), 6) as cum_hazard
+          from tm""",
+        "item_similarity": """
+          with g as (
+            select distinct l_orderkey as b, l_partkey as i
+            from lineitem),
+          ni as (select i, count(*) as n from g group by 1),
+          pr as (
+            select a.i as ia, b.i as ib, count(*) as np
+            from g a join g b on a.b = b.b and a.i < b.i
+            group by 1, 2 having count(*) >= 2),
+          bo as (
+            select ia, ib, np from pr
+            union all
+            select ib, ia, np from pr),
+          sc as (
+            select bo.ia, bo.ib, bo.np,
+                   cast(bo.np as double)
+                     / sqrt(cast(na.n * nb.n as double)) as cos
+            from bo join ni na on bo.ia = na.i
+                    join ni nb on bo.ib = nb.i),
+          rk as (
+            select *, row_number() over
+              (partition by ia order by cos desc, np desc, ib) as r
+            from sc)
+          select ia as item, ib as neighbor,
+                 cast(np as bigint) as n_pairs,
+                 round(cos, 9) as cosine, cast(r as int) as rank
+          from rk where r <= 5""",
+        "hll_mergeable": """
+          select event_type,
+                 cast(count(distinct
+                   epoch_us(cast(ts as timestamp)) // 86400000000)
+                   as bigint) as n_leaves,
+                 cast(count(distinct user_id) as bigint) as exact_distinct,
+                 true as merged_within_bounds
+          from events group by 1""",
+        "recency_features": """
+          with e as (
+            select event_id, user_id, event_type,
+                   epoch_us(cast(ts as timestamp)) as u
+            from events),
+          r as (
+            select event_id, user_id, event_type,
+                   u - lag(u) over (partition by user_id, event_type
+                                    order by u, event_id) as d1,
+                   u - max(case when event_type = 'purchase' then u end)
+                         over (partition by user_id order by u, event_id
+                               rows between unbounded preceding
+                                 and 1 preceding) as d2
+            from e)
+          select event_id, user_id, event_type,
+                 cast(d1 // 1000000 as bigint) as secs_since_same_type,
+                 cast(d2 // 1000000 as bigint) as secs_since_anchor
+          from r""",
+        "clustering_coeff": """
+          with li as (
+            select l_orderkey, l_partkey from lineitem
+            where l_partkey % 4 = 0),
+          pr as (
+            select distinct x.l_partkey as a, y.l_partkey as b
+            from li x join li y using (l_orderkey)
+            where x.l_partkey < y.l_partkey),
+          nd as (select a as node from pr union select b from pr),
+          deg as (
+            select node, count(*) as d
+            from (select a as node from pr
+                  union all select b from pr)
+            group by 1),
+          rk as (select node, d * 4294967296 + node as r from deg),
+          o as (
+            select case when ra.r < rb.r then pr.a else pr.b end as lo,
+                   case when ra.r < rb.r then pr.b else pr.a end as hi,
+                   greatest(ra.r, rb.r) as rkhi
+            from pr join rk ra on pr.a = ra.node
+                    join rk rb on pr.b = rb.node),
+          w as (
+            select o1.lo, o1.hi as h1, o2.hi as h2
+            from o o1 join o o2
+              on o1.lo = o2.lo and o1.rkhi < o2.rkhi),
+          t as (
+            select w.lo, w.h1, w.h2 from w
+            join o on o.lo = w.h1 and o.hi = w.h2),
+          pn as (
+            select node, count(*) as c
+            from (select lo as node from t
+                  union all select h1 from t
+                  union all select h2 from t)
+            group by 1)
+          select nd.node,
+                 cast(deg.d as bigint) as degree,
+                 coalesce(pn.c, 0)::BIGINT as n_triangles,
+                 case when deg.d >= 2 then
+                   round(cast(2 * coalesce(pn.c, 0) as double)
+                         / cast(deg.d * (deg.d - 1) as double), 9)
+                 else 0.0 end as coeff
+          from nd join deg on nd.node = deg.node
+          left join pn on nd.node = pn.node""",
     }

@@ -265,3 +265,84 @@ def segment_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def item_similarity(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 5,
+    min_pairs: int = 2,
+) -> DataFrame:
+    """Item–item cosine similarity with per-item top-k — the classic
+    neighborhood collaborative-filtering index ("customers who bought
+    X also bought Y"), and the co-purchase complement of
+    :func:`cooccurrence_pmi` (PMI normalizes by independence; cosine
+    by popularity — the recsys convention, since sqrt damping keeps
+    blockbuster items from dominating every neighbor list).
+
+    ``cos(a,b) = n_ab / sqrt(n_a * n_b)`` over binary basket
+    incidence: ``n_ab`` = baskets containing both, ``n_a`` = baskets
+    containing a. The pair generator is a self-EQUI-join on the basket
+    key after within-basket dedup, so fan-out is bounded by the square
+    of the basket size (single digits in commerce; cap upstream for
+    pathological baskets — the cooccurrence_pmi device), never by the
+    catalog. Counts are one map-side-combinable agg on the pair key;
+    the top-k window partitions by item — all shuffles are key-hash,
+    no cartesian anywhere, same plan at 10^3 and 10^9 baskets.
+
+    Determinism: counts are BIGINTs, cosine is one integer-product
+    sqrt + division (identical IEEE in any engine), rounded 9dp at the
+    edge; the top-k order is (cosine desc, n_ab desc, neighbor asc) —
+    a full deterministic key.
+
+    Output: ``(item, neighbor, n_pairs, cosine, rank)``, both
+    directions of every surviving pair (each item gets its own list).
+    """
+    g = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    n_item = g.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
+    a = g.alias("a")
+    b = g.alias("b")
+    pair = (
+        a.join(b, "__b")
+        .filter(F.col("a.__i") < F.col("b.__i"))
+        .groupBy(
+            F.col("a.__i").alias("__ia"), F.col("b.__i").alias("__ib")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .filter(F.col("n_pairs") >= int(min_pairs))
+    )
+    both = pair.unionByName(
+        pair.select(
+            F.col("__ib").alias("__ia"),
+            F.col("__ia").alias("__ib"),
+            "n_pairs",
+        )
+    )
+    scored = (
+        both.join(n_item.withColumnRenamed("__i", "__ia"), "__ia")
+        .withColumnRenamed("__n", "__na")
+        .join(n_item.withColumnRenamed("__i", "__ib"), "__ib")
+        .withColumnRenamed("__n", "__nb")
+        .withColumn(
+            "cosine",
+            F.col("n_pairs").cast("double")
+            / F.sqrt((F.col("__na") * F.col("__nb")).cast("double")),
+        )
+    )
+    w = Window.partitionBy("__ia").orderBy(
+        F.col("cosine").desc(), F.col("n_pairs").desc(), F.col("__ib")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("__ia").alias("item"),
+            F.col("__ib").alias("neighbor"),
+            "n_pairs",
+            F.round("cosine", 9).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

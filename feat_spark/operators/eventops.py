@@ -57,3 +57,59 @@ def debounce_events(
         )
         .drop("__t")
     )
+
+
+def recency_features(
+    df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    anchor_type: str = "purchase",
+    ts_col: str = "ts",
+    tiebreak: "Sequence[str]" = ("event_id",),
+) -> DataFrame:
+    """Point-in-time recency features — for EVERY event, (a) seconds
+    since the entity's previous event of the SAME type and (b) seconds
+    since the entity's previous ``anchor_type`` event (the
+    "time-since-last-purchase" feature every propensity model wants).
+    Both look STRICTLY BACKWARD (rows between unbounded preceding and
+    1 preceding), so the feature is leakage-safe at the row's own
+    timestamp by construction — the invariant ``plans.audit`` exists
+    to check.
+
+    Shape: two window frames over ONE logical per-entity sort (the
+    same-type lag partitions by (key, type); the anchor recency is a
+    conditional MAX over the (key)-partitioned frame — a running
+    "latest anchor ts so far", no self-join, no spine, no asof
+    machinery needed because the lookup key equals the row key).
+    Cold starts are NULL (no prior event exists), never 0 — the honest
+    value, same contract as ``decayed_sum``.
+
+    All arithmetic is integer microseconds — bit-stable anywhere.
+
+    Output: every input row plus ``secs_since_same_type`` and
+    ``secs_since_anchor`` (long seconds, floor division).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    tb = [F.col(c) for c in tiebreak]
+    base = df.withColumn("__t", us)
+    w_same = Window.partitionBy(key_col, type_col).orderBy("__t", *tb)
+    w_key = (
+        Window.partitionBy(key_col)
+        .orderBy("__t", *tb)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_same = F.lag("__t").over(w_same)
+    prev_anchor = F.max(
+        F.when(F.col(type_col) == anchor_type, F.col("__t"))
+    ).over(w_key)
+    return (
+        base.withColumn(
+            "secs_since_same_type",
+            ((F.col("__t") - prev_same) / F.lit(1_000_000)).cast("long"),
+        )
+        .withColumn(
+            "secs_since_anchor",
+            ((F.col("__t") - prev_anchor) / F.lit(1_000_000)).cast("long"),
+        )
+        .drop("__t")
+    )

@@ -646,3 +646,63 @@ def kcore(
         .filter(F.col("degree") >= k)
         .select(F.col("u").alias("node"), "degree")
     )
+
+
+def local_clustering(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per node — ``2·T(v) / (d(v)·(d(v)−1))``,
+    the fraction of a node's neighbor pairs that are themselves
+    connected: the per-node readout of :func:`triangle_count` (that one
+    counts; this one normalizes by the wedge count), and the standard
+    ego-density feature for bot/collusion detection (dense cliques
+    score ~1, broadcast hubs score ~0 — degree alone can't tell them
+    apart).
+
+    Shape: the triangle side reuses :func:`triangle_count` verbatim
+    (degree-ordered orientation, O(E^1.5) wedge bound, no cartesian);
+    the degree side is one partial-agg count over the SAME
+    canonicalized distinct undirected edge set — canonicalization must
+    match exactly or self-loops/dup edges would inflate d(v) but not
+    T(v) and corrupt the ratio. One final key-hash join.
+
+    Determinism: T and d are BIGINTs; the coefficient is one integer
+    expression + one IEEE division, rounded 9dp at the edge. Degree-0/1
+    nodes (no wedge exists) get coefficient 0.0 — the graph-library
+    convention (networkx) and the honest value: zero of zero possible
+    closures.
+
+    Output: ``(node, degree, n_triangles, coeff)`` for every node in
+    the edge set.
+    """
+    u = F.col(src).cast("long")
+    v = F.col(dst).cast("long")
+    e = (
+        edges.select(u.alias("u"), v.alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = triangle_count(edges, src, dst)
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.round(
+            (F.lit(2) * F.col("n_triangles")).cast("double")
+            / (F.col("degree") * (F.col("degree") - F.lit(1))).cast(
+                "double"
+            ),
+            9,
+        ),
+    ).otherwise(F.lit(0.0))
+    return deg.join(tri, "node").select(
+        "node", "degree", "n_triangles", coeff.alias("coeff")
+    )

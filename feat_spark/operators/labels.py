@@ -242,3 +242,57 @@ def label_churn(
         gap.alias("gap_days"),
         (gap > F.lit(int(horizon_days))).alias("is_churn"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard curve ``H(t) = Σ_{t'<=t} d/n``
+    over the same censored durations :func:`km_curve` reads — the
+    additive view of the hazard (variance-stable where the KM product
+    gets noisy deep in the tail, and the input to proportional-hazard
+    diagnostics: parallel ``ln H`` curves across cohorts ⇔ the PH
+    assumption holds).
+
+    Same distributed spine as :func:`km_curve`: ONE groupBy(duration)
+    does all corpus-sized work, the ordered window then runs over the
+    aggregated duration spine only. Each increment ``d/n`` is one IEEE
+    division ROUNDED TO 12dp and DECIMAL-SUMMED over the ordered
+    window (the km_curve / PageRank contribution device) — the running
+    hazard is exact-replayable in any engine with no
+    float-accumulation-order hazard.
+
+    Output: ``(t, n_at_risk, d, c, cum_hazard)`` with the hazard at
+    6dp; once nobody is at risk the row is absent by construction
+    (every unit has exited at an earlier t).
+    """
+    agg = df.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(F.col(observed_col).cast("long")).alias("d"),
+        F.sum((~F.col(observed_col)).cast("long")).alias("c"),
+    )
+    w = Window.orderBy("t")
+    exits = (F.col("d") + F.col("c")).alias("__x")
+    spine = agg.select("t", "d", "c", exits).withColumn(
+        "__before", F.coalesce(
+            F.sum("__x").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+    )
+    total = df.count()
+    n_at_risk = (F.lit(total) - F.col("__before")).cast("long")
+    term = F.round(F.col("d") / n_at_risk, 12).cast("decimal(27,12)")
+    cum = F.round(
+        F.sum(term)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double"),
+        6,
+    )
+    return spine.select(
+        "t",
+        n_at_risk.alias("n_at_risk"),
+        F.col("d").cast("long").alias("d"),
+        F.col("c").cast("long").alias("c"),
+        cum.alias("cum_hazard"),
+    )
