@@ -4784,6 +4784,172 @@ def _q_clustering_coeff(spark, sf_dir):
     return local_clustering(pairs)
 
 
+def _scored_events(spark, sf_dir):
+    """Shared synthetic classifier frame for the model-eval gates: an
+    md5-derived milli-unit score (0..1000) plus a correlated noisy
+    label, both replayed verbatim by the DuckDB twins — informative
+    enough that capture/lift/PR curves are non-degenerate."""
+    from feat_spark.functions.text import md5_long32
+
+    e = _events(spark, sf_dir)
+    s = F.pmod(md5_long32(F.col("event_id").cast("string")), F.lit(1001))
+    noise = F.pmod(
+        md5_long32(F.concat(F.lit("n#"), F.col("event_id").cast("string"))),
+        F.lit(401),
+    ) - F.lit(200)
+    return e.select(
+        "event_id",
+        (F.col("user_id") % 5).alias("segment"),
+        s.alias("score_milli"),
+        ((s + noise) >= 550).cast("int").alias("y"),
+    )
+
+
+def _q_countmin_topk(spark, sf_dir):
+    """Count-Min heavy hitters (cms.countmin_topk): the exact top-20
+    users by event count, each with its d=4 x w=64 sketch point query
+    (est >= exact by construction; w deliberately narrow so collisions
+    actually occur). Grid is built from DISTINCT-key grain, merges by
+    addition — the incremental distinct-of-counts sibling of the HLL
+    rollup. Portable md5 buckets, so the oracle replays the ENTIRE
+    sketch — estimates hash-match, not just bound-check."""
+    from feat_spark.operators.cms import countmin_topk
+
+    return countmin_topk(
+        _events(spark, sf_dir), "user_id", k=20, depth=4, width=64
+    )
+
+
+def _q_gains_deciles(spark, sf_dir):
+    """Per-segment decile gains/lift table (experiment.gains_table)
+    over the shared scored frame: ntile(10) on a deterministic
+    (score desc, event_id asc) order, exact-integer capture and lift
+    ratios, one IEEE division each at 9dp. Oracle replays ntile and
+    both cumulative ratios."""
+    from feat_spark.operators.experiment import gains_table
+
+    return gains_table(
+        _scored_events(spark, sf_dir),
+        "segment",
+        "score_milli",
+        "y",
+        tiebreak_col="event_id",
+        n_bins=10,
+    )
+
+
+def _q_brier_scores(spark, sf_dir):
+    """Per-segment Brier score + skill (experiment.brier_score) on the
+    shared scored frame: milli-unit scores make (s-1000y)^2 an exact
+    long sum; brier, base rate and the skill readout each close with
+    fixed-order divisions of exact integers. Oracle replays the sums
+    and the closed forms."""
+    from feat_spark.operators.experiment import brier_score
+
+    return brier_score(
+        _scored_events(spark, sf_dir), "segment", "score_milli", "y"
+    )
+
+
+def _q_pr_thresholds(spark, sf_dir):
+    """Operating-point sweep (experiment.pr_thresholds): precision /
+    recall / F1 at 9 thresholds via CONDITIONAL aggregation — one
+    global partial agg, 19 columns, then a literal unpivot; no row
+    explosion. Exact counts, one division per ratio. Oracle computes
+    each threshold's cell counts with filtered aggregates."""
+    from feat_spark.operators.experiment import pr_thresholds
+
+    return pr_thresholds(_scored_events(spark, sf_dir), "score_milli", "y")
+
+
+def _q_ols2(spark, sf_dir):
+    """Per-user two-regressor OLS (encoding.ols2_fit): daily spend
+    cents ~ day index + daily event count, solved in closed form via
+    Cramer's rule on exact decimal(38,0) centered sums — one IEEE
+    division per beta, 9dp; collinear / n<3 groups NULL. Oracle
+    replays the grain, the nine sums, and the closed form."""
+    from feat_spark.operators.encoding import ols2_fit
+
+    e = _events(spark, sf_dir)
+    grain = e.groupBy(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "d"
+        ),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"),
+        F.count(F.lit(1)).alias("ne"),
+    )
+    return ols2_fit(grain, "user_id", "d", "ne", "c")
+
+
+def _q_link_jaccard(spark, sf_dir):
+    """Neighborhood-Jaccard link prediction (graph.link_jaccard) on
+    the same 1-in-7 order-part incidence slice as adamic_adar:
+    hub-capped wedge join, direct edges anti-joined, degrees joined
+    back on both endpoints, J = cn/(da+db-cn) in one division, top-5
+    per node on (jaccard desc, suggestion asc). Oracle replays wedges,
+    degrees, and the ranked top-k."""
+    from feat_spark.operators.graph import link_jaccard
+
+    e = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select(
+            (F.col("l_orderkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+    )
+    return link_jaccard(e, k=5)
+
+
+def _q_leakage_screen(spark, sf_dir):
+    """Input-side target-leakage screen (profile.leakage_screen): one
+    melt scan computes each feature's point-biserial correlation with
+    the purchase label from exact decimal sums; a deliberately leaky
+    plant (1000*y + hash%50) must flag leakage_suspect=true while
+    honest features (cents, hour, user bucket) stay below threshold.
+    The input-column complement of the engine-side leakage_audit.
+    Oracle replays melt, sums, and the closed form."""
+    from feat_spark.operators.profile import leakage_screen
+    from feat_spark.functions.text import md5_long32
+
+    e = _events(spark, sf_dir)
+    y = (F.col("event_type") == "purchase").cast("long")
+    feats = e.select(
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        F.hour(F.col("ts").cast("timestamp")).cast("long").alias("hour"),
+        (F.col("user_id") % 7).alias("user_bucket"),
+        (
+            y * 1000
+            + F.pmod(md5_long32(F.col("event_id").cast("string")), F.lit(50))
+        ).alias("leaky_plant"),
+        y.alias("label"),
+    )
+    return leakage_screen(
+        feats,
+        ["value_cents", "hour", "user_bucket", "leaky_plant"],
+        "label",
+    )
+
+
+def _q_top_paths(spark, sf_dir):
+    """Dominant entry journeys (funnel.top_paths): each user's first 5
+    event types as an ordered '>' path (row_number on (ts, event_id),
+    truncated BEFORE the path agg), corpus-counted, top-20 by
+    (n desc, path asc) TakeOrdered. Oracle: ordered string_agg over
+    the same truncation."""
+    from feat_spark.operators.funnel import top_paths
+
+    return top_paths(
+        _events(spark, sf_dir),
+        "user_id",
+        "event_type",
+        max_steps=5,
+        topn=20,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -4814,15 +4980,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-157, after the window froze):
-    # 107 brand-new gates built AFTER the r4 window was fixed
+    # LATE-ROUND-4 ADDITIONS (positions 51-165, after the window froze):
+    # 115 brand-new gates built AFTER the r4 window was fixed
     # (scd2_build..neighbor_majority from the mid-round sessions,
-    # split_balance..ndcg, sequential_ids..growth_accounting, then
-    # theilsen_trend..clustering_coeff from the last session); all
+    # split_balance..ndcg, sequential_ids..growth_accounting,
+    # theilsen_trend..clustering_coeff, then
+    # countmin_topk..top_paths from the last session); all
     # dtype-strict-selfcheck green at sf0.01 in their build session,
     # never driver-checked. ROUND-5 WINDOW
-    # PLAN, in order: (1) as many of the 107 late-r4 gates +
-    # semantic_dedup + knn_cosine_ivf (positions 51-159) as fit the
+    # PLAN, in order: (1) as many of the 115 late-r4 gates +
+    # semantic_dedup + knn_cosine_ivf (positions 51-167) as fit the
     # 50-slot window, oldest-built first (scd2_build..), the rest
     # queue for r6; (2) then the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
@@ -4993,6 +5160,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_mergeable": _q_hll_mergeable,
         "recency_features": _q_recency_features,
         "clustering_coeff": _q_clustering_coeff,
+        "countmin_topk": _q_countmin_topk,
+        "gains_deciles": _q_gains_deciles,
+        "brier_scores": _q_brier_scores,
+        "pr_thresholds": _q_pr_thresholds,
+        "ols2_fit": _q_ols2,
+        "link_jaccard": _q_link_jaccard,
+        "leakage_screen": _q_leakage_screen,
+        "top_paths": _q_top_paths,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -9526,4 +9701,268 @@ def oracle_sql() -> dict[str, str]:
                  else 0.0 end as coeff
           from nd join deg on nd.node = deg.node
           left join pn on nd.node = pn.node""",
+        "countmin_topk": """
+          with c as (
+            select cast(user_id as varchar) as key, count(*) as n
+            from events where user_id is not null group by 1),
+          seeds as (select unnest([0, 1, 2, 3]) as seed),
+          grid as (
+            select seed,
+                   (('0x' || substr(md5(seed || '#' || key), 1, 8))::BIGINT)
+                     % 64 as bucket,
+                   sum(n) as gn
+            from c cross join seeds group by 1, 2),
+          top as (
+            select key, n as exact_n from c
+            order by n desc, key asc limit 20),
+          probe as (
+            select key, exact_n, seed,
+                   (('0x' || substr(md5(seed || '#' || key), 1, 8))::BIGINT)
+                     % 64 as bucket
+            from top cross join seeds)
+          select key, cast(exact_n as bigint) as exact_n,
+                 cast(min(gn) as bigint) as cms_est
+          from probe join grid using (seed, bucket)
+          group by 1, 2""",
+        "gains_deciles": """
+          with sc as (
+            select event_id, user_id % 5 as segment,
+                   (('0x' || substr(md5(cast(event_id as varchar)), 1, 8))
+                     ::BIGINT) % 1001 as s,
+                   case when ((('0x' || substr(md5(cast(event_id as varchar)),
+                                               1, 8))::BIGINT) % 1001)
+                             + ((('0x' || substr(md5('n#' ||
+                                     cast(event_id as varchar)), 1, 8))
+                                 ::BIGINT) % 401) - 200 >= 550
+                        then 1 else 0 end as y
+            from events),
+          b as (
+            select segment,
+                   ntile(10) over (partition by segment
+                                   order by s desc, event_id asc) as bin,
+                   y
+            from sc),
+          a as (
+            select segment, bin, count(*) as n, sum(y) as n_pos
+            from b group by 1, 2),
+          w as (
+            select segment, bin, n, n_pos,
+                   sum(n_pos) over (partition by segment
+                                    order by bin) as cum_pos,
+                   sum(n_pos) over (partition by segment) as tot_pos,
+                   sum(n) over (partition by segment) as tot_n
+            from a)
+          select segment, cast(bin as int) as bin,
+                 cast(n as bigint) as n, cast(n_pos as bigint) as n_pos,
+                 cast(cum_pos as bigint) as cum_pos,
+                 case when tot_pos > 0 then
+                   round(cast(cum_pos as double) / cast(tot_pos as double), 9)
+                 end as capture,
+                 case when tot_pos > 0 then
+                   round(cast(n_pos * tot_n as double)
+                         / cast(n * tot_pos as double), 9)
+                 end as lift
+          from w""",
+        "brier_scores": """
+          with sc as (
+            select user_id % 5 as segment,
+                   (('0x' || substr(md5(cast(event_id as varchar)), 1, 8))
+                     ::BIGINT) % 1001 as s,
+                   case when ((('0x' || substr(md5(cast(event_id as varchar)),
+                                               1, 8))::BIGINT) % 1001)
+                             + ((('0x' || substr(md5('n#' ||
+                                     cast(event_id as varchar)), 1, 8))
+                                 ::BIGINT) % 401) - 200 >= 550
+                        then 1 else 0 end as y
+            from events),
+          a as (
+            select segment, count(*) as n, sum(y) as sy,
+                   sum((s - 1000 * y) * (s - 1000 * y)) as sq
+            from sc group by 1)
+          select segment, cast(n as bigint) as n,
+                 round(cast(sy as double) / cast(n as double), 9)
+                   as base_rate,
+                 round(cast(sq as double)
+                       / (cast(n as double) * 1000000.0), 9) as brier,
+                 case when sy > 0 and sy < n then
+                   round(1.0 - (cast(sq as double)
+                                / (cast(n as double) * 1000000.0))
+                               / (cast(sy * (n - sy) as double)
+                                  / cast(n * n as double)), 9)
+                 end as brier_skill
+          from a""",
+        "pr_thresholds": """
+          with sc as (
+            select (('0x' || substr(md5(cast(event_id as varchar)), 1, 8))
+                     ::BIGINT) % 1001 as s,
+                   case when ((('0x' || substr(md5(cast(event_id as varchar)),
+                                               1, 8))::BIGINT) % 1001)
+                             + ((('0x' || substr(md5('n#' ||
+                                     cast(event_id as varchar)), 1, 8))
+                                 ::BIGINT) % 401) - 200 >= 550
+                        then 1 else 0 end as y
+            from events),
+          t as (select unnest([100, 200, 300, 400, 500, 600, 700, 800,
+                               900]) as th),
+          a as (
+            select th,
+                   sum(case when s >= th then y else 0 end) as tp,
+                   sum(case when s >= th then 1 else 0 end) as pp,
+                   sum(y) as ap
+            from sc cross join t group by 1)
+          select cast(th as int) as threshold_milli,
+                 cast(tp as bigint) as tp,
+                 cast(pp - tp as bigint) as fp,
+                 cast(ap - tp as bigint) as fn,
+                 case when pp > 0 then
+                   round(cast(tp as double) / cast(pp as double), 9)
+                 end as "precision",
+                 case when ap > 0 then
+                   round(cast(tp as double) / cast(ap as double), 9)
+                 end as recall,
+                 case when 2 * tp + (pp - tp) + (ap - tp) > 0 then
+                   round(cast(2 * tp as double)
+                         / cast(2 * tp + (pp - tp) + (ap - tp) as double), 9)
+                 end as f1
+          from a""",
+        "ols2_fit": """
+          with g as (
+            select user_id,
+                   epoch_us(ts) // 86400000000 as d,
+                   cast(sum(cast(round(value * 100) as bigint)) as bigint)
+                     as c,
+                   count(*) as ne
+            from events group by 1, 2),
+          a as (
+            select user_id, count(*) as n,
+                   sum(d) as s1, sum(ne) as s2, sum(c) as sy,
+                   sum(d * d) as s11, sum(ne * ne) as s22,
+                   sum(d * ne) as s12, sum(d * c) as s1y,
+                   sum(ne * c) as s2y
+            from g group by 1),
+          k as (
+            select user_id, n,
+                   n * s11 - s1 * s1 as S11,
+                   n * s22 - s2 * s2 as S22,
+                   n * s12 - s1 * s2 as S12,
+                   n * s1y - s1 * sy as S1y,
+                   n * s2y - s2 * sy as S2y,
+                   s1, s2, sy
+            from a),
+          b as (
+            select user_id, n, s1, s2, sy,
+                   cast(S11 * S22 - S12 * S12 as double) as det,
+                   cast(S22 * S1y - S12 * S2y as double) as num1,
+                   cast(S11 * S2y - S12 * S1y as double) as num2
+            from k)
+          select user_id, cast(n as bigint) as n,
+                 case when n >= 3 and det <> 0.0 then
+                   round(num1 / det, 9) end as b1,
+                 case when n >= 3 and det <> 0.0 then
+                   round(num2 / det, 9) end as b2,
+                 case when n >= 3 and det <> 0.0 then
+                   round((cast(sy as double)
+                          - (num1 / det) * cast(s1 as double)
+                          - (num2 / det) * cast(s2 as double))
+                         / cast(n as double), 9) end as b0
+          from b""",
+        "link_jaccard": """
+          with raw as (
+            select l_orderkey * 2 as s, l_partkey * 2 + 1 as d
+            from lineitem where l_orderkey % 7 = 0),
+          e as (
+            select distinct least(s, d) as a, greatest(s, d) as b
+            from raw where s <> d),
+          adj as (
+            select a as u, b as v from e
+            union all select b as u, a as v from e),
+          deg as (select u, count(*) as degree from adj group by 1),
+          mid as (select u as m from deg where degree <= 1000),
+          wed as (
+            select l.u as x, r.v as y
+            from adj l
+            join mid on l.v = mid.m
+            join adj r on mid.m = r.u
+            where l.u < r.v),
+          cand as (
+            select x, y from wed
+            where not exists (select 1 from e
+                              where e.a = wed.x and e.b = wed.y)),
+          cn as (
+            select x as node_a, y as node_b, count(*) as common_neighbors
+            from cand group by 1, 2),
+          s as (
+            select cn.node_a, cn.node_b, cn.common_neighbors,
+                   round(cast(cn.common_neighbors as double)
+                         / cast(da.degree + db.degree
+                                - cn.common_neighbors as double), 9)
+                     as jaccard
+            from cn
+            join deg da on cn.node_a = da.u
+            join deg db on cn.node_b = db.u),
+          bo as (
+            select node_a as node, node_b as suggestion,
+                   common_neighbors, jaccard from s
+            union all
+            select node_b, node_a, common_neighbors, jaccard from s),
+          r as (
+            select node, suggestion, common_neighbors, jaccard,
+                   row_number() over (partition by node
+                                      order by jaccard desc,
+                                               suggestion asc) as rank
+            from bo)
+          select node, suggestion,
+                 cast(common_neighbors as bigint) as common_neighbors,
+                 jaccard, cast(rank as int) as rank
+          from r where rank <= 5""",
+        "leakage_screen": """
+          with f as (
+            select cast(round(value * 100) as bigint) as value_cents,
+                   cast(extract(hour from ts) as bigint) as hour,
+                   user_id % 7 as user_bucket,
+                   (case when event_type = 'purchase' then 1 else 0 end)
+                     * 1000
+                   + (('0x' || substr(md5(cast(event_id as varchar)), 1, 8))
+                       ::BIGINT) % 50 as leaky_plant,
+                   case when event_type = 'purchase' then 1 else 0 end
+                     as label
+            from events),
+          m as (
+            select 'value_cents' as feature, value_cents as x, label as y
+            from f
+            union all select 'hour', hour, label from f
+            union all select 'user_bucket', user_bucket, label from f
+            union all select 'leaky_plant', leaky_plant, label from f),
+          a as (
+            select feature, count(*) as n, sum(x) as sx, sum(y) as sy,
+                   sum(x * x) as sxx, sum(x * y) as sxy
+            from m where x is not null group by 1),
+          c as (
+            select feature, n,
+                   case when cast(n * sxx - sx * sx as double) > 0
+                         and cast(n * sy - sy * sy as double) > 0 then
+                     round(cast(n * sxy - sx * sy as double)
+                           / sqrt(cast(n * sxx - sx * sx as double)
+                                  * cast(n * sy - sy * sy as double)), 9)
+                   end as corr
+            from a)
+          select feature, cast(n as bigint) as n, corr,
+                 abs(corr) as abs_corr,
+                 (abs(corr) >= 0.95) as leakage_suspect
+          from c""",
+        "top_paths": """
+          with r as (
+            select user_id, event_type,
+                   row_number() over (partition by user_id
+                                      order by ts asc, event_id asc) as rn
+            from events),
+          p as (
+            select user_id,
+                   string_agg(event_type, '>' order by rn) as path,
+                   count(*) as depth
+            from r where rn <= 5 group by 1)
+          select path, cast(count(*) as bigint) as n_entities,
+                 cast(depth as bigint) as depth
+          from p group by path, depth
+          order by n_entities desc, path asc limit 20""",
     }

@@ -915,3 +915,68 @@ def theilsen_fit(
             F.round(F.median("__s"), 9).alias("slope"),
         )
     )
+
+
+def ols2_fit(
+    df: DataFrame,
+    group_cols: Sequence[str] | str,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group TWO-regressor OLS ``y ~ b0 + b1*x1 + b2*x2`` in
+    closed form — the multivariate sibling of :func:`group_trend`'s
+    simple OLS (one more covariate is usually all a per-entity trend
+    model needs: spend ~ day + activity separates drift from volume).
+
+    Closed form via centered normal equations solved by Cramer's
+    rule: with S11 = n*sum(x1^2) - sum(x1)^2 (and S22, S12, S1y, S2y
+    alike), ``b1 = (S22*S1y - S12*S2y) / det``,
+    ``b2 = (S11*S2y - S12*S1y) / det``, ``det = S11*S22 - S12^2``.
+    All S-terms are exact integers when inputs are integral (cents /
+    day indexes / counts — the caller quantizes), accumulated as
+    decimal(38,0) so products can't overflow; each beta is ONE IEEE
+    division of exact integers, 9dp; the intercept closes from the
+    betas in a fixed op order. Collinear groups (det = 0) and groups
+    with n < 3 return NULLs — the honest answer.
+
+    One partial-aggregated groupBy carrying nine sums; no window, no
+    join, no iteration — the 100 TB plan is a single exchange.
+
+    Output: groups + ``(n, b1, b2, b0)``.
+    """
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d(x1_col)).alias("__s1"),
+        F.sum(d(x2_col)).alias("__s2"),
+        F.sum(d(y_col)).alias("__sy"),
+        F.sum(d(x1_col) * d(x1_col)).alias("__s11"),
+        F.sum(d(x2_col) * d(x2_col)).alias("__s22"),
+        F.sum(d(x1_col) * d(x2_col)).alias("__s12"),
+        F.sum(d(x1_col) * d(y_col)).alias("__s1y"),
+        F.sum(d(x2_col) * d(y_col)).alias("__s2y"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    S11 = n * F.col("__s11") - F.col("__s1") * F.col("__s1")
+    S22 = n * F.col("__s22") - F.col("__s2") * F.col("__s2")
+    S12 = n * F.col("__s12") - F.col("__s1") * F.col("__s2")
+    S1y = n * F.col("__s1y") - F.col("__s1") * F.col("__sy")
+    S2y = n * F.col("__s2y") - F.col("__s2") * F.col("__sy")
+    det = (S11 * S22 - S12 * S12).cast("double")
+    b1 = (S22 * S1y - S12 * S2y).cast("double") / det
+    b2 = (S11 * S2y - S12 * S1y).cast("double") / det
+    b0 = (
+        F.col("__sy").cast("double")
+        - b1 * F.col("__s1").cast("double")
+        - b2 * F.col("__s2").cast("double")
+    ) / F.col("n").cast("double")
+    ok = (F.col("n") >= 3) & (det != 0.0)
+    return agg.select(
+        *keys,
+        "n",
+        F.when(ok, F.round(b1, 9)).alias("b1"),
+        F.when(ok, F.round(b2, 9)).alias("b2"),
+        F.when(ok, F.round(b0, 9)).alias("b0"),
+    )

@@ -757,3 +757,197 @@ def did_readout(
         F.round(m_cp, 6).alias("mean_ctrl_post"),
         F.round((m_tp - m_t0) - (m_cp - m_c0), 6).alias("did"),
     )
+
+
+def gains_table(
+    df: DataFrame,
+    segment_cols: "Sequence[str] | str",
+    score_col: str,
+    label_col: str,
+    tiebreak_col: str = "id",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Decile gains/lift table per segment — the model-quality readout
+    between :func:`calibration_curve` (are the probabilities honest)
+    and :func:`group_auc` (does the score rank): if we action only the
+    top decile, what fraction of all positives do we CAPTURE, and how
+    much better than random is each slice (LIFT)? The table every
+    targeting / fraud / churn campaign is sized from.
+
+    Plan shape: ``ntile(n_bins)`` over a per-SEGMENT window (score
+    desc, tiebreak asc — a deterministic total order, so both engines
+    bucket identically), one (segment, bin) agg, then cumulative sums
+    over the n_bins-row-per-segment frame. Segments are independent
+    partitions — no global sort exists; the window after the agg
+    orders at most ``n_bins`` rows per segment.
+
+    Exactness: capture = cum_pos / tot_pos and
+    lift = (n_pos * tot_n) / (n * tot_pos) are ratios of exact
+    integers — one IEEE division each, 9dp.
+
+    Output: segments + ``(bin, n, n_pos, cum_pos, capture, lift)``.
+    """
+    keys = [segment_cols] if isinstance(segment_cols, str) else list(segment_cols)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(score_col).desc(), F.col(tiebreak_col).asc()
+    )
+    binned = df.withColumn("bin", F.ntile(n_bins).over(w))
+    agg = binned.groupBy(*keys, "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(label_col).cast("long")).alias("n_pos"),
+    )
+    ws = Window.partitionBy(*keys).orderBy("bin")
+    wa = Window.partitionBy(*keys)
+    out = (
+        agg.withColumn("cum_pos", F.sum("n_pos").over(ws))
+        .withColumn("__tot_pos", F.sum("n_pos").over(wa))
+        .withColumn("__tot_n", F.sum("n").over(wa))
+    )
+    return out.select(
+        *keys,
+        "bin",
+        "n",
+        "n_pos",
+        "cum_pos",
+        F.when(
+            F.col("__tot_pos") > 0,
+            F.round(
+                F.col("cum_pos").cast("double")
+                / F.col("__tot_pos").cast("double"),
+                9,
+            ),
+        ).alias("capture"),
+        F.when(
+            F.col("__tot_pos") > 0,
+            F.round(
+                (F.col("n_pos") * F.col("__tot_n")).cast("double")
+                / (F.col("n") * F.col("__tot_pos")).cast("double"),
+                9,
+            ),
+        ).alias("lift"),
+    )
+
+
+def brier_score(
+    df: DataFrame,
+    group_cols: "Sequence[str] | str",
+    score_milli_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-group Brier score of a probabilistic classifier — the
+    strictly proper scoring rule ``mean((p - y)^2)``: unlike AUC it
+    punishes miscalibrated confidence, unlike log-loss it is FINITE
+    and (with milli-unit scores) EXACT.
+
+    Exactness device: scores arrive as integer milli-units (0..1000,
+    the caller quantizes — model scores at 3dp lose nothing), so
+    ``(s - 1000*y)^2`` sums as exact longs and the score closes with
+    ONE division by ``n * 10^6``, 9dp. The skill readout
+    ``brier_skill = 1 - brier/brier_base`` compares against the
+    group's own base rate ``p0=sum_y/n``: base Brier is
+    ``p0*(1-p0)``, also a ratio of exact integers
+    (``sum_y*(n-sum_y)/n^2``).
+
+    One partial-aggregated groupBy; no window, no join.
+
+    Output: groups + ``(n, base_rate, brier, brier_skill)``.
+    """
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    s = F.col(score_milli_col).cast("long")
+    y = F.col(label_col).cast("long")
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("__sy"),
+        F.sum((s - 1000 * y) * (s - 1000 * y)).alias("__sq"),
+    )
+    brier = F.col("__sq").cast("double") / (
+        F.col("n").cast("double") * F.lit(1000000.0)
+    )
+    base = F.col("__sy").cast("double") / F.col("n").cast("double")
+    brier_base = (F.col("__sy") * (F.col("n") - F.col("__sy"))).cast(
+        "double"
+    ) / (F.col("n") * F.col("n")).cast("double")
+    return agg.select(
+        *keys,
+        "n",
+        F.round(base, 9).alias("base_rate"),
+        F.round(brier, 9).alias("brier"),
+        F.when(
+            (F.col("__sy") > 0) & (F.col("__sy") < F.col("n")),
+            F.round(F.lit(1.0) - brier / brier_base, 9),
+        ).alias("brier_skill"),
+    )
+
+
+def pr_thresholds(
+    df: DataFrame,
+    score_milli_col: str,
+    label_col: str,
+    thresholds_milli: "Sequence[int]" = (100, 200, 300, 400, 500, 600, 700, 800, 900),
+) -> DataFrame:
+    """Precision / recall / F1 at a grid of decision thresholds — the
+    operating-point sweep that picks WHERE to cut a ranked score
+    (group_auc says the ranking is good; this says what you get at
+    p >= 0.3 vs p >= 0.7).
+
+    Plan shape: CONDITIONAL AGGREGATION, not row explosion — one
+    global partial agg computes (tp, predicted-positive) per threshold
+    as 2T+1 columns in a single pass (map-side combined; a T-way
+    row multiply at 100 TB would be T extra scans' worth of shuffle),
+    then a literal T-row unpivot. predicted >= threshold counts as
+    positive.
+
+    Exactness: counts are exact longs; precision = tp/pp,
+    recall = tp/ap, f1 = 2*tp/(2*tp + fp + fn) — one IEEE division
+    each, 9dp; empty denominators yield NULL.
+
+    Output: ``(threshold_milli, tp, fp, fn, precision, recall, f1)``.
+    """
+    s = F.col(score_milli_col).cast("long")
+    y = F.col(label_col).cast("long")
+    aggs = [F.sum(y).alias("__ap")]
+    for t in thresholds_milli:
+        aggs.append(F.sum(F.when(s >= t, y).otherwise(F.lit(0))).alias(f"__tp_{t}"))
+        aggs.append(
+            F.sum(F.when(s >= t, F.lit(1)).otherwise(F.lit(0))).alias(f"__pp_{t}")
+        )
+    one = df.agg(*aggs)
+    rows = one.select(
+        "__ap",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(t)).alias("threshold_milli"),
+                        F.col(f"__tp_{t}").alias("tp"),
+                        F.col(f"__pp_{t}").alias("pp"),
+                    )
+                    for t in thresholds_milli
+                ]
+            )
+        ).alias("r"),
+    ).select("__ap", "r.threshold_milli", "r.tp", "r.pp")
+    fp = F.col("pp") - F.col("tp")
+    fn = F.col("__ap") - F.col("tp")
+    return rows.select(
+        "threshold_milli",
+        "tp",
+        fp.alias("fp"),
+        fn.alias("fn"),
+        F.when(
+            F.col("pp") > 0,
+            F.round(F.col("tp").cast("double") / F.col("pp").cast("double"), 9),
+        ).alias("precision"),
+        F.when(
+            F.col("__ap") > 0,
+            F.round(F.col("tp").cast("double") / F.col("__ap").cast("double"), 9),
+        ).alias("recall"),
+        F.when(
+            (2 * F.col("tp") + fp + fn) > 0,
+            F.round(
+                (2 * F.col("tp")).cast("double")
+                / (2 * F.col("tp") + fp + fn).cast("double"),
+                9,
+            ),
+        ).alias("f1"),
+    )

@@ -521,3 +521,59 @@ def growth_accounting(
             ),
         )
     )
+
+
+def top_paths(
+    df: DataFrame,
+    entity_col: str,
+    type_col: str,
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    max_steps: int = 5,
+    topn: int = 20,
+) -> DataFrame:
+    """Top entry paths — each entity's FIRST ``max_steps`` event types
+    joined into an ordered path string, counted corpus-wide, top
+    ``topn``: the Sankey / user-journey readout ("v>v>c>p beats
+    v>c>v>p 3:1") that sits between :func:`sequence_pattern_count`
+    (does a KNOWN pattern occur) and the transition matrix (one-step
+    Markov) — this one DISCOVERS the dominant multi-step journeys.
+
+    Plan shape: one per-entity window (ts, tiebreak — deterministic
+    total order) takes row_number, rows beyond ``max_steps`` are
+    FILTERED BEFORE the path agg (the shuffle carries at most
+    ``max_steps`` rows per entity, not the entity's history), the
+    path builds as a sorted-fold string (array_sort on (rn, type)
+    structs -> join '>'), and the corpus count is one partial agg.
+    The final top-n is a TakeOrdered (count desc, path asc) — no
+    global sort materializes.
+
+    Output: ``(path, n_entities, depth)``, at most ``topn`` rows.
+    """
+    w = Window.partitionBy(entity_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    first = (
+        df.select(entity_col, type_col, ts_col, tiebreak_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_steps)
+    )
+    paths = first.groupBy(entity_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__rn"), F.col(type_col)))
+                ),
+                lambda s: s[type_col],
+            ),
+            ">",
+        ).alias("path"),
+        F.count(F.lit(1)).alias("depth"),
+    )
+    return (
+        paths.groupBy("path", "depth")
+        .agg(F.count(F.lit(1)).alias("n_entities"))
+        .orderBy(F.col("n_entities").desc(), F.col("path").asc())
+        .limit(topn)
+        .select("path", "n_entities", "depth")
+    )

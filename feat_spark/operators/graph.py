@@ -706,3 +706,103 @@ def local_clustering(
     return deg.join(tri, "node").select(
         "node", "degree", "n_triangles", coeff.alias("coeff")
     )
+
+
+def link_jaccard(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_degree: int = 1000,
+    k: int = 5,
+) -> DataFrame:
+    """Neighborhood-Jaccard link prediction — for NON-adjacent pairs
+    sharing at least one neighbor, ``J(u,w) = |N(u) & N(w)| /
+    |N(u) | N(w)|``, top-``k`` suggestions per node. The set-overlap
+    sibling of :func:`adamic_adar` (AA weights rare mutuals; Jaccard
+    normalizes by how social both endpoints are — a pair sharing 3 of
+    their 4 contacts outranks one sharing 3 of 3000).
+
+    Scale shape: identical wedge machinery to :func:`adamic_adar` —
+    canonical dedup, symmetric adjacency, ONE self-join on the middle
+    node with hubs above ``max_degree`` excluded from the middle
+    position, direct edges anti-joined away. Degrees join in on both
+    endpoints (two broadcast-size lookups after the wedge agg), and
+    ``|union| = deg(u) + deg(w) - |intersect|`` closes the score
+    without ever materializing neighbor sets.
+
+    Exactness: counts are exact integers; Jaccard is ONE division,
+    9dp; the per-node top-k ranks on (jaccard desc, counterpart asc)
+    — a deterministic total order.
+
+    Output: ``(node, suggestion, common_neighbors, jaccard, rank)``,
+    both directions of each surviving pair, rank <= k.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    mid = deg.filter(F.col("degree") <= max_degree).select(
+        F.col("u").alias("m")
+    )
+    left = adj.select(F.col("v").alias("m"), F.col("u").alias("x"))
+    right = adj.select(F.col("u").alias("m2"), F.col("v").alias("y"))
+    wedges = (
+        left.join(mid, "m")
+        .join(right, F.col("m") == F.col("m2"))
+        .filter(F.col("x") < F.col("y"))
+        .select(F.col("x").alias("node_a"), F.col("y").alias("node_b"))
+    )
+    direct = e.select(F.col("a").alias("node_a"), F.col("b").alias("node_b"))
+    cn = (
+        wedges.join(direct, ["node_a", "node_b"], "left_anti")
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    scored = (
+        cn.join(
+            deg.select(F.col("u").alias("node_a"), F.col("degree").alias("__da")),
+            "node_a",
+        )
+        .join(
+            deg.select(F.col("u").alias("node_b"), F.col("degree").alias("__db")),
+            "node_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (
+                    F.col("__da") + F.col("__db") - F.col("common_neighbors")
+                ).cast("double"),
+                9,
+            ),
+        )
+    )
+    both = scored.select(
+        F.col("node_a").alias("node"),
+        F.col("node_b").alias("suggestion"),
+        "common_neighbors",
+        "jaccard",
+    ).unionAll(
+        scored.select(
+            F.col("node_b").alias("node"),
+            F.col("node_a").alias("suggestion"),
+            "common_neighbors",
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("jaccard").desc(), F.col("suggestion").asc()
+    )
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

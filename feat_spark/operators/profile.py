@@ -1060,3 +1060,73 @@ def hll_rollup(
         "exact_distinct",
         ok.alias("merged_within_bounds"),
     )
+
+
+def leakage_screen(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Target-leakage screen — per numeric feature, the point-biserial
+    Pearson correlation with a binary label, ranked by magnitude: a
+    feature that correlates near-perfectly with the target is almost
+    always a LEAK (a post-outcome column, a target transform, a join
+    that read the future) and this is the audit that catches it BEFORE
+    a model memorizes it. The feature-matrix-side complement of
+    ``plans/audit.leakage_audit`` (that one proves the ENGINE reads no
+    future rows; this one flags INPUT columns that already contain
+    the future).
+
+    Plan shape: the profiler's one-scan melt (see
+    :func:`profile_columns`) — all features explode into (name, x)
+    rows in a single pass, one partial-aggregated groupBy carries five
+    sums per feature. Exactness: features arrive integral (the caller
+    quantizes to cents/units), so all S-terms are exact
+    decimal(38,0); the correlation closes as
+    ``(n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Sy - Sy^2))``
+    with the two variance factors cast to double BEFORE the multiply
+    (fixed op order; IEEE sqrt and division are correctly rounded),
+    9dp. Zero-variance features return NULL.
+
+    Output: ``(feature, n, corr, abs_corr, leakage_suspect)``.
+    """
+    y = F.col(label_col).cast("decimal(38,0)")
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("feature"),
+                        F.col(c).cast("decimal(38,0)").alias("x"),
+                        y.alias("y"),
+                    )
+                    for c in feature_cols
+                ]
+            )
+        ).alias("m")
+    ).select("m.*")
+    agg = melted.filter(F.col("x").isNotNull()).groupBy("feature").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("__sx"),
+        F.sum("y").alias("__sy"),
+        F.sum(F.col("x") * F.col("x")).alias("__sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("__sxy"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    cov = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    vx = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    vy = (n * F.col("__sy") - F.col("__sy") * F.col("__sy")).cast("double")
+    corr = F.round(cov / F.sqrt(vx * vy), 9)
+    out = agg.select(
+        "feature",
+        "n",
+        F.when((vx > 0) & (vy > 0), corr).alias("corr"),
+    )
+    return out.select(
+        "feature",
+        "n",
+        "corr",
+        F.abs(F.col("corr")).alias("abs_corr"),
+        (F.abs(F.col("corr")) >= F.lit(threshold)).alias("leakage_suspect"),
+    )
