@@ -4950,6 +4950,223 @@ def _q_top_paths(spark, sf_dir):
     )
 
 
+def _q_peak_concurrency(spark, sf_dir):
+    """Sweep-line peak concurrency (eventops.peak_concurrency) over
+    per-(user, day) activity intervals: unpivot to +1/-1 deltas, one
+    per-day RANGE-framed running sum (tie blocks collapse, so no
+    unique tiebreak is needed), max at start rows — inclusive-overlap
+    semantics. Oracle replays the sweep with the same window."""
+    from feat_spark.operators.eventops import peak_concurrency
+
+    e = _events(spark, sf_dir)
+    iv = e.groupBy(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "day"
+        ),
+    ).agg(
+        F.min(F.expr("unix_micros(cast(ts as timestamp))")).alias("t0"),
+        F.max(F.expr("unix_micros(cast(ts as timestamp))")).alias("t1"),
+    )
+    return peak_concurrency(iv, "t0", "t1", group_cols=("day",))
+
+
+def _q_oof_target_encode(spark, sf_dir):
+    """Out-of-fold target encoding (encoding.oof_target_encode): the
+    leakage-correct encoder — md5 folds, one (key, fold) agg, key
+    totals from a <=k-row window, complement mean = (tot-own)/(n-own)
+    in one exact division. Single-fold keys yield NULL. Oracle replays
+    folds, sums, and the complement algebra."""
+    from feat_spark.operators.encoding import oof_target_encode
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return oof_target_encode(
+        e, "event_type", "cents", "event_id", n_folds=5
+    )
+
+
+def _q_stream_enrich(spark, sf_dir):
+    """Streaming gate: stream-STATIC enrichment join
+    (pipeline.stream_static_enrich_agg) through a real 2-micro-batch
+    availableNow run — each micro-batch inner-joins the static segment
+    dimension (users with user_id % 7 != 0; the rest DROP, the
+    documented inner-join contract), then rolls up exact counts and
+    cents per segment. Complete mode, watermark past the span. Oracle
+    = the batch join + rollup."""
+    import uuid
+
+    from feat_spark.streaming.pipeline import (
+        run_to_memory,
+        stream_static_enrich_agg,
+    )
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    pdf = e.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    if getattr(pdf["ts"].dtype, "tz", None) is None:
+        pdf["ts"] = pdf["ts"].dt.tz_localize("UTC")
+    cut = len(pdf) // 2
+    d = _stream_scratch("enrichstream")
+    pq_opts = dict(index=False, coerce_timestamps="us",
+                   allow_truncated_timestamps=True)
+    pdf.iloc[:cut].to_parquet(os.path.join(d, "part1.parquet"), **pq_opts)
+    pdf.iloc[cut:].to_parquet(os.path.join(d, "part2.parquet"), **pq_opts)
+    _space_mtimes(d, ["part1.parquet", "part2.parquet"])
+
+    dim = (
+        e.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 7 != 0)
+        .select(
+            "user_id",
+            F.concat(F.lit("seg"), (F.col("user_id") % 3).cast("string")).alias(
+                "segment"
+            ),
+        )
+    )
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = stream_static_enrich_agg(
+        stream, dim, "user_id", "segment", "value", watermark="2000 hours"
+    )
+    name = "stream_enrich_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name, output_mode="complete")
+    return spark.table(name).select(
+        "segment",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("cents").cast("long").alias("cents"),
+    )
+
+
+def _q_seasonal_decompose(spark, sf_dir):
+    """Additive seasonal decomposition (resample.seasonal_decompose_daily)
+    of the global daily cent-sum series: centered 7-day MA trend,
+    day-of-week seasonal indexes via the multiply-through-by-7 exact
+    integer device (detrended_x7 = 7v - sum7 sums exactly; one
+    division per DOW), fixed-order double remainders, NULL at edges.
+    The window runs over the grain-reduced calendar series (n_days
+    rows), not the events. Oracle replays the windows and the
+    algebra."""
+    from feat_spark.operators.resample import seasonal_decompose_daily
+
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "day"
+        )
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    return seasonal_decompose_daily(daily, "day", "cents", period=7)
+
+
+def _q_blocking_quality(spark, sf_dir):
+    """Blocking-strategy audit (dedup.blocking_quality): documents plus
+    planted ' extrawordextra' mutants, blocked on (first word, length
+    div 100) — mutants that cross a length-bucket boundary escape, so
+    pair_completeness measures the real recall floor of the block
+    (and reduction_ratio the cost win) against planted truth. One
+    block-keyed self-join, 1-row tallies equi-joined on a literal key.
+    Oracle replays plants, blocks, pairs, and both ratios."""
+    from feat_spark.operators.dedup import blocking_quality
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extrawordextra")).alias("text"),
+    )
+    allr = d.unionByName(mut)
+    assignments = allr.select(
+        F.col("doc_id").alias("id"),
+        F.concat(
+            F.split(F.col("text"), " ").getItem(0),
+            F.lit("|"),
+            F.floor(F.length("text") / 100).cast("string"),
+        ).alias("block"),
+    )
+    truth = d.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 100000).alias("id_b"),
+    )
+    return blocking_quality(assignments, truth)
+
+
+def _q_schema_evolution(spark, sf_dir):
+    """Schema-evolution read (layout.read_parquet_evolved): two
+    parquet files written by different 'writer generations' (the newer
+    one adds a channel column), merged with mergeSchema — superset
+    schema, NULL backfill for pre-evolution rows. Summarized to exact
+    counts / cents so the oracle recomputes the contract from the
+    events table directly."""
+    from feat_spark.sources.layout import read_parquet_evolved
+
+    d = _stream_scratch("schemaevo")
+    e = _events(spark, sf_dir).select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+        "event_type",
+    )
+    pdf = e.toPandas().sort_values("event_id").reset_index(drop=True)
+    old = pdf[pdf["event_id"] % 2 == 0][["event_id", "ts_us", "value"]]
+    new = pdf[pdf["event_id"] % 2 == 1][
+        ["event_id", "ts_us", "value", "event_type"]
+    ].rename(columns={"event_type": "channel"})
+    old.to_parquet(os.path.join(d, "gen1.parquet"), index=False)
+    new.to_parquet(os.path.join(d, "gen2.parquet"), index=False)
+    out = read_parquet_evolved(spark, d)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("channel").isNull().cast("long")).alias("n_legacy"),
+        F.count_distinct(F.col("channel")).alias("n_channels"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+
+
+def _q_url_parse(spark, sf_dir):
+    """URL decomposition (text.url_features / url_query_param) over
+    synthesized doc URLs (1-in-10 malformed to exercise the NULL
+    path): JVM parse_url host/path, regex domain and utm param — a
+    pure whole-stage-codegen projection, no UDF. Oracle replays with
+    regexps over the same synthesis."""
+    from feat_spark.functions.text import url_features, url_query_param
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.when(
+        F.col("doc_id") % 10 == 0, F.lit("no-scheme-just-text")
+    ).otherwise(
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("http://")).otherwise(
+                F.lit("https://")
+            ),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source="),
+            F.col("lang"),
+            F.lit("&x=1"),
+        )
+    )
+    u = d.select("doc_id", url.alias("url"))
+    feats = url_features(F.col("url"))
+    return u.select(
+        "doc_id",
+        feats["host"].alias("host"),
+        feats["domain"].alias("domain"),
+        feats["path"].alias("path"),
+        feats["is_https"].alias("is_https"),
+        url_query_param(F.col("url"), "utm_source").alias("utm_source"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -4980,16 +5197,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-165, after the window froze):
-    # 115 brand-new gates built AFTER the r4 window was fixed
+    # LATE-ROUND-4 ADDITIONS (positions 51-172, after the window froze):
+    # 122 brand-new gates built AFTER the r4 window was fixed
     # (scd2_build..neighbor_majority from the mid-round sessions,
     # split_balance..ndcg, sequential_ids..growth_accounting,
     # theilsen_trend..clustering_coeff, then
-    # countmin_topk..top_paths from the last session); all
+    # countmin_topk..url_parse from the last session); all
     # dtype-strict-selfcheck green at sf0.01 in their build session,
     # never driver-checked. ROUND-5 WINDOW
-    # PLAN, in order: (1) as many of the 115 late-r4 gates +
-    # semantic_dedup + knn_cosine_ivf (positions 51-167) as fit the
+    # PLAN, in order: (1) as many of the 122 late-r4 gates +
+    # semantic_dedup + knn_cosine_ivf (positions 51-174) as fit the
     # 50-slot window, oldest-built first (scd2_build..), the rest
     # queue for r6; (2) then the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
@@ -5168,6 +5385,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_jaccard": _q_link_jaccard,
         "leakage_screen": _q_leakage_screen,
         "top_paths": _q_top_paths,
+        "peak_concurrency": _q_peak_concurrency,
+        "oof_target_encode": _q_oof_target_encode,
+        "stream_enrich": _q_stream_enrich,
+        "seasonal_decompose": _q_seasonal_decompose,
+        "blocking_quality": _q_blocking_quality,
+        "schema_evolution": _q_schema_evolution,
+        "url_parse": _q_url_parse,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -9965,4 +10189,141 @@ def oracle_sql() -> dict[str, str]:
                  cast(depth as bigint) as depth
           from p group by path, depth
           order by n_entities desc, path asc limit 20""",
+        "peak_concurrency": """
+          with iv as (
+            select user_id, epoch_us(ts) // 86400000000 as day,
+                   min(epoch_us(ts)) as t0, max(epoch_us(ts)) as t1
+            from events group by 1, 2),
+          deltas as (
+            select day, t0 as t, 1 as delta from iv
+            union all select day, t1, -1 from iv),
+          run as (
+            select day, delta,
+                   sum(delta) over (partition by day
+                                    order by t asc, delta desc) as open
+            from deltas)
+          select day,
+                 cast(max(case when delta = 1 then open end) as bigint)
+                   as peak_concurrency,
+                 cast(count(*) // 2 as bigint) as n_intervals
+          from run group by 1""",
+        "oof_target_encode": """
+          with e as (
+            select event_type as key,
+                   (('0x' || substr(md5(cast(event_id as varchar)), 1, 8))
+                     ::BIGINT) % 5 as fold,
+                   cast(round(value * 100) as bigint) as t
+            from events),
+          a as (
+            select key, fold, count(*) as n_in_fold, sum(t) as s
+            from e group by 1, 2),
+          w as (
+            select key, fold, n_in_fold, s,
+                   sum(n_in_fold) over (partition by key) as tot_n,
+                   sum(s) over (partition by key) as tot_s
+            from a)
+          select key, cast(fold as bigint) as fold,
+                 cast(n_in_fold as bigint) as n_in_fold,
+                 cast(tot_n - n_in_fold as bigint) as n_out_of_fold,
+                 case when tot_n - n_in_fold > 0 then
+                   round(cast(tot_s - s as double)
+                         / cast(tot_n - n_in_fold as double), 9)
+                 end as oof_mean
+          from w""",
+        "stream_enrich": """
+          select 'seg' || cast(user_id % 3 as varchar) as segment,
+                 cast(count(*) as bigint) as n_events,
+                 cast(sum(cast(round(value * 100) as bigint)) as bigint)
+                   as cents
+          from events where user_id % 7 <> 0 group by 1""",
+        "seasonal_decompose": """
+          with daily as (
+            select epoch_us(ts) // 86400000000 as day,
+                   sum(cast(round(value * 100) as bigint)) as value_cents
+            from events group by 1),
+          t as (
+            select day, value_cents,
+                   count(*) over w as nw,
+                   sum(value_cents) over w as sw
+            from daily
+            window w as (order by day asc
+                         rows between 3 preceding and 3 following)),
+          det as (
+            select day, value_cents, nw, sw,
+                   case when nw = 7 then 7 * value_cents - sw end as d7,
+                   day % 7 as dop
+            from t),
+          sea as (
+            select dop,
+                   cast(sum(d7) as double)
+                     / (7.0 * cast(count(*) as double)) as seasonal_raw
+            from det where d7 is not null group by 1)
+          select det.day, cast(det.value_cents as bigint) as value_cents,
+                 case when nw = 7 then
+                   round(cast(sw as double) / 7.0, 9) end as trend,
+                 round(seasonal_raw, 9) as seasonal,
+                 case when nw = 7 then
+                   round(cast(value_cents as double)
+                         - cast(sw as double) / 7.0 - seasonal_raw, 9)
+                 end as remainder
+          from det left join sea using (dop)""",
+        "blocking_quality": """
+          with d as (select doc_id, text from documents),
+          allr as (
+            select doc_id, text from d
+            union all
+            select doc_id + 100000, text || ' extrawordextra' from d),
+          a as (
+            select doc_id as i,
+                   split_part(text, ' ', 1) || '|' ||
+                     cast(length(text) // 100 as varchar) as b
+            from allr),
+          pairs as (
+            select distinct x.i as id_a, y.i as id_b
+            from a x join a y using (b) where x.i < y.i),
+          tr as (select doc_id as id_a, doc_id + 100000 as id_b from d),
+          m as (
+            select
+              (select count(*) from (select distinct i from a)) as n_records,
+              (select count(*) from pairs) as n_candidate_pairs,
+              (select count(*) from tr) as n_truth_pairs,
+              (select count(*) from pairs
+               join tr using (id_a, id_b)) as n_hits)
+          select cast(n_records as bigint) as n_records,
+                 cast(n_candidate_pairs as bigint) as n_candidate_pairs,
+                 cast(n_truth_pairs as bigint) as n_truth_pairs,
+                 cast(n_hits as bigint) as n_hits,
+                 case when n_truth_pairs > 0 then
+                   round(cast(n_hits as double)
+                         / cast(n_truth_pairs as double), 9)
+                 end as pair_completeness,
+                 case when n_records > 1 then
+                   round(1.0 - cast(n_candidate_pairs as double)
+                               / (cast(n_records * (n_records - 1)
+                                       as double) / 2.0), 9)
+                 end as reduction_ratio
+          from m""",
+        "schema_evolution": """
+          select cast(count(*) as bigint) as n_rows,
+                 cast(sum(case when event_id % 2 = 0 then 1 else 0 end)
+                      as bigint) as n_legacy,
+                 cast(count(distinct case when event_id % 2 = 1
+                                          then event_type end)
+                      as bigint) as n_channels,
+                 cast(sum(cast(round(value * 100) as bigint)) as bigint)
+                   as cents
+          from events""",
+        "url_parse": """
+          select doc_id,
+                 case when doc_id % 10 = 0 then null
+                      else source || '.example.com' end as host,
+                 case when doc_id % 10 = 0 then null
+                      else 'example.com' end as domain,
+                 case when doc_id % 10 = 0 then null
+                      else '/docs/' || cast(doc_id as varchar) end as path,
+                 case when doc_id % 10 = 0 then null
+                      else doc_id % 3 <> 0 end as is_https,
+                 case when doc_id % 10 = 0 then null
+                      else lang end as utm_source
+          from documents""",
     }

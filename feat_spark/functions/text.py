@@ -230,3 +230,44 @@ def readability_features(col: Column | str) -> dict:
         "n_syllables": y,
         "flesch": flesch,
     }
+
+
+def url_features(col: Column | str) -> dict[str, Column]:
+    """Structured URL decomposition — host, registrable-ish domain
+    (last two host labels), path, one query parameter — as pure
+    column expressions over Spark's JVM ``try_parse_url`` (HOST/PATH) plus
+    regex for the rest: the cleaning step every crawl/referrer/citation
+    pipeline runs before grouping by site. No UDF, no shuffle — a
+    projection that whole-stage-codegens into the scan.
+
+    Scope contract (what the DuckDB twin replays): absolute
+    http(s)-style URLs with a host and optional path/query. Userinfo,
+    ports, fragments and relative refs are out of scope here — a real
+    crawl feeds a full RFC 3986 parser; the PLUMBING (pure projection,
+    stable NULL semantics for malformed rows) is the operator.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # try_parse_url: ANSI mode (Spark 4 default) ERRORS on malformed
+    # URLs through plain parse_url; malformed must mean NULL, not abort
+    host = F.try_parse_url(c, F.lit("HOST"))
+    path = F.try_parse_url(c, F.lit("PATH"))
+    domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return {
+        "host": host,
+        "domain": F.when(domain != "", domain),
+        # a scheme-less string parses as one big RELATIVE path (Java
+        # URI semantics) — a path is only meaningful under a host
+        "path": F.when(host.isNotNull() & (path != ""), path),
+        "is_https": F.when(
+            c.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), c.startswith("https://")
+        ),
+    }
+
+
+def url_query_param(col: Column | str, key: str) -> Column:
+    """One query-string parameter by exact key (NULL when absent) —
+    the ``utm_source`` extractor. Regex on the query part so the twin
+    replays it: ``[?&]key=([^&#]*)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    v = F.regexp_extract(c, r"[?&]" + key + r"=([^&#]*)", 1)
+    return F.when(v != "", v)

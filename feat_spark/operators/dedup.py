@@ -1142,3 +1142,93 @@ def dedup_report(
             ).alias("dup_rate"),
         )
     )
+
+
+def blocking_quality(
+    assignments: DataFrame,
+    truth_pairs: DataFrame,
+    id_col: str = "id",
+    block_col: str = "block",
+) -> DataFrame:
+    """Blocking-strategy audit — BEFORE a record-linkage run, measure
+    what the chosen blocking key buys and costs: ``reduction_ratio``
+    (what fraction of the n*(n-1)/2 all-pairs comparisons the blocks
+    avoid — the cost win) and ``pair_completeness`` (what fraction of
+    known-true duplicate pairs still share a block — the recall
+    floor). Every blocked matcher in this repo (``fuzzy_pairs``,
+    MinHash bands, SimHash chunks) makes exactly this trade; this is
+    the operator that MEASURES it against planted/labelled truth
+    instead of asserting it in a docstring.
+
+    Plan shape: candidate pairs come from one self-equi-join on the
+    block key (the same shape the matcher itself would run, so the
+    audit costs what one pass of the matcher costs, never all-pairs);
+    the four tallies UNION into one tall (metric, value) frame and a
+    single global agg pivots them back — no literal-key join (which
+    Catalyst folds to a nested-loop) anywhere. Exact integer counts;
+    two IEEE divisions, 9dp.
+
+    Output: one row ``(n_records, n_candidate_pairs, n_truth_pairs,
+    n_hits, pair_completeness, reduction_ratio)``.
+    """
+    a = assignments.select(
+        F.col(id_col).alias("i"), F.col(block_col).alias("b")
+    ).distinct()
+    x, y = a.alias("x"), a.alias("y")
+    pairs = (
+        x.join(y, "b")
+        .filter(F.col("x.i") < F.col("y.i"))
+        .select(F.col("x.i").alias("id_a"), F.col("y.i").alias("id_b"))
+        .distinct()
+    )
+    t = truth_pairs.select(
+        F.least(F.col("id_a"), F.col("id_b")).alias("id_a"),
+        F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
+    ).distinct()
+    def tall(df_agg, metric):
+        return df_agg.agg(F.count(F.lit(1)).alias("__v")).select(
+            F.lit(metric).alias("__m"), F.col("__v")
+        )
+
+    rows = (
+        tall(assignments.select(F.col(id_col)).distinct(), "n_records")
+        .unionAll(tall(pairs, "n_candidate_pairs"))
+        .unionAll(tall(t, "n_truth_pairs"))
+        .unionAll(tall(pairs.join(t, ["id_a", "id_b"]), "n_hits"))
+    )
+    out = rows.agg(
+        *[
+            F.max(F.when(F.col("__m") == m, F.col("__v"))).alias(m)
+            for m in (
+                "n_records",
+                "n_candidate_pairs",
+                "n_truth_pairs",
+                "n_hits",
+            )
+        ]
+    )
+    all_pairs = (F.col("n_records") * (F.col("n_records") - 1) / 2).cast(
+        "double"
+    )
+    return out.select(
+        "n_records",
+        "n_candidate_pairs",
+        "n_truth_pairs",
+        "n_hits",
+        F.when(
+            F.col("n_truth_pairs") > 0,
+            F.round(
+                F.col("n_hits").cast("double")
+                / F.col("n_truth_pairs").cast("double"),
+                9,
+            ),
+        ).alias("pair_completeness"),
+        F.when(
+            F.col("n_records") > 1,
+            F.round(
+                F.lit(1.0)
+                - F.col("n_candidate_pairs").cast("double") / all_pairs,
+                9,
+            ),
+        ).alias("reduction_ratio"),
+    )

@@ -980,3 +980,64 @@ def ols2_fit(
         F.when(ok, F.round(b2, 9)).alias("b2"),
         F.when(ok, F.round(b0, 9)).alias("b0"),
     )
+
+
+def oof_target_encode(
+    df: DataFrame,
+    key_col: str,
+    target_col: str,
+    id_col: str,
+    n_folds: int = 5,
+) -> DataFrame:
+    """Out-of-fold target encoding — the leakage-CORRECT version of
+    :func:`target_encode`: each row's category mean is computed from
+    the OTHER folds only, so no row's own label (or its fold-mates')
+    ever reaches its feature value. The classic smoothed global
+    encoder leaks a little of every label into every row; at high
+    cardinality that's enough for a model to memorize targets — this
+    is the encoder the ``leakage_screen`` audit would pass.
+
+    Two-pass-free algebra: fold = portable-md5(id) mod k, ONE agg to
+    (key, fold) partial sums, then the complement mean closes as
+    ``(key_total_sum - fold_sum) / (key_total_n - fold_n)`` with the
+    key totals from a window over the <= k rows per key — never a
+    second data scan, never a per-fold pass. Integral targets (the
+    caller quantizes to cents) make both sums exact; ONE division,
+    9dp. A key entirely inside one fold has an empty complement ->
+    NULL (the honest cold-start; callers back off to the global
+    prior).
+
+    Output: ``(key, fold, n_in_fold, n_out_of_fold, oof_mean)`` —
+    join it back on (key, fold) to encode rows.
+    """
+    from feat_spark.functions.text import md5_long32
+
+    fold = F.pmod(md5_long32(F.col(id_col).cast("string")), F.lit(n_folds))
+    t = F.col(target_col).cast("decimal(38,0)")
+    agg = (
+        df.select(F.col(key_col).alias("key"), fold.alias("fold"), t.alias("__t"))
+        .groupBy("key", "fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_fold"),
+            F.sum("__t").alias("__s"),
+        )
+    )
+    w = Window.partitionBy("key")
+    out = agg.withColumn("__tot_n", F.sum("n_in_fold").over(w)).withColumn(
+        "__tot_s", F.sum("__s").over(w)
+    )
+    n_out = F.col("__tot_n") - F.col("n_in_fold")
+    return out.select(
+        "key",
+        "fold",
+        "n_in_fold",
+        n_out.alias("n_out_of_fold"),
+        F.when(
+            n_out > 0,
+            F.round(
+                (F.col("__tot_s") - F.col("__s")).cast("double")
+                / n_out.cast("double"),
+                9,
+            ),
+        ).alias("oof_mean"),
+    )

@@ -113,3 +113,56 @@ def recency_features(
         )
         .drop("__t")
     )
+
+
+def peak_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    group_cols: "Sequence[str] | tuple" = (),
+) -> DataFrame:
+    """Peak interval concurrency — per group, the maximum number of
+    intervals open at the same instant: the sweep-line answer to "how
+    many sessions / jobs / calls ran AT ONCE at the worst moment",
+    the capacity-planning complement of ``windows.interval_coverage``
+    (coverage sums the union length; this finds the deepest stack).
+
+    Sweep-line as pure relational algebra: every interval unpivots to
+    a (+1 at start, -1 at end) delta row, a per-group running sum over
+    the (t, delta desc) order walks the timeline, and the peak is the
+    max running sum observed AT A START row. Ordering ends after
+    starts at the same instant makes overlap INCLUSIVE (an interval
+    ending exactly when another starts counts as concurrent); the
+    default RANGE window frame sums all peers of a tie at once, so the
+    running value at the start block is order-independent within the
+    block — deterministic in every engine without a unique tiebreak.
+
+    One shuffle (the group partition), one window; scale is bounded by
+    2 rows per interval. Degenerate inputs (end < start) are rejected
+    rows the caller should have audited away; they'd just close before
+    they open and under-count.
+
+    Output: groups + ``(peak_concurrency, n_intervals)``.
+    """
+    keys = list(group_cols)
+    deltas = df.select(
+        *keys,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(start_col).alias("t"), F.lit(1).alias("delta")
+                ),
+                F.struct(F.col(end_col).alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("e"),
+    ).select(*keys, "e.t", "e.delta")
+    w = Window.partitionBy(*keys if keys else [F.lit(1)]).orderBy(
+        F.col("t").asc(), F.col("delta").desc()
+    )
+    run = deltas.withColumn("__open", F.sum("delta").over(w))
+    return run.groupBy(*keys).agg(
+        F.max(F.when(F.col("delta") == 1, F.col("__open"))).alias(
+            "peak_concurrency"
+        ),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+    )

@@ -115,3 +115,83 @@ def interpolate_daily(
         ).alias("value_interp"),
         seen.alias("observed"),
     )
+
+
+def seasonal_decompose_daily(
+    df: DataFrame,
+    day_col: str,
+    value_cents_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a daily series —
+    ``value = trend + seasonal + remainder`` with a centered
+    ``period``-day moving-average trend and day-of-period seasonal
+    indexes: the readout that separates "the metric is growing" from
+    "it's just Saturday" before :func:`seasonal_anomaly`-style alerts
+    fire. STL's heavy loess loops buy robustness this closed form
+    doesn't need at audit granularity.
+
+    Exactness device — multiply through by the period: the trend is
+    ``sum_period / period`` where the windowed sum of integer cents is
+    EXACT, so the detrended series is kept as the exact integer
+    ``period*value - sum_period`` and the seasonal index closes as
+    ``sum(detrended_x7) / (period * n)`` — integer sums all the way,
+    ONE division per day-of-period, no float accumulation anywhere.
+    Per-row readouts (trend, seasonal, remainder) are fixed-order
+    double expressions off those exact integers, 9dp. Edge days
+    without a full centered window get NULL trend/remainder (the
+    honest boundary) and are EXCLUDED from the seasonal fit.
+
+    The series is one row per day — a window over a single ordered
+    partition of n_days rows (grain-reduce first; this operator takes
+    the series, not the events). Output:
+    ``(day, value_cents, trend, seasonal, remainder)``.
+    """
+    half = period // 2
+    w = Window.orderBy(F.col(day_col).asc()).rowsBetween(-half, half)
+    base = df.select(
+        F.col(day_col).cast("long").alias("day"),
+        F.col(value_cents_col).cast("long").alias("value_cents"),
+    )
+    t = base.withColumn("__n_win", F.count(F.lit(1)).over(w)).withColumn(
+        "__sum_win", F.sum("value_cents").over(w)
+    )
+    t = t.withColumn(
+        "__det",
+        F.when(
+            F.col("__n_win") == period,
+            F.lit(period) * F.col("value_cents") - F.col("__sum_win"),
+        ),
+    ).withColumn("__dop", F.pmod(F.col("day"), F.lit(period)))
+    sea = (
+        t.filter(F.col("__det").isNotNull())
+        .groupBy("__dop")
+        .agg(
+            F.sum("__det").alias("__sdet"),
+            F.count(F.lit(1)).alias("__ndet"),
+        )
+        .select(
+            "__dop",
+            (
+                F.col("__sdet").cast("double")
+                / (F.lit(float(period)) * F.col("__ndet").cast("double"))
+            ).alias("__seasonal_raw"),
+        )
+    )
+    out = t.join(F.broadcast(sea), "__dop", "left")
+    trend = F.col("__sum_win").cast("double") / F.lit(float(period))
+    return out.select(
+        "day",
+        "value_cents",
+        F.when(F.col("__n_win") == period, F.round(trend, 9)).alias("trend"),
+        F.round(F.col("__seasonal_raw"), 9).alias("seasonal"),
+        F.when(
+            F.col("__n_win") == period,
+            F.round(
+                F.col("value_cents").cast("double")
+                - trend
+                - F.col("__seasonal_raw"),
+                9,
+            ),
+        ).alias("remainder"),
+    )

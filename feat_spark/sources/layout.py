@@ -248,3 +248,23 @@ def time_travel_plan(
     return last.filter(F.col("__last")["o"] == add_op).select(
         "path", F.col("__last")["s"].alias("added_at")
     )
+
+
+def read_parquet_evolved(spark, path: str):
+    """Schema-evolution-tolerant parquet read — ``mergeSchema`` union
+    of every file's footer schema, so a table whose writer ADDED
+    columns over time (the normal life of a 100 TB event log) reads as
+    ONE frame with the superset schema and NULLs where old files
+    predate a column. This is the read-side half of the evolution
+    story (the write side is append-only with additive columns — the
+    Iceberg-ready seam in ``sources/io.py`` fences the full metadata
+    path).
+
+    Scale note: ``mergeSchema`` reads every footer at planning time —
+    at 10^6 files that's the planner's cost, not the executors'; real
+    deployments pin the merged schema in a catalog and pass it
+    explicitly. The operator exists to make the EVOLVED-read semantics
+    (superset columns, NULL backfill, no reorder surprises) a tested
+    contract rather than an assumption.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)

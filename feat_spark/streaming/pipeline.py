@@ -834,3 +834,38 @@ def stream_maintain_rollup(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_static_enrich_agg(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    group_col: str,
+    value_col: str,
+    ts: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment — the streaming join surface this
+    module had not yet exercised: each micro-batch equi-joins the
+    (small, broadcastable) STATIC dimension frame, then rolls up per
+    dimension attribute. Structured Streaming executes the static side
+    as an ordinary batch relation re-planned per micro-batch — no
+    state, no watermark bookkeeping for the join itself (the watermark
+    here only bounds the aggregation state), and at 100 TB/day the
+    static side ships as a broadcast while the stream side never
+    shuffles before the keyed agg.
+
+    Inner-join semantics: stream rows without a dimension row DROP
+    (the audit for that is ``fk_coverage`` on the batch side — an
+    enrichment that silently NULLs is how orphan segments hide).
+
+    Output (complete/update mode): ``group_col`` + exact
+    ``(n_events, cents)``.
+    """
+    enriched = stream.withWatermark(ts, watermark).join(dim, key, "inner")
+    return enriched.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.round(F.col(value_col) * 100).cast("long")
+        ).alias("cents"),
+    )
