@@ -5167,6 +5167,92 @@ def _q_url_parse(spark, sf_dir):
     )
 
 
+def _q_hdr_percentiles(spark, sf_dir):
+    """Mergeable HDR-style quantile sketch (qsketch.hdr_percentiles):
+    p50/p90/p99 of event cents per event_type from log-spaced buckets
+    whose math is pure integer arithmetic (bit-length majors via
+    conv-to-binary, shift-divided minors) — no log2 boundary
+    nondeterminism, 6.25% worst-case relative under-read, buckets
+    merge by addition. The oracle replays the ENTIRE sketch (bin(),
+    shifts, cumulative ranks) — estimates hash-match, not just
+    bound-check."""
+    from feat_spark.operators.qsketch import hdr_percentiles
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return hdr_percentiles(
+        e, "cents", percentiles_milli=(500, 900, 990),
+        group_cols=("event_type",),
+    )
+
+
+def _q_rand_index(spark, sf_dir):
+    """Pair-counting cluster agreement (experiment.rand_index): RI and
+    adjusted RI of a length-bucket clustering of documents against the
+    lang labels — contingency-table algebra in DOUBLED exact decimal
+    pair counts (x*(x-1), no decimal division), fixed-order double
+    closes. Oracle replays cells, marginals, and both indexes."""
+    from feat_spark.operators.experiment import rand_index
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.floor(F.col("n_chars") / 100).alias("pred"),
+        F.col("lang").alias("truth"),
+    )
+    return rand_index(d, "pred", "truth")
+
+
+def _q_mix_shift(spark, sf_dir):
+    """Rate/mix decomposition (profile.mix_shift) of cents-per-event
+    between even and odd epoch days, segmented by event_type:
+    Laspeyres split — mix = (w_b - w_a) * r_a, rate = w_b * (r_b -
+    r_a); absent-side rates borrow the other side so new/discontinued
+    segments contribute pure mix. Effects sum to the overall rate
+    delta (asserted in the unit vectors). Oracle replays weights,
+    rates, and both effects."""
+    from feat_spark.operators.profile import mix_shift
+
+    e = _events(spark, sf_dir)
+    g = e.groupBy(
+        F.when(
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            % 2
+            == 0,
+            F.lit("a"),
+        )
+        .otherwise(F.lit("b"))
+        .alias("period"),
+        F.col("event_type").alias("segment"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    return mix_shift(g, "period", "segment", "n", "cents")
+
+
+def _q_gap_streaks(spark, sf_dir):
+    """Inactivity-gap profile (eventops.gap_streaks): per user, the
+    longest dark streak between active days and the count of gaps
+    over 2 days — distinct-day grain reduction, one lead() per user,
+    censored tail excluded. Oracle replays the grain and the lead."""
+    from feat_spark.operators.eventops import gap_streaks
+
+    return gap_streaks(_events(spark, sf_dir), "user_id", alert_gap_days=2)
+
+
+def _q_attribution_decay(spark, sf_dir):
+    """Time-decay attribution (attribution.attribute_time_decay):
+    credit halves per day of touch age via exact power-of-two integer
+    weights (no exp()), normalized per conversion by the same
+    floor-divided integer micro-cent device as the linear model.
+    Oracle replays the band join, the weight shift, and the floor
+    division."""
+    from feat_spark.operators.attribution import attribute_time_decay
+
+    return attribute_time_decay(_events(spark, sf_dir), lookback_s=7 * 86400)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -5197,16 +5283,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-172, after the window froze):
-    # 122 brand-new gates built AFTER the r4 window was fixed
+    # LATE-ROUND-4 ADDITIONS (positions 51-177, after the window froze):
+    # 127 brand-new gates built AFTER the r4 window was fixed
     # (scd2_build..neighbor_majority from the mid-round sessions,
     # split_balance..ndcg, sequential_ids..growth_accounting,
     # theilsen_trend..clustering_coeff, then
-    # countmin_topk..url_parse from the last session); all
+    # countmin_topk..attribution_decay from the last session); all
     # dtype-strict-selfcheck green at sf0.01 in their build session,
     # never driver-checked. ROUND-5 WINDOW
-    # PLAN, in order: (1) as many of the 122 late-r4 gates +
-    # semantic_dedup + knn_cosine_ivf (positions 51-174) as fit the
+    # PLAN, in order: (1) as many of the 127 late-r4 gates +
+    # semantic_dedup + knn_cosine_ivf (positions 51-179) as fit the
     # 50-slot window, oldest-built first (scd2_build..), the rest
     # queue for r6; (2) then the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
@@ -5392,6 +5478,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_quality": _q_blocking_quality,
         "schema_evolution": _q_schema_evolution,
         "url_parse": _q_url_parse,
+        "hdr_percentiles": _q_hdr_percentiles,
+        "rand_index": _q_rand_index,
+        "mix_shift": _q_mix_shift,
+        "gap_streaks": _q_gap_streaks,
+        "attribution_decay": _q_attribution_decay,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -10326,4 +10417,148 @@ def oracle_sql() -> dict[str, str]:
                  case when doc_id % 10 = 0 then null
                       else lang end as utm_source
           from documents""",
+        "hdr_percentiles": """
+          with v as (
+            select event_type, cast(round(value * 100) as bigint) as v
+            from events
+            where cast(round(value * 100) as bigint) >= 1),
+          b as (
+            select event_type,
+                   cast(length(bin(v)) as bigint) as major,
+                   ((v * 16) >> (length(bin(v)) - 1)) - 16 as minor
+            from v),
+          sk as (
+            select event_type, (major - 1) * 16 + minor as bucket,
+                   major, minor, count(*) as n
+            from b group by 1, 2, 3, 4),
+          c as (
+            select event_type, bucket, major, minor, n,
+                   sum(n) over (partition by event_type
+                                order by bucket) as cum,
+                   sum(n) over (partition by event_type) as n_total
+            from sk),
+          pr as (
+            select c.*, p.p_milli,
+                   (p.p_milli * n_total + 999) // 1000 as target_rank
+            from c cross join
+                 (select unnest([500, 900, 990]) as p_milli) p),
+          hit as (select * from pr where cum >= target_rank)
+          select event_type, cast(p_milli as int) as p_milli,
+                 cast(n_total as bigint) as n_total,
+                 cast(target_rank as bigint) as target_rank,
+                 arg_min(cast(((16 + minor)::BIGINT << (major - 1))
+                              as double) / 16.0, bucket) as est
+          from hit group by 1, 2, 3, 4""",
+        "rand_index": """
+          with it as (
+            select n_chars // 100 as p, lang as t from documents),
+          cells as (
+            select p, t, count(*) as c from it group by 1, 2),
+          a as (
+            select cast(sum(c * (c - 1)) as double) as a,
+                   cast(sum(c) as double) as n
+            from cells),
+          r as (
+            select cast(sum(ri * (ri - 1)) as double) as rows_,
+                   cast(count(*) as double) as np
+            from (select p, sum(c) as ri from cells group by 1)),
+          co as (
+            select cast(sum(ci * (ci - 1)) as double) as cols_,
+                   cast(count(*) as double) as nt
+            from (select t, sum(c) as ci from cells group by 1))
+          select cast(n as bigint) as n,
+                 cast(np as bigint) as n_pred_clusters,
+                 cast(nt as bigint) as n_truth_clusters,
+                 case when n >= 2 then
+                   round((a + (n * (n - 1) - rows_ - cols_ + a))
+                         / (n * (n - 1)), 9) end as ri,
+                 case when n >= 2
+                       and (rows_ + cols_) / 2
+                           <> rows_ * cols_ / (n * (n - 1)) then
+                   round((a - rows_ * cols_ / (n * (n - 1)))
+                         / ((rows_ + cols_) / 2
+                            - rows_ * cols_ / (n * (n - 1))), 9)
+                 end as ari
+          from a, r, co""",
+        "mix_shift": """
+          with g as (
+            select case when epoch_us(ts) // 86400000000 % 2 = 0
+                        then 'a' else 'b' end as p,
+                   event_type as segment,
+                   count(*) as n,
+                   sum(cast(round(value * 100) as bigint)) as cents
+            from events group by 1, 2),
+          t as (
+            select p, segment, n, cents,
+                   sum(n) over (partition by p) as tot
+            from g),
+          a as (select segment, n as na, cents as ca, tot as ta
+                from t where p = 'a'),
+          b as (select segment, n as nb, cents as cb, tot as tb
+                from t where p = 'b'),
+          j as (
+            select coalesce(a.segment, b.segment) as segment,
+                   na, ca, ta, nb, cb, tb
+            from a full outer join b using (segment)),
+          k as (
+            select segment,
+                   coalesce(cast(na as double) / cast(ta as double), 0.0)
+                     as wa,
+                   coalesce(cast(nb as double) / cast(tb as double), 0.0)
+                     as wb,
+                   coalesce(cast(ca as double) / cast(na as double),
+                            cast(cb as double) / cast(nb as double)) as ra,
+                   coalesce(cast(cb as double) / cast(nb as double),
+                            cast(ca as double) / cast(na as double)) as rb
+            from j)
+          select segment,
+                 round(wa, 9) as w_a, round(wb, 9) as w_b,
+                 round(ra, 9) as r_a, round(rb, 9) as r_b,
+                 round(wb * (rb - ra), 9) as rate_effect,
+                 round((wb - wa) * ra, 9) as mix_effect
+          from k""",
+        "gap_streaks": """
+          with d as (
+            select distinct user_id as entity,
+                   epoch_us(ts) // 86400000000 as day
+            from events),
+          g as (
+            select entity, day,
+                   lead(day) over (partition by entity order by day)
+                     - day - 1 as gap
+            from d)
+          select entity,
+                 cast(count(*) as bigint) as n_active_days,
+                 cast(max(gap) as bigint) as max_gap_days,
+                 cast(coalesce(sum(case when gap > 2 then 1 end), 0)
+                      as bigint) as n_gaps_over
+          from g group by 1""",
+        "attribution_decay": """
+          with c as (
+            select event_id as cid, user_id, epoch_us(ts) as cts,
+                   cast(cast(value as decimal(18,2)) * 100 as bigint)
+                     as cents
+            from events where event_type = 'purchase'),
+          t as (
+            select event_id as tid, user_id, event_type as touch_type,
+                   epoch_us(ts) as tts
+            from events where event_type in ('click', 'view')),
+          j as (
+            select c.cid, c.cents, t.touch_type,
+                   1::BIGINT << cast(7 - (c.cts - t.tts) // 86400000000
+                                     as int) as w
+            from c join t on c.user_id = t.user_id
+                 and t.tts < c.cts
+                 and t.tts >= c.cts - 604800000000),
+          s as (
+            select *, sum(w) over (partition by cid) as sw
+            from j)
+          select touch_type,
+                 count(*) as n_touches,
+                 cast(sum(w) as bigint) as weight_sum,
+                 cast(sum(cents * 10000 * w // sw) as bigint)
+                   as decay_micros,
+                 round(cast(sum(cents * 10000 * w // sw) as bigint)
+                       / 1000000.0, 6) as decay_value
+          from s group by 1""",
     }

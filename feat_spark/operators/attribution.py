@@ -98,3 +98,80 @@ def attribute_conversions(
     return out.withColumn(
         "linear_value", F.round(F.col("linear_micros") / F.lit(1_000_000.0), 6)
     )
+
+
+def attribute_time_decay(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("click", "view"),
+    lookback_s: int = 7 * 86400,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-decay attribution — the third canonical model beside
+    last-touch and linear (:func:`attribute_conversions`): a touch's
+    credit halves for every day of age, so yesterday's click outranks
+    last week's view without zeroing it.
+
+    Exactness device — power-of-two weights: with a half-life of one
+    day, a touch aged ``a`` whole days (``a < lookback_days``) weighs
+    ``2^(lookback_days - a)`` — an exact INTEGER, so per-conversion
+    normalization ``cents * 10000 * w_i div sum_w`` is the same
+    floor-divided integer micro-cent allocation the linear model uses
+    (< 1e-4 cent under-allocation per touch, deterministic in any
+    engine and any order). No ``exp()`` anywhere — the half-life IS
+    the unit, which is why this decays by doubling rather than by an
+    arbitrary lambda.
+
+    Plan shape: identical to :func:`attribute_conversions` — one
+    per-key band join, one per-conversion window (sum of weights),
+    one readout agg.
+
+    Output, one row per touch type: ``(touch_type, n_touches,
+    weight_sum, decay_micros, decay_value)``.
+    """
+    lookback_days = max(1, int(lookback_s) // 86400)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    conv = df.filter(F.col(type_col) == conversion_type).select(
+        F.col(key_col).alias("__k"),
+        F.col(id_col).alias("__cid"),
+        ts_us.alias("__cts"),
+        cents.alias("__cents"),
+    )
+    touch = df.filter(F.col(type_col).isin(list(touch_types))).select(
+        F.col(key_col).alias("__k"),
+        F.col(id_col).alias("__tid"),
+        F.col(type_col).alias("touch_type"),
+        ts_us.alias("__tts"),
+    )
+    j = conv.join(touch, "__k").filter(
+        (F.col("__tts") < F.col("__cts"))
+        & (
+            F.col("__tts")
+            >= F.col("__cts") - F.lit(int(lookback_s) * 1_000_000)
+        )
+    )
+    j = j.withColumn(
+        "__w",
+        F.expr(
+            f"shiftleft(1L, cast({lookback_days} - "
+            f"floor((__cts - __tts) / 86400000000) as int))"
+        ),
+    )
+    wc = Window.partitionBy("__cid")
+    j = j.withColumn("__sw", F.sum("__w").over(wc))
+    out = j.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("__w").alias("weight_sum"),
+        F.sum(F.expr("(__cents * 10000 * __w) div __sw")).alias(
+            "decay_micros"
+        ),
+    )
+    return out.withColumn(
+        "decay_value",
+        F.round(F.col("decay_micros") / F.lit(1_000_000.0), 6),
+    )

@@ -166,3 +166,44 @@ def peak_concurrency(
         ),
         (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
     )
+
+
+def gap_streaks(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str = "ts",
+    alert_gap_days: int = 7,
+) -> DataFrame:
+    """Inactivity-gap profile per entity — longest dark streak and how
+    often the entity went dark longer than ``alert_gap_days``: the
+    data-quality / engagement readout between ``active_days`` (how
+    many days) and ``label_churn`` (is the NEXT gap long) — this one
+    summarizes the whole gap history per entity.
+
+    Grain-reduce first (distinct active days per entity — the shuffle
+    carries days, not events), one lead() per entity partition, one
+    agg. A gap is ``next_day - day - 1`` full dark days between two
+    active days; the censored tail after the last active day is NOT a
+    gap (that's ``label_churn``'s horizon question). Single-day
+    entities report zero gaps, NULL max.
+
+    Output: ``(entity, n_active_days, max_gap_days, n_gaps_over)``.
+    """
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div 86400000000"
+    )
+    days = df.select(
+        F.col(entity_col).alias("entity"), day.alias("__d")
+    ).distinct()
+    w = Window.partitionBy("entity").orderBy("__d")
+    g = days.withColumn("__gap", F.lead("__d").over(w) - F.col("__d") - 1)
+    return g.groupBy("entity").agg(
+        F.count(F.lit(1)).alias("n_active_days"),
+        F.max("__gap").alias("max_gap_days"),
+        F.coalesce(
+            F.sum(
+                (F.col("__gap") > F.lit(alert_gap_days)).cast("long")
+            ),
+            F.lit(0),
+        ).alias("n_gaps_over"),
+    )

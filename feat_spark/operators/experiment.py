@@ -951,3 +951,94 @@ def pr_thresholds(
             ),
         ).alias("f1"),
     )
+
+
+def rand_index(
+    df: DataFrame,
+    pred_col: str,
+    truth_col: str,
+) -> DataFrame:
+    """Clustering-vs-truth agreement by pair counting — Rand index and
+    its chance-adjusted form (ARI): of all n*(n-1)/2 item pairs, how
+    many does the predicted clustering put together/apart EXACTLY as
+    the ground truth does. The quality readout for every cluster
+    producer in this repo (``dedup_components``, ``entity_resolution``,
+    ``assign_clusters``) against planted or labelled truth — purity
+    without purity's cheat (one-item clusters score 1.0 on purity;
+    ARI's expectation-correction zeroes them out).
+
+    Pair counting WITHOUT pairs: all four pair classes close from the
+    contingency table — ``a = sum_ij C(n_ij,2)`` (together in both),
+    ``rows = sum_i C(n_i.,2)``, ``cols = sum_j C(n_.j,2)``,
+    ``total = C(n,2)`` — three partial-aggregated group-bys over cell
+    counts, never a self-join. Exactness device: every term is kept
+    DOUBLED (``x*(x-1)`` instead of C(x,2) — RI and ARI are ratios,
+    invariant under the common factor), so the sums are exact
+    decimal(38,0) integers with no decimal division anywhere; RI and
+    ARI close as fixed-order double expressions (ARI's expected-index
+    term divided FIRST — both engines replay the same three-op
+    shape), 9dp. Degenerate inputs (n < 2, or expected == max so
+    chance explains everything) yield NULL ARI.
+
+    Output: one row ``(n, n_pred_clusters, n_truth_clusters, ri,
+    ari)``.
+    """
+    cells = df.groupBy(
+        F.col(pred_col).alias("__p"), F.col(truth_col).alias("__t")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+
+    def c2(col):
+        # DOUBLED pair count x*(x-1): exact decimal, no division
+        d = F.col(col).cast("decimal(38,0)")
+        return d * (d - 1)
+
+    a = cells.agg(
+        F.sum(c2("__c")).alias("__a"),
+        F.sum("__c").alias("__n"),
+    )
+    rows = (
+        cells.groupBy("__p")
+        .agg(F.sum("__c").alias("__ri"))
+        .agg(
+            F.sum(c2("__ri")).alias("__rows"),
+            F.count(F.lit(1)).alias("__np"),
+        )
+    )
+    cols = (
+        cells.groupBy("__t")
+        .agg(F.sum("__c").alias("__ci"))
+        .agg(
+            F.sum(c2("__ci")).alias("__cols"),
+            F.count(F.lit(1)).alias("__nt"),
+        )
+    )
+    tall = (
+        a.select(F.lit("a").alias("__m"), F.col("__a").cast("double").alias("__v1"), F.col("__n").cast("double").alias("__v2"))
+        .unionAll(rows.select(F.lit("r"), F.col("__rows").cast("double"), F.col("__np").cast("double")))
+        .unionAll(cols.select(F.lit("c"), F.col("__cols").cast("double"), F.col("__nt").cast("double")))
+    )
+    one = tall.agg(
+        F.max(F.when(F.col("__m") == "a", F.col("__v1"))).alias("a"),
+        F.max(F.when(F.col("__m") == "a", F.col("__v2"))).alias("n"),
+        F.max(F.when(F.col("__m") == "r", F.col("__v1"))).alias("rows"),
+        F.max(F.when(F.col("__m") == "r", F.col("__v2"))).alias("np"),
+        F.max(F.when(F.col("__m") == "c", F.col("__v1"))).alias("cols"),
+        F.max(F.when(F.col("__m") == "c", F.col("__v2"))).alias("nt"),
+    )
+    total = F.col("n") * (F.col("n") - 1)
+    tn = total - F.col("rows") - F.col("cols") + F.col("a")
+    exp = F.col("rows") * F.col("cols") / total
+    maxi = (F.col("rows") + F.col("cols")) / 2
+    return one.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("np").cast("long").alias("n_pred_clusters"),
+        F.col("nt").cast("long").alias("n_truth_clusters"),
+        F.when(
+            F.col("n") >= 2,
+            F.round((F.col("a") + tn) / total, 9),
+        ).alias("ri"),
+        F.when(
+            (F.col("n") >= 2) & (maxi != exp),
+            F.round((F.col("a") - exp) / (maxi - exp), 9),
+        ).alias("ari"),
+    )

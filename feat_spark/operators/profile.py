@@ -1130,3 +1130,82 @@ def leakage_screen(
         F.abs(F.col("corr")).alias("abs_corr"),
         (F.abs(F.col("corr")) >= F.lit(threshold)).alias("leakage_suspect"),
     )
+
+
+def mix_shift(
+    df: DataFrame,
+    period_col: str,
+    segment_col: str,
+    n_col: str,
+    cents_col: str,
+    period_a: str = "a",
+    period_b: str = "b",
+) -> DataFrame:
+    """Rate/mix decomposition of a period-over-period change — for
+    each segment, how much of the total average-rate delta came from
+    the segment's own rate moving (RATE effect) vs traffic shifting
+    into/out of it (MIX effect): the "is revenue/turn down because
+    conversations got worse, or because the mix tilted to a cheap
+    segment" decomposition, one level deeper than
+    :func:`period_over_period`'s raw deltas. Identity (the unit
+    vectors assert it): ``sum(rate_effect + mix_effect) ==
+    rate_B - rate_A`` overall.
+
+    Laspeyres split: ``mix = (w_B - w_A) * r_A`` and
+    ``rate = w_B * (r_B - r_A)`` — weights ``w = n_seg/n_tot``, rates
+    ``r = cents_seg/n_seg``. Every input is an exact integer sum
+    (grain-reduce upstream to (period, segment, n, cents)); w and r
+    are one IEEE division each and the effects are fixed-order
+    products, 9dp. A segment absent from a period carries w=0 and
+    CONTRIBUTES ONLY through the side it exists on (its r on the
+    missing side is defined as its OTHER side's r, so the absent side
+    adds a pure mix term, never a phantom rate move — the standard
+    new/discontinued-segment convention).
+
+    Plan: one (period, segment) agg, per-period totals from a window
+    over the segment rows, one full-outer self-align on segment —
+    bounded by segments, never data rows.
+
+    Output: ``(segment, w_a, w_b, r_a, r_b, rate_effect,
+    mix_effect)``.
+    """
+    g = df.groupBy(
+        F.col(period_col).alias("__p"), F.col(segment_col).alias("segment")
+    ).agg(
+        F.sum(F.col(n_col).cast("long")).alias("__n"),
+        F.sum(F.col(cents_col).cast("long")).alias("__c"),
+    )
+    w = Window.partitionBy("__p")
+    g = g.withColumn("__tot", F.sum("__n").over(w))
+    a = g.filter(F.col("__p") == period_a).select(
+        "segment",
+        F.col("__n").alias("__na"),
+        F.col("__c").alias("__ca"),
+        F.col("__tot").alias("__ta"),
+    )
+    b = g.filter(F.col("__p") == period_b).select(
+        "segment",
+        F.col("__n").alias("__nb"),
+        F.col("__c").alias("__cb"),
+        F.col("__tot").alias("__tb"),
+    )
+    j = a.join(b, "segment", "full_outer")
+    wa = F.coalesce(
+        F.col("__na").cast("double") / F.col("__ta").cast("double"), F.lit(0.0)
+    )
+    wb = F.coalesce(
+        F.col("__nb").cast("double") / F.col("__tb").cast("double"), F.lit(0.0)
+    )
+    ra_own = F.col("__ca").cast("double") / F.col("__na").cast("double")
+    rb_own = F.col("__cb").cast("double") / F.col("__nb").cast("double")
+    ra = F.coalesce(ra_own, rb_own)
+    rb = F.coalesce(rb_own, ra_own)
+    return j.select(
+        "segment",
+        F.round(wa, 9).alias("w_a"),
+        F.round(wb, 9).alias("w_b"),
+        F.round(ra, 9).alias("r_a"),
+        F.round(rb, 9).alias("r_b"),
+        F.round(wb * (rb - ra), 9).alias("rate_effect"),
+        F.round((wb - wa) * ra, 9).alias("mix_effect"),
+    )
