@@ -5253,6 +5253,109 @@ def _q_attribution_decay(spark, sf_dir):
     return attribute_time_decay(_events(spark, sf_dir), lookback_s=7 * 86400)
 
 
+def _q_stream_topk(spark, sf_dir):
+    """Streaming gate: maintained Count-Min heavy hitters
+    (pipeline.stream_maintain_cms + cms_state_topk) — a 2-micro-batch
+    stream folds into the mergeable CMS grid + candidate key set via
+    foreachBatch merge+atomic-swap; because CMS merges by addition the
+    final state equals the one-shot sketch, so the oracle replays the
+    full-input sketch and the (est desc, key asc) top-20."""
+    import uuid
+
+    from feat_spark.streaming.pipeline import (
+        cms_state_topk,
+        stream_maintain_cms,
+    )
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    pdf = e.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    if getattr(pdf["ts"].dtype, "tz", None) is None:
+        pdf["ts"] = pdf["ts"].dt.tz_localize("UTC")
+    cut = len(pdf) // 2
+    d = _stream_scratch("cmsstream")
+    tgt = os.path.join(_stream_scratch("cmstarget"), "state")
+    pq_opts = dict(index=False, coerce_timestamps="us",
+                   allow_truncated_timestamps=True)
+    pdf.iloc[:cut].to_parquet(os.path.join(d, "part1.parquet"), **pq_opts)
+    pdf.iloc[cut:].to_parquet(os.path.join(d, "part2.parquet"), **pq_opts)
+    _space_mtimes(d, ["part1.parquet", "part2.parquet"])
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    stream_maintain_cms(stream, tgt, "user_id", depth=4, width=256)
+    return cms_state_topk(spark, tgt, k=20, depth=4, width=256)
+
+
+def _q_proportion_ci(spark, sf_dir):
+    """Wilson score intervals (experiment.proportion_ci) for the
+    purchase rate per user_id%5 segment — the proportions-inference
+    primitive beside welch_ttest: fixed-order closed form over exact
+    (x, n), IEEE sqrt, clamped to [0,1], 9dp. Oracle replays the
+    identical expression tree."""
+    from feat_spark.operators.experiment import proportion_ci
+
+    e = _events(spark, sf_dir).select(
+        (F.col("user_id") % 5).alias("segment"),
+        (F.col("event_type") == "purchase").alias("converted"),
+    )
+    return proportion_ci(e, "segment", "converted")
+
+
+def _q_eb_shrink(spark, sf_dir):
+    """Empirical-Bayes rate shrinkage (encoding.eb_shrink_rates): per-
+    user purchase rates pulled toward a method-of-moments beta prior
+    whose strength the corpus chooses; moments accumulate as
+    1e-12-quantized decimal integers (the deterministic contract),
+    shrunk rate closes from the ROUNDED prior columns. Oracle replays
+    quantization, moments, and the closed form."""
+    from feat_spark.operators.encoding import eb_shrink_rates
+
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        (F.col("event_type") == "purchase").alias("converted"),
+    )
+    return eb_shrink_rates(e, "user_id", "converted")
+
+
+def _q_l_diversity(spark, sf_dir):
+    """l-diversity audit (audit.l_diversity_audit): (user_id,
+    event_type) quasi groups whose floor(value/50) sensitive bucket is
+    homogeneous (< 2 distinct values) — the homogeneity-attack report
+    k-anonymity misses, with exact majority share. Oracle replays the
+    two-level agg."""
+    from feat_spark.plans.audit import l_diversity_audit
+
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") / 50).cast("long").alias("value_bucket"),
+    )
+    return l_diversity_audit(
+        e, ["user_id", "event_type"], "value_bucket", l=2
+    )
+
+
+def _q_neyman_allocation(spark, sf_dir):
+    """Neyman-optimal sample allocation (sampling.neyman_allocation)
+    of a 1000-row budget across event_type strata: exact decimal
+    variance numerators, one IEEE sqrt per stratum, the irrational
+    normalizer via the sorted-fold device over the bounded stratum
+    list, floor allocations. Oracle replays the fold with
+    list_reduce."""
+    from feat_spark.operators.sampling import neyman_allocation
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return neyman_allocation(e, "event_type", "cents", budget=1000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -5283,16 +5386,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-177, after the window froze):
-    # 127 brand-new gates built AFTER the r4 window was fixed
+    # LATE-ROUND-4 ADDITIONS (positions 51-182, after the window froze):
+    # 132 brand-new gates built AFTER the r4 window was fixed
     # (scd2_build..neighbor_majority from the mid-round sessions,
     # split_balance..ndcg, sequential_ids..growth_accounting,
     # theilsen_trend..clustering_coeff, then
-    # countmin_topk..attribution_decay from the last session); all
+    # countmin_topk..neyman_allocation from the last session); all
     # dtype-strict-selfcheck green at sf0.01 in their build session,
     # never driver-checked. ROUND-5 WINDOW
-    # PLAN, in order: (1) as many of the 127 late-r4 gates +
-    # semantic_dedup + knn_cosine_ivf (positions 51-179) as fit the
+    # PLAN, in order: (1) as many of the 132 late-r4 gates +
+    # semantic_dedup + knn_cosine_ivf (positions 51-184) as fit the
     # 50-slot window, oldest-built first (scd2_build..), the rest
     # queue for r6; (2) then the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
@@ -5483,6 +5586,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_shift": _q_mix_shift,
         "gap_streaks": _q_gap_streaks,
         "attribution_decay": _q_attribution_decay,
+        "stream_topk": _q_stream_topk,
+        "proportion_ci": _q_proportion_ci,
+        "eb_shrink_rates": _q_eb_shrink,
+        "l_diversity": _q_l_diversity,
+        "neyman_allocation": _q_neyman_allocation,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -10561,4 +10669,138 @@ def oracle_sql() -> dict[str, str]:
                  round(cast(sum(cents * 10000 * w // sw) as bigint)
                        / 1000000.0, 6) as decay_value
           from s group by 1""",
+        "stream_topk": """
+          with c as (
+            select cast(user_id as varchar) as key, count(*) as n
+            from events where user_id is not null group by 1),
+          seeds as (select unnest([0, 1, 2, 3]) as seed),
+          grid as (
+            select seed,
+                   (('0x' || substr(md5(seed || '#' || key), 1, 8))::BIGINT)
+                     % 256 as bucket,
+                   sum(n) as gn
+            from c cross join seeds group by 1, 2),
+          probe as (
+            select key, seed,
+                   (('0x' || substr(md5(seed || '#' || key), 1, 8))::BIGINT)
+                     % 256 as bucket
+            from c cross join seeds),
+          est as (
+            select key, min(gn) as cms_est
+            from probe join grid using (seed, bucket) group by 1)
+          select key, cast(cms_est as bigint) as cms_est
+          from est order by cms_est desc, key asc limit 20""",
+        "proportion_ci": """
+          with a as (
+            select user_id % 5 as segment, count(*) as n,
+                   sum(case when event_type = 'purchase' then 1 else 0
+                       end) as successes
+            from events group by 1),
+          k as (
+            select segment, n, successes,
+                   cast(successes as double) / cast(n as double) as p,
+                   1.96 * 1.96 as z2,
+                   cast(n as double) as nd
+            from a),
+          w as (
+            select *,
+                   1.0 + z2 / nd as denom,
+                   (p + z2 / (2.0 * nd)) / (1.0 + z2 / nd) as center,
+                   1.96 * sqrt(p * (1.0 - p) / nd
+                               + z2 / (4.0 * nd * nd))
+                     / (1.0 + z2 / nd) as half
+            from k)
+          select segment, cast(n as bigint) as n,
+                 cast(successes as bigint) as successes,
+                 round(p, 9) as rate,
+                 round(greatest(center - half, 0.0), 9) as ci_low,
+                 round(least(center + half, 1.0), 9) as ci_high
+          from w""",
+        "eb_shrink_rates": """
+          with per as (
+            select user_id as key, count(*) as n,
+                   sum(case when event_type = 'purchase' then 1 else 0
+                       end) as successes
+            from events group by 1),
+          r as (
+            select *, cast(successes as double) / cast(n as double)
+                        as raw from per),
+          pri as (
+            select count(*) as k,
+                   sum(cast(round(raw * 1e12) as hugeint)) as sq,
+                   sum(cast(round(raw * raw * 1e12) as hugeint)) as sq2
+            from r),
+          mo as (
+            select k,
+                   cast(sq as double) / (cast(k as double) * 1e12) as m,
+                   cast(sq2 as double) / (cast(k as double) * 1e12) as ex2
+            from pri),
+          st as (
+            select k, m, ex2,
+                   (ex2 - m * m) * (cast(k as double)
+                     / greatest(cast(k as double) - 1.0, 1.0)) as v
+            from mo),
+          pc as (
+            select round(m, 9) as prior_mean,
+                   case when k >= 2 and v > 0
+                         and (m * (1.0 - m) / v - 1.0) > 0 then
+                     round(m * (1.0 - m) / v - 1.0, 9)
+                   end as prior_strength
+            from st)
+          select r.key, cast(r.n as bigint) as n,
+                 cast(r.successes as bigint) as successes,
+                 round(r.raw, 9) as raw_rate,
+                 pc.prior_mean, pc.prior_strength,
+                 round(case when pc.prior_strength is not null then
+                   (cast(r.successes as double)
+                    + pc.prior_mean * pc.prior_strength)
+                   / (cast(r.n as double) + pc.prior_strength)
+                 else r.raw end, 9) as shrunk_rate
+          from r cross join pc""",
+        "l_diversity": """
+          with e as (
+            select user_id, event_type,
+                   cast(floor(value / 50) as bigint) as value_bucket
+            from events),
+          cells as (
+            select user_id, event_type, value_bucket, count(*) as c
+            from e group by 1, 2, 3),
+          g as (
+            select user_id, event_type,
+                   sum(c) as n, count(*) as nd, max(c) as mx
+            from cells group by 1, 2)
+          select user_id, event_type,
+                 cast(n as bigint) as n,
+                 cast(nd as bigint) as n_distinct_sensitive,
+                 round(cast(mx as double) / cast(n as double), 9)
+                   as majority_share
+          from g where nd < 2""",
+        "neyman_allocation": """
+          with per as (
+            select event_type as stratum, count(*) as n_rows,
+                   sum(cast(round(value * 100) as bigint)) as s,
+                   sum(cast(round(value * 100) as bigint)
+                       * cast(round(value * 100) as bigint)) as s2
+            from events group by 1),
+          sd as (
+            select stratum, n_rows,
+                   case when n_rows >= 2 then
+                     sqrt(cast(n_rows * s2 - s * s as double)
+                          / cast(n_rows * (n_rows - 1) as double))
+                   else 0.0 end as stddev
+            from per),
+          w as (
+            select *, cast(n_rows as double) * stddev as wgt from sd),
+          tot as (
+            select list_reduce(
+                     list_prepend(0.0::DOUBLE,
+                                  list(wgt order by stratum)),
+                     (a, b) -> a + b) as t
+            from w)
+          select stratum, cast(n_rows as bigint) as n_rows,
+                 round(stddev, 9) as stddev,
+                 case when t > 0 then
+                   cast(floor(1000.0 * wgt / t) as bigint)
+                 else 0 end as alloc_n
+          from w cross join tot""",
     }

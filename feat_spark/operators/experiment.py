@@ -1042,3 +1042,60 @@ def rand_index(
             F.round((F.col("a") - exp) / (maxi - exp), 9),
         ).alias("ari"),
     )
+
+
+def proportion_ci(
+    df: DataFrame,
+    group_cols: "Sequence[str] | str",
+    success_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-group Wilson score interval for a binary proportion — the
+    CI that stays inside [0,1] and behaves at small n / extreme p
+    where the naive Wald interval collapses (p̂=0 gives Wald width 0:
+    certainty from no evidence). The readout every conversion-rate /
+    SRM / rollout dashboard should put next to its point estimate;
+    sits beside :func:`welch_ttest` (means) as the proportions
+    inference primitive.
+
+    Closed form, fixed op order (both engines replay the identical
+    expression tree over exact integer (x, n)): with z² literal-
+    squared once, ``denom = 1 + z²/n``, ``center = (p̂ + z²/2n) /
+    denom``, ``half = z * sqrt(p̂(1-p̂)/n + z²/4n²) / denom`` — IEEE
+    sqrt and divisions are correctly rounded, so the bounds are
+    deterministic, 9dp. One partial-agg pass; n = 0 groups yield
+    NULLs.
+
+    Output: groups + ``(n, successes, rate, ci_low, ci_high)``.
+    """
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    y = F.col(success_col).cast("long")
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(y).alias("successes")
+    )
+    n = F.col("n").cast("double")
+    p = F.col("successes").cast("double") / n
+    z2 = F.lit(float(z)) * F.lit(float(z))
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (F.lit(2.0) * n)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / n
+            + z2 / (F.lit(4.0) * n * n)
+        )
+        / denom
+    )
+    ok = F.col("n") > 0
+    return agg.select(
+        *keys,
+        "n",
+        "successes",
+        F.when(ok, F.round(p, 9)).alias("rate"),
+        F.when(ok, F.round(F.greatest(center - half, F.lit(0.0)), 9)).alias(
+            "ci_low"
+        ),
+        F.when(ok, F.round(F.least(center + half, F.lit(1.0)), 9)).alias(
+            "ci_high"
+        ),
+    )

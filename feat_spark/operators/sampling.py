@@ -282,3 +282,69 @@ def stratified_kfold(
     return df.withColumn(
         out_col, ((F.row_number().over(w) - 1) % k).cast("int")
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_cents_col: str,
+    budget: int = 1000,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation — given a sampling
+    budget, how many rows to draw from each stratum to minimize the
+    variance of the estimated total: ``n_h ∝ N_h * s_h`` (big AND
+    volatile strata earn samples; a huge constant stratum earns
+    almost none). The planning step in front of
+    :func:`stratified_sample` when the strata are wildly unequal —
+    proportional allocation wastes budget on low-variance strata.
+
+    Exactness: per-stratum N and the variance numerator
+    ``n*Σx² - (Σx)²`` are exact decimal(38,0) integers; ``s_h`` is
+    one IEEE sqrt of a fixed-order double ratio. The normalizing
+    ``Σ N_h s_h`` is a sum of irrational doubles, so it accumulates
+    via the repo's sorted-fold device (array_sort + aggregate over
+    the stratum list — strata are a bounded dimension, never data
+    rows). Allocations floor: the residual (< n_strata rows) is the
+    caller's largest-remainder step; single-row / zero-variance
+    strata allocate 0 (nothing to estimate).
+
+    Output: ``(stratum, n_rows, stddev, alloc_n)``.
+    """
+    d = F.col(value_cents_col).cast("decimal(38,0)")
+    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(d).alias("__s"),
+        F.sum(d * d).alias("__s2"),
+    )
+    n = F.col("n_rows").cast("decimal(38,0)")
+    var_num = (n * F.col("__s2") - F.col("__s") * F.col("__s")).cast("double")
+    var_den = (n * (n - 1)).cast("double")
+    s = F.when(F.col("n_rows") >= 2, F.sqrt(var_num / var_den)).otherwise(
+        F.lit(0.0)
+    )
+    per = per.withColumn("stddev", s).withColumn(
+        "__w", F.col("n_rows").cast("double") * F.col("stddev")
+    )
+    tot = per.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("stratum"), F.col("__w")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["__w"],
+        ).alias("__tot")
+    )
+    j = per.crossJoin(F.broadcast(tot))  # 1-row total (cuped class)
+    return j.select(
+        "stratum",
+        "n_rows",
+        F.round(F.col("stddev"), 9).alias("stddev"),
+        F.when(
+            F.col("__tot") > 0,
+            F.floor(
+                F.lit(float(budget)) * F.col("__w") / F.col("__tot")
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("alloc_n"),
+    )

@@ -467,6 +467,50 @@ def k_anonymity_audit(
     )
 
 
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: "list[str]",
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """l-diversity violation report — k-anonymity's blind spot: a
+    quasi-identifier group can be large (k-compliant) yet have every
+    member share ONE sensitive value, so membership alone discloses
+    it (the homogeneity attack). This reports every quasi group whose
+    sensitive attribute carries FEWER than ``l`` distinct values,
+    with its size and the majority value's share (1.0 = total
+    disclosure).
+
+    Same single-pass shape as :func:`k_anonymity_audit`: one agg
+    keyed by the quasi tuple carrying exact ``count`` +
+    ``count_distinct`` + the deterministic majority share (max count
+    over a (quasi, sensitive) pre-agg, ties irrelevant to the SHARE).
+    NULL sensitive values count as a value — "field withheld" is
+    itself a disclosure class.
+
+    Output: quasi cols + ``(n, n_distinct_sensitive,
+    majority_share)`` for violating groups only.
+    """
+    cells = df.groupBy(
+        *quasi_cols, F.col(sensitive_col).alias("__s")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    g = cells.groupBy(*quasi_cols).agg(
+        F.sum("__c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct_sensitive"),
+        F.max("__c").alias("__mx"),
+    )
+    return g.filter(F.col("n_distinct_sensitive") < l).select(
+        *quasi_cols,
+        F.col("n").cast("long").alias("n"),
+        F.col("n_distinct_sensitive").cast("long").alias(
+            "n_distinct_sensitive"
+        ),
+        F.round(
+            F.col("__mx").cast("double") / F.col("n").cast("double"), 9
+        ).alias("majority_share"),
+    )
+
+
 def scd_overlap_audit(
     dim: DataFrame,
     key_col: str,

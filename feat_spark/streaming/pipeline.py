@@ -869,3 +869,114 @@ def stream_static_enrich_agg(
             F.round(F.col(value_col) * 100).cast("long")
         ).alias("cents"),
     )
+
+
+def stream_maintain_cms(
+    events: DataFrame,
+    target_dir: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    checkpoint_dir: "str | None" = None,
+):
+    """Streaming Count-Min maintenance — keep a mergeable frequency
+    sketch current against an event stream, one ``foreachBatch``
+    algebraic merge per micro-batch (the :func:`stream_maintain_rollup`
+    pattern applied to ``operators/cms``): the batch's grid sums onto
+    the prior grid, the candidate key set unions, both swap
+    atomically. Because CMS merges BY ADDITION, the final state
+    equals the one-shot sketch over the full input however the stream
+    was micro-batched — exactly what the oracle gate checks.
+
+    State is O(depth*width) grid rows plus the candidate key set; the
+    candidate set is kept FULL here (dimension-sized, like the rollup
+    state) — at true heavy-hitter scale the deployment knob is
+    pruning candidates to the top-M by estimate after each merge,
+    which can only drop keys whose estimates never reached the
+    maintained band. Same exactly-once posture as the rollup: merge
+    is not idempotent; offsets + atomic swap carry it.
+    """
+    import os
+    import shutil
+
+    from feat_spark.operators.cms import countmin_build
+
+    grid_dir = os.path.join(target_dir, "grid")
+    keys_dir = os.path.join(target_dir, "keys")
+
+    def swap(new_df: DataFrame, path: str, batch_id: int) -> None:
+        tmp = path.rstrip("/") + f".tmp-{batch_id}"
+        new_df.write.mode("overwrite").parquet(tmp)
+        old = path.rstrip("/") + f".old-{batch_id}"
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = countmin_build(batch, key_col, depth=depth, width=width)
+        keys = (
+            batch.filter(F.col(key_col).isNotNull())
+            .select(F.col(key_col).cast("string").alias("key"))
+            .distinct()
+        )
+        if os.path.exists(grid_dir):
+            prior = spark.read.parquet(grid_dir)
+            delta = (
+                prior.unionByName(delta)
+                .groupBy("seed", "bucket")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+            keys = spark.read.parquet(keys_dir).unionByName(keys).distinct()
+        swap(delta, grid_dir, batch_id)
+        swap(keys, keys_dir, batch_id)
+
+    writer = events.writeStream.foreachBatch(apply).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return q
+
+
+def cms_state_topk(
+    spark, target_dir: str, k: int = 20, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Top-k readout off the maintained CMS state: probe every
+    candidate key against the merged grid (broadcast — the grid is
+    <= depth*width rows), min over the depth rows, TakeOrdered on
+    (estimate desc, key asc). depth/width are the build-time
+    constants — probes MUST use the same bucket function as the
+    build. Estimates carry CMS's one-sided guarantee: never below
+    the key's true count."""
+    import os
+
+    from feat_spark.operators.cms import _bucket
+
+    grid = spark.read.parquet(os.path.join(target_dir, "grid"))
+    keys = spark.read.parquet(os.path.join(target_dir, "keys"))
+    probes = keys.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        _bucket(F.col("key"), s, width).alias("bucket"),
+                    )
+                    for s in range(int(depth))
+                ]
+            )
+        ).alias("p"),
+    ).select("key", "p.seed", "p.bucket")
+    est = (
+        probes.join(F.broadcast(grid), ["seed", "bucket"])
+        .groupBy("key")
+        .agg(F.min("n").alias("cms_est"))
+    )
+    return (
+        est.orderBy(F.col("cms_est").desc(), F.col("key").asc())
+        .limit(k)
+        .select("key", "cms_est")
+    )

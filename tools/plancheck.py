@@ -60,7 +60,14 @@ NL_EXEMPT = {"knn_cosine", "embedding_near_dup", "knn_cosine_ivf",
              "standardized_rates",
              # same 1-row class: the one-row (N, agree) totals frame
              # crossed onto the one-row sum-of-margin-products frame
-             "cohens_kappa"}
+             "cohens_kappa",
+             # same 1-row class as cuped_adjust: the one-row
+             # method-of-moments prior frame crossed onto the per-key
+             # rate frame
+             "eb_shrink_rates",
+             # same 1-row class: the one-row sorted-fold normalizer
+             # crossed onto the bounded stratum frame
+             "neyman_allocation"}
 
 #: max Exchange nodes allowed (shuffles; BroadcastExchange excluded).
 #: window/sessionize pipelines must reuse ONE exchange.
