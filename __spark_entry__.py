@@ -5356,6 +5356,91 @@ def _q_neyman_allocation(spark, sf_dir):
     return neyman_allocation(e, "event_type", "cents", budget=1000)
 
 
+def _q_rolling_hll_users(spark, sf_dir):
+    """Rolling 7-day approximate actives (profile.rolling_hll_distinct):
+    daily HLL leaf sketches band-joined onto the day spine (constant
+    fan-out 7) and union-merged per day — the sketch answer to WAU
+    that scans data once; exact rolling distinct rides along for the
+    oracle-bounded check (the _q_sketches device)."""
+    from feat_spark.operators.profile import rolling_hll_distinct
+
+    e = _events(spark, sf_dir)
+    return rolling_hll_distinct(
+        e,
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000"),
+        "user_id",
+        window_days=7,
+    )
+
+
+def _q_reset_cumsum(spark, sf_dir):
+    """Running balance with resets (rolling.reset_cumsum): per-user
+    cent cumsum that restarts at every signup event — two stacked
+    windows sharing one partition sort (segment = running reset
+    count, balance = within-segment cumsum), exact integers. Oracle
+    replays both ROWS frames."""
+    from feat_spark.operators.rolling import reset_cumsum
+
+    e = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_type") == "signup").alias("is_reset"),
+    )
+    return reset_cumsum(
+        e, "user_id", "ts", "event_id", "cents", "is_reset"
+    )
+
+
+def _q_pareto_frontier(spark, sf_dir):
+    """Per-brand Pareto frontier (profile.pareto_frontier) of parts on
+    (size, retailprice), both-higher-better: the single-window skyline
+    sweep — keep a row iff its y beats the running max over the
+    (x desc, y desc, id) order; no self-join. Oracle replays the same
+    frame."""
+    from feat_spark.operators.profile import pareto_frontier
+
+    p = _t(spark, sf_dir, "part")
+    return pareto_frontier(
+        p, ("p_brand",), "p_size", "p_retailprice", "p_partkey"
+    )
+
+
+def _q_ratio_metric_ci(spark, sf_dir):
+    """Delta-method ratio-metric CI (experiment.ratio_metric_ci) for
+    purchases-per-event under USER-cluster randomization: per-cluster
+    sums, five exact decimal moments, linearized variance in fixed op
+    order, one sqrt. The interval a row-level binomial would get
+    confidently wrong. Oracle replays the moments and the closed
+    form."""
+    from feat_spark.operators.experiment import ratio_metric_ci
+
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        (F.col("event_type") == "purchase").cast("long").alias("x"),
+        F.lit(1).alias("n"),
+    )
+    return ratio_metric_ci(e, "user_id", "x", "n")
+
+
+def _q_conformal_calibration(spark, sf_dir):
+    """Split-conformal coverage audit (experiment.conformal_calibration)
+    per user_id%5 segment at alpha=0.1: md5 even/odd split, segment-
+    mean predictor from the calibration half, rank-selected q-hat
+    residual, achieved test coverage vs the 0.9 target. Per-group
+    window only — no global sort. Oracle replays split, ranks, and
+    coverage."""
+    from feat_spark.operators.experiment import conformal_calibration
+
+    e = _events(spark, sf_dir).select(
+        (F.col("user_id") % 5).alias("segment"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    return conformal_calibration(
+        e, "segment", "cents", "event_id", alpha_milli=100
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -5386,16 +5471,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-182, after the window froze):
-    # 132 brand-new gates built AFTER the r4 window was fixed
+    # LATE-ROUND-4 ADDITIONS (positions 51-187, after the window froze):
+    # 137 brand-new gates built AFTER the r4 window was fixed
     # (scd2_build..neighbor_majority from the mid-round sessions,
     # split_balance..ndcg, sequential_ids..growth_accounting,
     # theilsen_trend..clustering_coeff, then
-    # countmin_topk..neyman_allocation from the last session); all
+    # countmin_topk..conformal_calibration from the last session); all
     # dtype-strict-selfcheck green at sf0.01 in their build session,
     # never driver-checked. ROUND-5 WINDOW
-    # PLAN, in order: (1) as many of the 132 late-r4 gates +
-    # semantic_dedup + knn_cosine_ivf (positions 51-184) as fit the
+    # PLAN, in order: (1) as many of the 137 late-r4 gates +
+    # semantic_dedup + knn_cosine_ivf (positions 51-189) as fit the
     # 50-slot window, oldest-built first (scd2_build..), the rest
     # queue for r6; (2) then the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
@@ -5591,6 +5676,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eb_shrink_rates": _q_eb_shrink,
         "l_diversity": _q_l_diversity,
         "neyman_allocation": _q_neyman_allocation,
+        "rolling_hll_users": _q_rolling_hll_users,
+        "reset_cumsum": _q_reset_cumsum,
+        "pareto_frontier": _q_pareto_frontier,
+        "ratio_metric_ci": _q_ratio_metric_ci,
+        "conformal_calibration": _q_conformal_calibration,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -10803,4 +10893,139 @@ def oracle_sql() -> dict[str, str]:
                    cast(floor(1000.0 * wgt / t) as bigint)
                  else 0 end as alloc_n
           from w cross join tot""",
+        "rolling_hll_users": """
+          with d as (
+            select distinct epoch_us(ts) // 86400000000 as dd, user_id
+            from events),
+          days as (select distinct dd as day from d),
+          sp as (
+            select dd, user_id, unnest(generate_series(dd, dd + 6))
+                     as day
+            from d),
+          obs as (select * from sp where day in (select day from days)),
+          bl as (
+            select day, count(distinct dd) as n_leaves
+            from obs group by 1),
+          ex as (
+            select day, count(distinct user_id) as exact_distinct
+            from obs group by 1)
+          select bl.day, cast(bl.n_leaves as bigint) as n_leaves,
+                 cast(ex.exact_distinct as bigint) as exact_distinct,
+                 true as merged_within_bounds
+          from bl join ex using (day)""",
+        "reset_cumsum": """
+          with e as (
+            select user_id, ts, event_id,
+                   cast(round(value * 100) as bigint) as delta,
+                   case when event_type = 'signup' then 1 else 0 end
+                     as r
+            from events),
+          s as (
+            select *, sum(r) over (partition by user_id
+                                   order by ts asc, event_id asc
+                                   rows between unbounded preceding
+                                   and current row) as segment
+            from e)
+          select user_id, ts, event_id, delta,
+                 cast(segment as bigint) as segment,
+                 cast(sum(delta) over (partition by user_id, segment
+                                       order by ts asc, event_id asc
+                                       rows between unbounded preceding
+                                       and current row) as bigint)
+                   as balance
+          from s""",
+        "pareto_frontier": """
+          with r as (
+            select p_brand, p_partkey, p_size, p_retailprice,
+                   max(p_retailprice) over (
+                     partition by p_brand
+                     order by p_size desc, p_retailprice desc,
+                              p_partkey asc
+                     rows between unbounded preceding and 1 preceding)
+                     as prev
+            from part)
+          select p_brand, p_partkey as id,
+                 cast(p_size as int) as x, p_retailprice as y
+          from r where prev is null or p_retailprice > prev""",
+        "ratio_metric_ci": """
+          with per as (
+            select user_id,
+                   sum(case when event_type = 'purchase' then 1 else 0
+                       end) as x,
+                   count(*) as n
+            from events group by 1),
+          a as (
+            select count(*) as k, sum(x) as sx, sum(n) as sn,
+                   sum(x * x) as sxx, sum(n * n) as snn,
+                   sum(x * n) as sxn
+            from per),
+          b as (
+            select k, sn,
+                   cast(k * sxx - sx * sx as double) as vxx,
+                   cast(k * snn - sn * sn as double) as vnn,
+                   cast(k * sxn - sx * sn as double) as vxn,
+                   cast(sx as double) / cast(sn as double) as r,
+                   cast(sn as double) / cast(k as double) as nbar,
+                   cast(k as double) as kd
+            from a),
+          c as (
+            select *,
+                   sqrt(greatest(
+                     (vxx / (kd * (kd - 1.0))
+                      + r * r * (vnn / (kd * (kd - 1.0)))
+                      - 2.0 * r * (vxn / (kd * (kd - 1.0))))
+                     / (kd * nbar * nbar), 0.0)) as se
+            from b)
+          select cast(k as bigint) as k_clusters,
+                 case when sn > 0 then round(r, 9) end as ratio,
+                 case when k >= 2 and sn > 0 then round(se, 9) end as se,
+                 case when k >= 2 and sn > 0 then
+                   round(r - 1.96 * se, 9) end as ci_low,
+                 case when k >= 2 and sn > 0 then
+                   round(r + 1.96 * se, 9) end as ci_high
+          from c""",
+        "conformal_calibration": """
+          with base as (
+            select user_id % 5 as segment,
+                   cast(round(value * 100) as bigint) as v,
+                   (('0x' || substr(md5(cast(event_id as varchar)), 1, 8))
+                     ::BIGINT) % 2 as h
+            from events),
+          cal as (select * from base where h = 0),
+          test as (select * from base where h = 1),
+          m as (
+            select segment, count(*) as n_cal,
+                   cast(sum(v) as double) / cast(count(*) as double)
+                     as mean
+            from cal group by 1),
+          calr as (
+            select cal.segment, cal.v, m.n_cal,
+                   abs(cast(cal.v as double) - m.mean) as r
+            from cal join m using (segment)),
+          rk as (
+            select *, row_number() over (partition by segment
+                                         order by r asc, v asc) as rn
+            from calr),
+          q as (
+            select segment, n_cal, min(r) as qhat
+            from rk
+            where rn >= least(cast(ceil((n_cal + 1) * 0.9) as bigint),
+                              n_cal)
+            group by 1, 2),
+          t as (
+            select test.segment,
+                   abs(cast(test.v as double) - m.mean) as r
+            from test join m using (segment)),
+          cov as (
+            select t.segment, q.n_cal, q.qhat, count(*) as n_test,
+                   sum(case when t.r <= q.qhat then 1 else 0 end) as hit
+            from t join q on t.segment = q.segment
+            group by 1, 2, 3)
+          select segment, cast(n_cal as bigint) as n_cal,
+                 cast(n_test as bigint) as n_test,
+                 round(qhat, 9) as qhat,
+                 round(cast(hit as double) / cast(n_test as double), 9)
+                   as coverage,
+                 cast(0.9 as double) as target_coverage
+          from cov""",
     }

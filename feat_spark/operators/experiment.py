@@ -1099,3 +1099,145 @@ def proportion_ci(
             "ci_high"
         ),
     )
+
+
+def ratio_metric_ci(
+    df: DataFrame,
+    cluster_col: str,
+    numerator_col: str,
+    denominator_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Delta-method CI for a RATIO metric under cluster randomization
+    — conversions-per-event, revenue-per-session, anything of the
+    form ``sum(x)/sum(n)`` where users (clusters), not rows, are the
+    randomization unit: naive row-level variance ignores within-user
+    correlation and reports intervals that are confidently wrong.
+    The standard experiment-platform correction (linearization):
+    ``var(R) = (s_x² + R² s_n² − 2 R s_xn) / (K n̄²)`` over per-cluster
+    sums.
+
+    One agg to per-cluster (x_i, n_i), one agg over clusters carrying
+    the five exact decimal(38,0) moment sums, closed form in fixed op
+    order (sample covariances via ``K·Σab − Σa·Σb`` exact integers,
+    ONE division each; IEEE sqrt), 9dp. Degenerate inputs (K < 2 or
+    Σn = 0) yield NULL bounds.
+
+    Output: one row ``(k_clusters, ratio, se, ci_low, ci_high)``.
+    """
+    per = df.groupBy(F.col(cluster_col).alias("__c")).agg(
+        F.sum(F.col(numerator_col).cast("long")).alias("__x"),
+        F.sum(F.col(denominator_col).cast("long")).alias("__n"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(d("__x")).alias("__sx"),
+        F.sum(d("__n")).alias("__sn"),
+        F.sum(d("__x") * d("__x")).alias("__sxx"),
+        F.sum(d("__n") * d("__n")).alias("__snn"),
+        F.sum(d("__x") * d("__n")).alias("__sxn"),
+    )
+    kd = F.col("k").cast("decimal(38,0)")
+    # sample (co)variance numerators: K·Σab − Σa·Σb, exact integers
+    vxx = (kd * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    vnn = (kd * F.col("__snn") - F.col("__sn") * F.col("__sn")).cast("double")
+    vxn = (kd * F.col("__sxn") - F.col("__sx") * F.col("__sn")).cast("double")
+    kdbl = F.col("k").cast("double")
+    denom = kdbl * (kdbl - F.lit(1.0))
+    sxx = vxx / denom
+    snn = vnn / denom
+    sxn = vxn / denom
+    r = F.col("__sx").cast("double") / F.col("__sn").cast("double")
+    nbar = F.col("__sn").cast("double") / kdbl
+    var = (sxx + r * r * snn - F.lit(2.0) * r * sxn) / (kdbl * nbar * nbar)
+    se = F.sqrt(F.greatest(var, F.lit(0.0)))
+    ok = (F.col("k") >= 2) & (F.col("__sn") > 0)
+    return agg.select(
+        F.col("k").alias("k_clusters"),
+        F.when(F.col("__sn") > 0, F.round(r, 9)).alias("ratio"),
+        F.when(ok, F.round(se, 9)).alias("se"),
+        F.when(ok, F.round(r - F.lit(float(z)) * se, 9)).alias("ci_low"),
+        F.when(ok, F.round(r + F.lit(float(z)) * se, 9)).alias("ci_high"),
+    )
+
+
+def conformal_calibration(
+    df: DataFrame,
+    group_cols: "Sequence[str] | str",
+    value_cents_col: str,
+    id_col: str,
+    alpha_milli: int = 100,
+) -> DataFrame:
+    """Split-conformal interval calibration per group — the
+    distribution-free coverage check: hash-split rows into
+    calibration/test halves, predict each test value with the group's
+    CALIBRATION mean, set the radius ``q̂`` to the
+    ``ceil((n_cal+1)(1-α))``-th smallest calibration residual, and
+    report the achieved test coverage (guaranteed ≥ 1-α in
+    expectation by exchangeability — the property this audits). The
+    modern answer to "are my prediction intervals honest" without
+    assuming a distribution; pairs with :func:`calibration_curve`
+    (probabilities) for regression-shaped features.
+
+    Determinism: the split is the portable md5 hash (even/odd);
+    predictions are exact cent ratios; residuals ``|v − mean|`` are
+    identical IEEE doubles in both engines, so the rank-selected q̂
+    and the coverage counts replay exactly. The residual ranking is a
+    per-GROUP window (groups are independent partitions — no global
+    sort); rank ties at q̂ are harmless because selection is by rank,
+    not value. Groups with an empty half yield NULLs.
+
+    Output: groups + ``(n_cal, n_test, qhat, coverage,
+    target_coverage)``.
+    """
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    from feat_spark.functions.text import md5_long32
+
+    half = F.pmod(md5_long32(F.col(id_col).cast("string")), F.lit(2))
+    base = df.select(
+        *keys,
+        F.col(value_cents_col).cast("long").alias("__v"),
+        half.alias("__h"),
+    )
+    cal = base.filter(F.col("__h") == 0)
+    test = base.filter(F.col("__h") == 1)
+    mean = cal.groupBy(*keys).agg(
+        F.sum("__v").alias("__s"), F.count(F.lit(1)).alias("n_cal")
+    ).withColumn(
+        "__mean", F.col("__s").cast("double") / F.col("n_cal").cast("double")
+    )
+    calr = cal.join(mean, keys).withColumn(
+        "__r", F.abs(F.col("__v").cast("double") - F.col("__mean"))
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col("__r").asc(), F.col("__v").asc())
+    target = 1.0 - alpha_milli / 1000.0
+    ranked = calr.withColumn("__rk", F.row_number().over(w))
+    qrank = F.ceil(
+        (F.col("n_cal") + 1) * F.lit(target)
+    ).cast("long")
+    qhat = (
+        ranked.filter(F.col("__rk") >= F.least(qrank, F.col("n_cal")))
+        .groupBy(*keys, "n_cal")
+        .agg(F.min("__r").alias("qhat"))
+    )
+    t = test.join(mean.select(*keys, "__mean"), keys).join(qhat, keys)
+    cov = t.groupBy(*keys, "n_cal", "qhat").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(
+            (
+                F.abs(F.col("__v").cast("double") - F.col("__mean"))
+                <= F.col("qhat")
+            ).cast("long")
+        ).alias("__hit"),
+    )
+    return cov.select(
+        *keys,
+        "n_cal",
+        "n_test",
+        F.round(F.col("qhat"), 9).alias("qhat"),
+        F.round(
+            F.col("__hit").cast("double") / F.col("n_test").cast("double"), 9
+        ).alias("coverage"),
+        F.lit(round(target, 3)).alias("target_coverage"),
+    )

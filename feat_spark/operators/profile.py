@@ -1209,3 +1209,109 @@ def mix_shift(
         F.round(wb * (rb - ra), 9).alias("rate_effect"),
         F.round((wb - wa) * ra, 9).alias("mix_effect"),
     )
+
+
+def rolling_hll_distinct(
+    df: DataFrame,
+    day_expr,
+    id_col: str,
+    window_days: int = 7,
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """Rolling approximate distinct — per day, the distinct ``id_col``
+    count over the trailing ``window_days`` as a UNION OF DAILY HLL
+    SKETCHES: the scale answer to rolling actives/WAU when the exact
+    day-spine device (``windows.rolling_distinct_count``) would carry
+    every (day, id) pair through a shuffle. Daily leaf sketches are a
+    few KB; each day's window merges ``window_days`` leaves — the
+    whole rolling series costs O(days * window) sketch unions, data is
+    scanned ONCE.
+
+    Shuffle shape: NO JOIN — each daily leaf EXPLODES to the <=
+    ``window_days`` spine days it contributes to (``sequence(d,
+    d+w-1)``), then one equi-keyed ``hll_union_agg`` per day: a
+    constant fan-out on the days-sized leaf frame (a band join here
+    would plan as a nested loop). Trailing spine days past the data's
+    last day are dropped by a semi join against observed days. The
+    exact rolling distinct rides along (same explode over distinct
+    (day, id) pairs — at audit scale; production trusts the bound)
+    and the estimate exports as the oracle-bounded boolean of the
+    ``_q_sketches`` device: lgK=12 ⇒ RSE ≈ 1.6%, bound 5% + 3
+    absolute.
+
+    Output: ``(day, n_leaves, exact_distinct, merged_within_bounds)``.
+    """
+    base = df.select(day_expr.alias("__d"), F.col(id_col).alias("__id"))
+    leaf = base.groupBy("__d").agg(
+        F.hll_sketch_agg(F.col("__id"), F.lit(int(lg_config_k))).alias("__sk")
+    )
+    spine = F.explode(
+        F.sequence(F.col("__d"), F.col("__d") + F.lit(window_days - 1))
+    ).alias("day")
+    days = leaf.select(F.col("__d").alias("day"))
+    merged = (
+        leaf.select(spine, "__sk")
+        .join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_leaves"),
+            F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__est"),
+        )
+    )
+    exact = (
+        base.distinct()
+        .select(spine, "__id")
+        .join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("__id").alias("exact_distinct"))
+    )
+    ok = (
+        F.abs(F.col("__est") - F.col("exact_distinct"))
+        <= 0.05 * F.col("exact_distinct") + F.lit(3.0)
+    )
+    return merged.join(exact, "day").select(
+        "day", "n_leaves", "exact_distinct", ok.alias("merged_within_bounds")
+    )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    group_cols: "Sequence[str] | tuple",
+    x_col: str,
+    y_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group Pareto frontier (maximal points, both-higher-better):
+    the rows no other row dominates on (x, y) — the skyline of every
+    cost/quality trade (model size vs accuracy, price vs rating,
+    recall vs reduction_ratio from ``blocking_quality``). The
+    frontier answers "which configurations are even worth looking
+    at"; everything below it is strictly worse on both axes than
+    something else.
+
+    Single-window sweep, no self-join: order each group by
+    (x desc, y desc, id asc) and keep a row iff its y strictly
+    exceeds the running max of all PRECEDING y — the classic O(n log
+    n) skyline scan as a window. Duplicate (x, y) points keep only
+    the first by id (strict-dominance would keep both; one
+    deterministic representative is the useful report). Ties on x
+    resolve correctly because the higher y sorts first and seeds the
+    running max.
+
+    Output: groups + ``(id, x, y)`` for frontier rows only.
+    """
+    keys = list(group_cols)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(
+            F.col(x_col).desc(), F.col(y_col).desc(), F.col(id_col).asc()
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.max(F.col(y_col)).over(w)
+    return (
+        df.withColumn("__prev", prev)
+        .filter(F.col("__prev").isNull() | (F.col(y_col) > F.col("__prev")))
+        .select(*keys, F.col(id_col).alias("id"), F.col(x_col).alias("x"),
+                F.col(y_col).alias("y"))
+    )

@@ -120,3 +120,53 @@ def rolling_corr(
         F.round(num / F.sqrt(varx * vary), 6),
     )
     return base.withColumn(out_col, r).drop("__x", "__y")
+
+
+def reset_cumsum(
+    df: DataFrame,
+    key_cols: "Sequence[str] | str",
+    ts_col: str,
+    tiebreak_col: str,
+    delta_col: str,
+    reset_col: str,
+) -> DataFrame:
+    """Running balance with resets — per key, the cumulative sum of
+    ``delta_col`` that restarts whenever ``reset_col`` fires: the
+    counter/balance/quota reconstruction every metering, billing, and
+    session-budget pipeline runs (``windows.cumulative`` is the
+    never-resetting half; this is the gaps-and-islands half).
+
+    Semantics: a reset row ZEROES the balance first, then applies its
+    own delta — so the reset row's balance is exactly its delta. Two
+    stacked windows sharing ONE partition sort: segment id = running
+    count of resets up to and including the row (cumsum over the
+    (ts, tiebreak) order), then balance = cumsum of deltas within
+    (key, segment). Catalyst reuses the exchange; integer deltas make
+    every balance exact.
+
+    Output: input keys + ``(ts, tiebreak, delta, segment, balance)``.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
+    w_seg = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seg = F.sum(F.col(reset_col).cast("long")).over(w_seg)
+    d = df.withColumn("__seg", seg)
+    w_bal = (
+        Window.partitionBy(*keys, "__seg")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return d.withColumn(
+        "balance", F.sum(F.col(delta_col).cast("long")).over(w_bal)
+    ).select(
+        *keys,
+        F.col(ts_col),
+        F.col(tiebreak_col),
+        F.col(delta_col).alias("delta"),
+        F.col("__seg").alias("segment"),
+        "balance",
+    )
