@@ -5441,6 +5441,97 @@ def _q_conformal_calibration(spark, sf_dir):
     )
 
 
+def _q_feature_freshness(spark, sf_dir):
+    """Feature-freshness SLO report (features.freshness_slo): the
+    as-of enrichment's staleness distribution per user_id%5 segment —
+    match rate, mean whole-day staleness (one exact division), share
+    within a 7-day SLO. The operational complement of leakage_audit
+    (never-negative is proven there; how-positive is reported here).
+    Oracle = DuckDB ASOF join + the same ratios."""
+    from feat_spark.plans.features import freshness_slo
+
+    left = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", (F.col("user_id") % 5).alias("segment")
+    )
+    return freshness_slo(
+        left, _orders_rhs(spark, sf_dir), on="user_id",
+        segment_col="segment", slo_days=7,
+    )
+
+
+def _q_rbo_rankings(spark, sf_dir):
+    """Rank-biased overlap (keywords.rbo_rankings) between each user's
+    count-ranked and spend-ranked event-type top-5 lists: p=1/2 makes
+    every weight dyadic, so the truncated renormalized RBO scales to
+    exact integers (960/240/80/30/12 per depth) and closes with one
+    division by 1860. Oracle replays both rankings and the tail-weight
+    fold."""
+    from feat_spark.operators.keywords import rbo_rankings
+
+    cnt = (
+        _events(spark, sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
+        )
+    )
+    wa = Window.partitionBy("user_id").orderBy(
+        F.col("c").desc(), F.col("event_type").asc()
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("s").desc(), F.col("event_type").asc()
+    )
+    a = cnt.select(
+        F.col("user_id").alias("query_id"),
+        F.col("event_type").alias("item"),
+        F.row_number().over(wa).alias("rank"),
+    )
+    b = cnt.select(
+        F.col("user_id").alias("query_id"),
+        F.col("event_type").alias("item"),
+        F.row_number().over(wb).alias("rank"),
+    )
+    return rbo_rankings(a, b, depth=5)
+
+
+def _q_seasonal_outliers(spark, sf_dir):
+    """Season-aware anomaly flags (resample.seasonal_outliers): the
+    decomposition remainders scored against their median ± 3·MAD band,
+    both robust statistics as exact rank selections over the bounded
+    day series (two global windows + two 1-row broadcast medians — the
+    cuped crossJoin class). Oracle replays decomposition, both rank
+    selections, and the flag."""
+    from feat_spark.operators.resample import seasonal_outliers
+
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "day"
+        )
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    return seasonal_outliers(daily, "day", "cents", period=7, k_mad=3.0)
+
+
+def _q_quantile_treatment(spark, sf_dir):
+    """Quantile treatment effects (experiment.quantile_treatment_effect)
+    between even/odd user arms at p10/p50/p90: percentile_disc-style
+    rank selections per arm (exact cents in, exact cents out, no
+    interpolation), QTE = integer subtraction. The heavy-tail readout
+    welch_ttest can't see. Oracle replays ranks and targets."""
+    from feat_spark.operators.experiment import quantile_treatment_effect
+
+    e = _events(spark, sf_dir).select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("arm"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return quantile_treatment_effect(
+        e, "arm", "cents", percentiles_milli=(100, 500, 900)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -5471,16 +5562,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-187, after the window froze):
-    # 137 brand-new gates built AFTER the r4 window was fixed
+    # LATE-ROUND-4 ADDITIONS (positions 51-191, after the window froze):
+    # 141 brand-new gates built AFTER the r4 window was fixed
     # (scd2_build..neighbor_majority from the mid-round sessions,
     # split_balance..ndcg, sequential_ids..growth_accounting,
     # theilsen_trend..clustering_coeff, then
-    # countmin_topk..conformal_calibration from the last session); all
+    # countmin_topk..quantile_treatment from the last session); all
     # dtype-strict-selfcheck green at sf0.01 in their build session,
     # never driver-checked. ROUND-5 WINDOW
-    # PLAN, in order: (1) as many of the 137 late-r4 gates +
-    # semantic_dedup + knn_cosine_ivf (positions 51-189) as fit the
+    # PLAN, in order: (1) as many of the 141 late-r4 gates +
+    # semantic_dedup + knn_cosine_ivf (positions 51-193) as fit the
     # 50-slot window, oldest-built first (scd2_build..), the rest
     # queue for r6; (2) then the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
@@ -5681,6 +5772,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_frontier": _q_pareto_frontier,
         "ratio_metric_ci": _q_ratio_metric_ci,
         "conformal_calibration": _q_conformal_calibration,
+        "feature_freshness": _q_feature_freshness,
+        "rbo_rankings": _q_rbo_rankings,
+        "seasonal_outliers": _q_seasonal_outliers,
+        "quantile_treatment": _q_quantile_treatment,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -11028,4 +11123,152 @@ def oracle_sql() -> dict[str, str]:
                    as coverage,
                  cast(0.9 as double) as target_coverage
           from cov""",
+        "feature_freshness": f"""
+          with rhs as ({_ORDERS_RHS_SQL}),
+          j as (
+            select e.user_id % 5 as segment, e.ts, rhs.ts as matched_ts
+            from events e
+            asof left join rhs
+              on e.user_id = rhs.user_id and e.ts >= rhs.ts),
+          d as (
+            select segment,
+                   (epoch_us(ts) - epoch_us(matched_ts)) // 86400000000
+                     as days
+            from j),
+          g as (
+            select segment, count(*) as n_rows,
+                   count(days) as n_matched,
+                   sum(days) as sd,
+                   coalesce(sum(case when days <= 7 then 1 end), 0)
+                     as ok
+            from d group by 1)
+          select segment, cast(n_rows as bigint) as n_rows,
+                 cast(n_matched as bigint) as n_matched,
+                 round(cast(n_matched as double)
+                       / cast(n_rows as double), 9) as match_rate,
+                 case when n_matched > 0 then
+                   round(cast(sd as double)
+                         / cast(n_matched as double), 9)
+                 end as avg_staleness_days,
+                 case when n_matched > 0 then
+                   round(cast(ok as double)
+                         / cast(n_matched as double), 9)
+                 end as within_slo_rate
+          from g""",
+        "rbo_rankings": """
+          with cnt as (
+            select user_id, event_type, count(*) as c,
+                   sum(cast(round(value * 100) as bigint)) as s
+            from events group by 1, 2),
+          a as (
+            select user_id as query_id, event_type as item,
+                   row_number() over (partition by user_id
+                                      order by c desc, event_type asc)
+                     as ra
+            from cnt),
+          b as (
+            select user_id as query_id, event_type as item,
+                   row_number() over (partition by user_id
+                                      order by s desc, event_type asc)
+                     as rb
+            from cnt),
+          j as (
+            select a.query_id, greatest(ra, rb) as m
+            from a join b using (query_id, item)
+            where ra <= 5 and rb <= 5),
+          g as (
+            select query_id,
+                   count(*) as overlap_at_depth,
+                   sum(case m when 1 then 1322 when 2 then 362
+                              when 3 then 122 when 4 then 42
+                              when 5 then 12 end) as sc
+            from j group by 1)
+          select query_id, cast(overlap_at_depth as bigint)
+                   as overlap_at_depth,
+                 round(cast(sc as double) / 1860.0, 9) as rbo
+          from g""",
+        "seasonal_outliers": """
+          with daily as (
+            select epoch_us(ts) // 86400000000 as day,
+                   sum(cast(round(value * 100) as bigint)) as value_cents
+            from events group by 1),
+          t as (
+            select day, value_cents,
+                   count(*) over w as nw,
+                   sum(value_cents) over w as sw
+            from daily
+            window w as (order by day asc
+                         rows between 3 preceding and 3 following)),
+          det as (
+            select day, value_cents, nw, sw,
+                   case when nw = 7 then 7 * value_cents - sw end as d7,
+                   day % 7 as dop
+            from t),
+          sea as (
+            select dop,
+                   cast(sum(d7) as double)
+                     / (7.0 * cast(count(*) as double)) as seasonal_raw
+            from det where d7 is not null group by 1),
+          dc as (
+            select det.day, det.value_cents,
+                   case when nw = 7 then
+                     round(cast(det.value_cents as double)
+                           - cast(sw as double) / 7.0 - seasonal_raw, 9)
+                   end as remainder
+            from det left join sea using (dop)),
+          r as (
+            select day, value_cents, remainder from dc
+            where remainder is not null),
+          mr as (
+            select remainder as med from (
+              select remainder,
+                     row_number() over (order by remainder asc,
+                                        day asc) as rk,
+                     count(*) over () as n
+              from r)
+            where rk = cast(ceil(n / 2.0) as bigint)),
+          dr as (select r.*, mr.med from r cross join mr),
+          madr as (
+            select ad as mad from (
+              select abs(remainder - med) as ad,
+                     row_number() over (order by abs(remainder - med)
+                                        asc, day asc) as rk,
+                     count(*) over () as n
+              from dr)
+            where rk = cast(ceil(n / 2.0) as bigint))
+          select dr.day, cast(dr.value_cents as bigint) as value_cents,
+                 dr.remainder,
+                 round(dr.med, 9) as med,
+                 round(madr.mad, 9) as mad,
+                 case when madr.mad > 0 then
+                   abs(dr.remainder - dr.med) > 3.0 * madr.mad
+                 else false end as is_outlier
+          from dr cross join madr""",
+        "quantile_treatment": """
+          with base as (
+            select case when user_id % 2 = 0 then 'a' else 'b' end
+                     as arm,
+                   cast(round(value * 100) as bigint) as v
+            from events),
+          r as (
+            select arm, v,
+                   row_number() over (partition by arm
+                                      order by v asc) as rk,
+                   count(*) over (partition by arm) as n
+            from base),
+          p as (select unnest([100, 500, 900]) as p_milli),
+          pr as (
+            select r.*, p.p_milli,
+                   greatest((p.p_milli * n + 999) // 1000, 1) as target
+            from r cross join p),
+          q as (
+            select p_milli,
+                   max(case when arm = 'a' and rk = target then v end)
+                     as q_a,
+                   max(case when arm = 'b' and rk = target then v end)
+                     as q_b
+            from pr where rk = target group by 1)
+          select cast(p_milli as int) as p_milli, q_a, q_b,
+                 q_b - q_a as qte
+          from q""",
     }

@@ -1241,3 +1241,71 @@ def conformal_calibration(
         ).alias("coverage"),
         F.lit(round(target, 3)).alias("target_coverage"),
     )
+
+
+def quantile_treatment_effect(
+    df: DataFrame,
+    variant_col: str,
+    value_cents_col: str,
+    percentiles_milli: "Sequence[int]" = (100, 500, 900),
+    arm_a: str = "a",
+    arm_b: str = "b",
+) -> DataFrame:
+    """Quantile treatment effects — the difference between the arms'
+    DISTRIBUTIONS at chosen quantiles, not just their means: a
+    treatment that fattens the p90 while leaving the median alone is
+    invisible to :func:`welch_ttest` and obvious here. The standard
+    heavy-tail readout for latency, spend, and session-length
+    experiments.
+
+    Quantiles are percentile_disc-style RANK SELECTIONS (the
+    ``ceil(p·n)``-th smallest actual value — exact integers in, exact
+    integers out, no interpolation): one per-arm window over the
+    (value, row-order) sort, one filter per requested rank, then the
+    two arms align on the percentile. QTE = q_b − q_a is integer
+    subtraction.
+
+    Output: ``(p_milli, q_a, q_b, qte)``, one row per percentile.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_cents_col).cast("long")
+    base = df.select(F.col(variant_col).alias("__arm"), v.alias("__v")).filter(
+        F.col("__arm").isin([arm_a, arm_b])
+    )
+    w = Window.partitionBy("__arm").orderBy(F.col("__v").asc())
+    wa = Window.partitionBy("__arm")
+    ranked = base.withColumn("__rk", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(wa)
+    )
+    probes = ranked.select(
+        "__arm",
+        "__v",
+        "__rk",
+        "__n",
+        F.explode(
+            F.array(*[F.lit(int(p)) for p in percentiles_milli])
+        ).alias("p_milli"),
+    ).withColumn(
+        "__target",
+        F.greatest(
+            F.floor((F.col("p_milli") * F.col("__n") + 999) / 1000).cast(
+                "long"
+            ),
+            F.lit(1),
+        ),
+    )
+    q = (
+        probes.filter(F.col("__rk") == F.col("__target"))
+        .groupBy("p_milli")
+        .agg(
+            F.max(F.when(F.col("__arm") == arm_a, F.col("__v"))).alias("q_a"),
+            F.max(F.when(F.col("__arm") == arm_b, F.col("__v"))).alias("q_b"),
+        )
+    )
+    return q.select(
+        "p_milli",
+        "q_a",
+        "q_b",
+        (F.col("q_b") - F.col("q_a")).alias("qte"),
+    )

@@ -580,3 +580,54 @@ def zipf_fit(
             (F.col("sy") - slope * F.col("sx")) / n, 6
         ).alias("intercept"),
     )
+
+
+def rbo_rankings(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    depth: int = 5,
+) -> DataFrame:
+    """Rank-biased overlap (Webber et al.) between two per-query
+    rankings, truncated at ``depth`` with persistence p = 1/2 — "how
+    much do these two retrievers / scorers agree, weighted toward the
+    top": the ranking-comparison metric beside :func:`ndcg_at_k`
+    (NDCG scores ONE ranking against relevance; RBO compares TWO
+    rankings against each other — retriever A/B tests, feature-drift
+    checks on recommendation lists).
+
+    p = 1/2 on purpose — the exactness device: every weight is a
+    dyadic rational, so with D = 5 the truncated, renormalized score
+    ``RBO = (sum_d X_d/(d·2^d)) / (1 − 2^−D)`` scales by 1920 into
+    EXACT INTEGERS (960·X₁ + 240·X₂ + 80·X₃ + 30·X₄ + 12·X₅) and
+    closes with ONE division by 1860 — no float accumulation, no
+    geometric-series rounding. X_d = |top-d(A) ∩ top-d(B)| comes from
+    one (query, item) equi-join + a conditional agg over the D
+    depths; identical rankings score exactly 1.0.
+
+    Inputs: ``(query_id, item, rank)`` each, rank 1-based and unique
+    per query. Output: ``(query_id, overlap_at_depth, rbo)``.
+    """
+    if depth != 5:
+        raise ValueError("the dyadic scale table is built for depth=5")
+    a = ranked_a.select("query_id", "item", F.col("rank").alias("__ra"))
+    b = ranked_b.select("query_id", "item", F.col("rank").alias("__rb"))
+    j = a.join(b, ["query_id", "item"]).filter(
+        (F.col("__ra") <= depth) & (F.col("__rb") <= depth)
+    )
+    scale = {1: 960, 2: 240, 3: 80, 4: 30, 5: 12}
+    mx = F.greatest(F.col("__ra"), F.col("__rb"))
+    # each intersecting pair contributes to every depth d >= max(ra,rb):
+    # sum_d>=m scale_d precomputed per m
+    tail = {m: sum(scale[d] for d in range(m, depth + 1)) for m in scale}
+    contrib = F.when(mx == 1, F.lit(tail[1]))
+    for m in range(2, depth + 1):
+        contrib = contrib.when(mx == m, F.lit(tail[m]))
+    g = j.groupBy("query_id").agg(
+        F.sum((mx <= depth).cast("long")).alias("overlap_at_depth"),
+        F.sum(contrib.cast("long")).alias("__s"),
+    )
+    return g.select(
+        "query_id",
+        "overlap_at_depth",
+        F.round(F.col("__s").cast("double") / F.lit(1860.0), 9).alias("rbo"),
+    )

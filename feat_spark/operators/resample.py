@@ -195,3 +195,68 @@ def seasonal_decompose_daily(
             ),
         ).alias("remainder"),
     )
+
+
+def seasonal_outliers(
+    df: DataFrame,
+    day_col: str,
+    value_cents_col: str,
+    period: int = 7,
+    k_mad: float = 3.0,
+) -> DataFrame:
+    """Season-aware anomaly flags on a daily series — outliers in the
+    REMAINDER of :func:`seasonal_decompose_daily`, scored against the
+    median ± k·MAD band: the robust alert that doesn't fire every
+    Saturday (the seasonal term absorbed it) and doesn't let one
+    broken day poison its own threshold (median/MAD have a 50%
+    breakdown; mean/σ would chase the outlier). The composition
+    :func:`profile.seasonal_anomaly` approximates with trailing
+    windows; this is the decomposition-exact version.
+
+    Determinism: remainders are the decomposition's fixed-order
+    doubles; median and MAD are RANK SELECTIONS (``ceil(n/2)``-th
+    smallest — percentile_disc semantics, no interpolation), computed
+    by two window passes over the bounded day-count series; the flag
+    is one comparison. Zero-MAD series (constant remainder) flag
+    nothing — there is no scale to exceed.
+
+    Output: ``(day, value_cents, remainder, med, mad, is_outlier)``
+    for full-window days only.
+    """
+    from pyspark.sql import Window
+
+    dec = seasonal_decompose_daily(
+        df, day_col, value_cents_col, period=period
+    ).filter(F.col("remainder").isNotNull())
+    w_rank = Window.orderBy(F.col("remainder").asc(), F.col("day").asc())
+    w_all = Window.partitionBy(F.lit(1))
+    ranked = dec.withColumn("__rk", F.row_number().over(w_rank)).withColumn(
+        "__n", F.count(F.lit(1)).over(w_all)
+    )
+    med = ranked.filter(
+        F.col("__rk") == F.ceil(F.col("__n") / 2).cast("long")
+    ).select(F.col("remainder").alias("__med"))
+    d1 = dec.crossJoin(F.broadcast(med))  # 1-row median (cuped class)
+    w_rank2 = Window.orderBy(
+        F.abs(F.col("remainder") - F.col("__med")).asc(), F.col("day").asc()
+    )
+    ranked2 = d1.withColumn("__rk", F.row_number().over(w_rank2)).withColumn(
+        "__n", F.count(F.lit(1)).over(w_all)
+    )
+    mad = ranked2.filter(
+        F.col("__rk") == F.ceil(F.col("__n") / 2).cast("long")
+    ).select(
+        F.abs(F.col("remainder") - F.col("__med")).alias("__mad")
+    )
+    out = d1.crossJoin(F.broadcast(mad))
+    dev = F.abs(F.col("remainder") - F.col("__med"))
+    return out.select(
+        "day",
+        "value_cents",
+        "remainder",
+        F.round(F.col("__med"), 9).alias("med"),
+        F.round(F.col("__mad"), 9).alias("mad"),
+        F.when(F.col("__mad") > 0, dev > F.lit(float(k_mad)) * F.col("__mad"))
+        .otherwise(F.lit(False))
+        .alias("is_outlier"),
+    )

@@ -205,3 +205,76 @@ def build_feature_matrix(df: DataFrame, spec: FeatureMatrixSpec) -> DataFrame:
             tiebreak=spec.tiebreak,
         )
     return out
+
+
+def freshness_slo(
+    left: DataFrame,
+    rhs: DataFrame,
+    on: str,
+    segment_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    slo_days: int = 7,
+) -> DataFrame:
+    """Feature-freshness SLO report — for a point-in-time enrichment
+    (the engine's as-of join), how STALE are the features actually
+    served: per segment, the match rate, the mean staleness in whole
+    days, and the share of matches inside the freshness SLO. The
+    operational complement of ``plans/audit.leakage_audit`` (that one
+    proves staleness is never NEGATIVE — no future reads; this one
+    reports how positive it is, which is what a feature-store SLO
+    dashboard tracks).
+
+    One as-of join (the union-window machinery, unchanged), one agg.
+    Staleness is integer whole days (``div`` on microsecond
+    integers); the mean is ONE division of exact integers; rates are
+    count ratios. Unmatched rows count against ``match_rate`` but not
+    against staleness (no match has no age).
+
+    Output: ``(segment, n_rows, n_matched, match_rate,
+    avg_staleness_days, within_slo_rate)``.
+    """
+    j = asof_join(
+        left,
+        rhs,
+        on=on,
+        left_ts=left_ts,
+        right_ts=right_ts,
+        value_cols=[],
+        include_matched_ts=True,
+    )
+    days = F.expr(
+        f"(unix_micros(cast({left_ts} as timestamp)) - "
+        f"unix_micros(cast(matched_ts as timestamp))) div 86400000000"
+    )
+    g = j.groupBy(F.col(segment_col).alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("matched_ts").alias("n_matched"),
+        F.sum(days).alias("__sd"),
+        F.sum((days <= slo_days).cast("long")).alias("__ok"),
+    )
+    return g.select(
+        "segment",
+        "n_rows",
+        "n_matched",
+        F.round(
+            F.col("n_matched").cast("double") / F.col("n_rows").cast("double"),
+            9,
+        ).alias("match_rate"),
+        F.when(
+            F.col("n_matched") > 0,
+            F.round(
+                F.col("__sd").cast("double")
+                / F.col("n_matched").cast("double"),
+                9,
+            ),
+        ).alias("avg_staleness_days"),
+        F.when(
+            F.col("n_matched") > 0,
+            F.round(
+                F.col("__ok").cast("double")
+                / F.col("n_matched").cast("double"),
+                9,
+            ),
+        ).alias("within_slo_rate"),
+    )

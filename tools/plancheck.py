@@ -67,7 +67,10 @@ NL_EXEMPT = {"knn_cosine", "embedding_near_dup", "knn_cosine_ivf",
              "eb_shrink_rates",
              # same 1-row class: the one-row sorted-fold normalizer
              # crossed onto the bounded stratum frame
-             "neyman_allocation"}
+             "neyman_allocation",
+             # same 1-row class: the one-row median and one-row MAD
+             # frames crossed onto the bounded day series
+             "seasonal_outliers"}
 
 #: max Exchange nodes allowed (shuffles; BroadcastExchange excluded).
 #: window/sessionize pipelines must reuse ONE exchange.
