@@ -5532,6 +5532,98 @@ def _q_quantile_treatment(spark, sf_dir):
     )
 
 
+def _q_restatement_plan(spark, sf_dir):
+    """Late-data restatement planning (incremental.restatement_plan):
+    a simulated late batch (1-in-10 events, half shifted onto brand-new
+    days) against the on-time daily state — which partitions the merge
+    touches, how many rows/keys, appends vs rewrites. The
+    merge-on-read blast-radius report. Oracle replays grain and the
+    membership flag."""
+    from feat_spark.plans.incremental import restatement_plan
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "day"
+        ),
+    )
+    state = e.filter(F.col("event_id") % 10 != 0).select("day")
+    late = e.filter(F.col("event_id") % 10 == 0).select(
+        (F.col("day") + (F.col("user_id") % 2) * 40).alias("day"),
+        F.col("user_id").alias("key"),
+    )
+    return restatement_plan(state, late, partition_col="day")
+
+
+def _q_interval_align(spark, sf_dir):
+    """Interval-overlap alignment (eventops.interval_align): per-user
+    daily activity spans crossed with 4-hour post-purchase campaign
+    windows — overlap microseconds under half-open semantics, the
+    time-weighted attribution primitive. Equi-join on user + the
+    overlap band; fan-out bounded per key. Oracle replays the band
+    join."""
+    from feat_spark.operators.eventops import interval_align
+
+    e = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    left = e.groupBy(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "__day"
+        ),
+    ).agg(
+        F.min(us).alias("l_start"), (F.max(us) + 1).alias("l_end")
+    )
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        us.alias("r_start"),
+        (us + 4 * 3600 * 1_000_000).alias("r_end"),
+    )
+    return interval_align(left, right, "user_id")
+
+
+def _q_dwell_attribution(spark, sf_dir):
+    """Time-spent attribution (eventops.dwell_attribution): each event
+    owns the capped gap to the user's next event (30-min cap; final
+    events own nothing — unobserved, excluded), rolled up per type
+    with corpus share. One lead per user partition. Oracle replays
+    lead, cap, and the share."""
+    from feat_spark.operators.eventops import dwell_attribution
+
+    return dwell_attribution(
+        _events(spark, sf_dir), "user_id", "event_type", cap_s=1800
+    )
+
+
+def _q_benford_audit(spark, sf_dir):
+    """Benford first-digit audit (profile.benford_audit) of event
+    cents: leading digit by STRING arithmetic (no log10 at query
+    time), baked-in expected probabilities, per-digit chi-square
+    contributions from exact counts. The fabricated-data tripwire —
+    the report says WHICH digits deviate. Oracle replays digits,
+    shares, and the chi2 terms."""
+    from feat_spark.operators.profile import benford_audit
+
+    e = _events(spark, sf_dir).select(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return benford_audit(e, "cents")
+
+
+def _q_salt_advisor(spark, sf_dir):
+    """Salting prescription (salted.salt_advisor): top-10 heaviest
+    user keys with the exact ceil-division salt factor that caps a
+    salted task at 50 rows (sf-scaled target), and the needs-salt
+    verdict — skew_report's diagnosis turned into the number the fix
+    needs. Oracle replays the top-k and the ceil division."""
+    from feat_spark.operators.salted import salt_advisor
+
+    return salt_advisor(
+        _events(spark, sf_dir), "user_id",
+        target_rows_per_task=50, top_k=10,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -5562,16 +5654,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-191, after the window froze):
-    # 141 brand-new gates built AFTER the r4 window was fixed
+    # LATE-ROUND-4 ADDITIONS (positions 51-196, after the window froze):
+    # 146 brand-new gates built AFTER the r4 window was fixed
     # (scd2_build..neighbor_majority from the mid-round sessions,
     # split_balance..ndcg, sequential_ids..growth_accounting,
     # theilsen_trend..clustering_coeff, then
-    # countmin_topk..quantile_treatment from the last session); all
+    # countmin_topk..salt_advisor from the last session); all
     # dtype-strict-selfcheck green at sf0.01 in their build session,
     # never driver-checked. ROUND-5 WINDOW
-    # PLAN, in order: (1) as many of the 141 late-r4 gates +
-    # semantic_dedup + knn_cosine_ivf (positions 51-193) as fit the
+    # PLAN, in order: (1) as many of the 146 late-r4 gates +
+    # semantic_dedup + knn_cosine_ivf (positions 51-198) as fit the
     # 50-slot window, oldest-built first (scd2_build..), the rest
     # queue for r6; (2) then the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
@@ -5776,6 +5868,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rbo_rankings": _q_rbo_rankings,
         "seasonal_outliers": _q_seasonal_outliers,
         "quantile_treatment": _q_quantile_treatment,
+        "restatement_plan": _q_restatement_plan,
+        "interval_align": _q_interval_align,
+        "dwell_attribution": _q_dwell_attribution,
+        "benford_audit": _q_benford_audit,
+        "salt_advisor": _q_salt_advisor,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -11271,4 +11368,105 @@ def oracle_sql() -> dict[str, str]:
           select cast(p_milli as int) as p_milli, q_a, q_b,
                  q_b - q_a as qte
           from q""",
+        "restatement_plan": """
+          with ev as (
+            select event_id, user_id,
+                   epoch_us(ts) // 86400000000 as day
+            from events),
+          state as (
+            select distinct day from ev where event_id % 10 <> 0),
+          late as (
+            select day + (user_id % 2) * 40 as day, user_id
+            from ev where event_id % 10 = 0),
+          d as (
+            select day as partition, count(*) as n_late_rows,
+                   count(distinct user_id) as n_late_keys
+            from late group by 1)
+          select partition,
+                 cast(n_late_rows as bigint) as n_late_rows,
+                 cast(n_late_keys as bigint) as n_late_keys,
+                 (partition not in (select day from state))
+                   as is_new_partition
+          from d""",
+        "interval_align": """
+          with l as (
+            select user_id, min(epoch_us(ts)) as l_start,
+                   max(epoch_us(ts)) + 1 as l_end
+            from events
+            group by user_id, epoch_us(ts) // 86400000000),
+          r as (
+            select user_id, epoch_us(ts) as r_start,
+                   epoch_us(ts) + 14400000000 as r_end
+            from events where event_type = 'purchase')
+          select l.user_id, l_start, l_end, r_start, r_end,
+                 least(l_end, r_end) - greatest(l_start, r_start)
+                   as overlap_us
+          from l join r on l.user_id = r.user_id
+               and l_start < r_end and r_start < l_end""",
+        "dwell_attribution": """
+          with g0 as (
+            select event_type,
+                   lead(epoch_us(ts)) over (partition by user_id
+                     order by ts asc, event_id asc) as nxt,
+                   epoch_us(ts) as us
+            from events),
+          g as (
+            select event_type,
+                   case when nxt is not null then
+                     floor(least((nxt - us) / 1000000, 1800.0))
+                   end as dw
+            from g0),
+          a as (
+            select event_type, count(*) as n_events,
+                   sum(cast(dw as bigint)) as dwell_s_total
+            from g where dw is not null group by 1),
+          t as (
+            select *, sum(dwell_s_total) over () as tot from a)
+          select event_type, cast(n_events as bigint) as n_events,
+                 cast(dwell_s_total as bigint) as dwell_s_total,
+                 case when tot > 0 then
+                   round(cast(dwell_s_total as double)
+                         / cast(tot as double), 9)
+                 end as dwell_share
+          from t""",
+        "benford_audit": """
+          with d as (
+            select cast(substr(cast(cast(round(value * 100) as bigint)
+                                    as varchar), 1, 1) as int) as digit
+            from events
+            where cast(round(value * 100) as bigint) >= 1),
+          g as (select digit, count(*) as n_obs from d group by 1),
+          t as (select *, sum(n_obs) over () as n from g),
+          e as (
+            select *,
+                   case digit
+                     when 1 then 0.3010299956639812
+                     when 2 then 0.17609125905568124
+                     when 3 then 0.12493873660829993
+                     when 4 then 0.09691001300805642
+                     when 5 then 0.07918124604762482
+                     when 6 then 0.06694678963061322
+                     when 7 then 0.05799194697768673
+                     when 8 then 0.05115252244738129
+                     when 9 then 0.04575749056067514
+                   end::DOUBLE as p
+            from t)
+          select digit, cast(n_obs as bigint) as n_obs,
+                 round(p, 9) as expected_p,
+                 round(cast(n_obs as double) / cast(n as double), 9)
+                   as observed_p,
+                 round((cast(n_obs as double) - cast(n as double) * p)
+                       * (cast(n_obs as double) - cast(n as double) * p)
+                       / (cast(n as double) * p), 9) as chi2_term
+          from e""",
+        "salt_advisor": """
+          with g as (
+            select cast(user_id as varchar) as key,
+                   count(*) as n_rows
+            from events where user_id is not null
+            group by 1 order by n_rows desc, key asc limit 10)
+          select key, cast(n_rows as bigint) as n_rows,
+                 cast((n_rows + 49) // 50 as int) as salt_factor,
+                 ((n_rows + 49) // 50) > 1 as needs_salt
+          from g""",
     }

@@ -207,3 +207,98 @@ def gap_streaks(
             F.lit(0),
         ).alias("n_gaps_over"),
     )
+
+
+def interval_align(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    l_start: str = "l_start",
+    l_end: str = "l_end",
+    r_start: str = "r_start",
+    r_end: str = "r_end",
+) -> DataFrame:
+    """Interval-overlap alignment — for every key-matched pair of a
+    left interval (a session, a visit, an incident) and a right
+    interval (a campaign window, an on-call shift, an outage), the
+    OVERLAP DURATION ``max(0, min(ends) − max(starts))``: the
+    time-weighted attribution primitive behind "how much of this
+    session ran during the promo" — :func:`feat_spark.operators
+    .windows.interval_coverage` unions ONE set; this crosses TWO.
+
+    Equi-join on the key plus the overlap band predicate — the range-
+    join family's cost model (fan-out bounded by overlapping
+    intervals per key, never a cross product). Pure integer
+    microsecond arithmetic; half-open [start, end) semantics so
+    touching intervals overlap zero.
+
+    Output: ``on`` + ``(l_start, l_end, r_start, r_end,
+    overlap_us)`` for pairs with positive overlap.
+    """
+    j = left.join(right, on).filter(
+        (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))
+    )
+    ov = F.least(F.col(l_end), F.col(r_end)) - F.greatest(
+        F.col(l_start), F.col(r_start)
+    )
+    return j.select(
+        on, l_start, l_end, r_start, r_end, ov.alias("overlap_us")
+    )
+
+
+def dwell_attribution(
+    df: DataFrame,
+    entity_col: str,
+    type_col: str,
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    cap_s: int = 1800,
+) -> DataFrame:
+    """Time-spent attribution — each event owns the time until the
+    entity's NEXT event (capped, so an overnight gap doesn't award
+    eight hours to the last click), rolled up per event type with its
+    corpus share: the "where did the minutes go" report behind every
+    engagement dashboard, and the honest version of it (the final
+    event of an entity owns NOTHING — its dwell is unobserved, not
+    zero, and it is excluded rather than imputed).
+
+    One lead() per entity partition (shuffle carries (entity, ts,
+    type)), one partial agg, one window total for the share. Integer
+    second arithmetic; the share is one division, 9dp.
+
+    Output: ``(event_type, n_events, dwell_s_total, dwell_share)``.
+    """
+    w = Window.partitionBy(entity_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    nxt = F.lead(us, 1).over(w)
+    # guard BEFORE least(): least() skips NULLs in every engine, so an
+    # unguarded cap would award the final event the full cap instead
+    # of excluding it
+    gap_s = F.when(
+        nxt.isNotNull(),
+        F.least((nxt - us) / 1_000_000, F.lit(float(cap_s))),
+    )
+    d = df.select(
+        F.col(type_col).alias("event_type"),
+        F.floor(gap_s).cast("long").alias("__dwell"),
+    ).filter(F.col("__dwell").isNotNull())
+    g = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("__dwell").alias("dwell_s_total"),
+    )
+    wa = Window.partitionBy(F.lit(1))
+    return g.withColumn("__tot", F.sum("dwell_s_total").over(wa)).select(
+        "event_type",
+        "n_events",
+        "dwell_s_total",
+        F.when(
+            F.col("__tot") > 0,
+            F.round(
+                F.col("dwell_s_total").cast("double")
+                / F.col("__tot").cast("double"),
+                9,
+            ),
+        ).alias("dwell_share"),
+    )

@@ -1315,3 +1315,63 @@ def pareto_frontier(
         .select(*keys, F.col(id_col).alias("id"), F.col(x_col).alias("x"),
                 F.col(y_col).alias("y"))
     )
+
+
+#: Benford first-digit probabilities log10(1 + 1/d), precomputed as
+#: double literals so both engines fold the SAME constants (no log10
+#: call at query time anywhere).
+BENFORD_P = {
+    1: 0.3010299956639812, 2: 0.17609125905568124,
+    3: 0.12493873660829993, 4: 0.09691001300805642,
+    5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Benford first-digit audit — compare the leading-digit
+    distribution of a positive amount column against Benford's law:
+    the classic fabricated-data / broken-ETL tripwire (organic
+    multi-scale amounts follow log10(1+1/d); truncated, defaulted, or
+    invented ones don't). One row per digit plus the chi-square
+    contribution, so the report says WHICH digits deviate, not just
+    that something does.
+
+    Determinism: the first digit is STRING arithmetic
+    (``substr(cast(v as string), 1, 1)``) — exact for positive
+    integers in any engine, no log10 at query time; expected
+    probabilities are baked-in double literals; each digit's
+    ``(obs − n·p)² / (n·p)`` is a fixed-order expression of an exact
+    count and one literal, 9dp. One partial-agg pass + one 9-row
+    window for the total.
+
+    Output: ``(digit, n_obs, expected_p, observed_p, chi2_term)``.
+    """
+    v = F.col(value_col).cast("long")
+    d = df.filter(v >= 1).select(
+        F.substring(v.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    g = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    w = Window.partitionBy(F.lit(1))
+    g = g.withColumn("__n", F.sum("n_obs").over(w))
+    expected = F.col("digit")
+    expr = None
+    for dig, prob in BENFORD_P.items():
+        expr = (
+            F.when(expected == dig, F.lit(prob))
+            if expr is None
+            else expr.when(expected == dig, F.lit(prob))
+        )
+    e = F.col("__n").cast("double") * expr
+    obs = F.col("n_obs").cast("double")
+    return g.select(
+        "digit",
+        "n_obs",
+        F.round(expr, 9).alias("expected_p"),
+        F.round(obs / F.col("__n").cast("double"), 9).alias("observed_p"),
+        F.round((obs - e) * (obs - e) / e, 9).alias("chi2_term"),
+    )

@@ -143,3 +143,41 @@ def salted_group_agg(
             *[f"{c}_{fn}" for fn in ("sum", "count") if fn not in aggs[c]]
         )
     return final
+
+
+def salt_advisor(
+    df: DataFrame,
+    key_col: str,
+    target_rows_per_task: int = 5_000_000,
+    top_k: int = 20,
+) -> DataFrame:
+    """Salting prescription — turn :func:`feat_spark.operators.profile
+    .skew_report`'s diagnosis into the NUMBER the fix needs: for each
+    of the heaviest keys, the salt factor ``ceil(n_key /
+    target_rows_per_task)`` that caps every salted partition at the
+    target, and whether salting is warranted at all (factor 1 keys
+    ride the normal path — salting them just adds a second shuffle
+    for nothing). Feed the >1 rows to :func:`salted_aggregate` /
+    the as-of hot-key isolation as their hot-key list.
+
+    One partial-agg key count, one TakeOrdered top-k (count desc, key
+    asc) — the report is k rows, the driver never sees the data.
+    Exact integer ceil-division.
+
+    Output: ``(key, n_rows, salt_factor, needs_salt)``.
+    """
+    g = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        .limit(top_k)
+    )
+    t = int(target_rows_per_task)
+    factor = F.floor((F.col("n_rows") + t - 1) / t).cast("int")
+    return g.select(
+        "key",
+        "n_rows",
+        factor.alias("salt_factor"),
+        (factor > 1).alias("needs_salt"),
+    )

@@ -83,3 +83,43 @@ def merge_rollup(
             raise ValueError(f"{kind!r} is not an algebraic aggregate")
         combs.append(_KINDS[kind][1](out).alias(out))
     return prev.unionByName(delta).groupBy(*keys).agg(*combs)
+
+
+def restatement_plan(
+    state_keys: DataFrame,
+    late: DataFrame,
+    partition_col: str = "day",
+    key_col: str = "key",
+) -> DataFrame:
+    """Late-data restatement planning — BEFORE merging a late-arriving
+    batch into a partitioned aggregate, list exactly which partitions
+    it touches and how hard: the merge-on-read planner's input (which
+    files to rewrite, how much reshuffle the restatement costs) and
+    the report a backfill operator reads before deciding
+    full-recompute vs incremental :func:`merge_rollup`. Without this,
+    a one-row late event costs a full-table rewrite; with it, the
+    blast radius is measured, not assumed.
+
+    One partial agg of the late batch to partition grain, one left
+    join onto the state's partition list (late partitions ABSENT from
+    state are flagged ``is_new_partition`` — appends, not rewrites).
+    Exact counts; the report is partitions-sized.
+
+    Output: ``(partition, n_late_rows, n_late_keys,
+    is_new_partition)``.
+    """
+    d = late.groupBy(F.col(partition_col).alias("partition")).agg(
+        F.count(F.lit(1)).alias("n_late_rows"),
+        F.count_distinct(F.col(key_col)).alias("n_late_keys"),
+    )
+    s = state_keys.select(
+        F.col(partition_col).alias("partition")
+    ).distinct().withColumn("__present", F.lit(True))
+    return d.join(s, "partition", "left").select(
+        "partition",
+        "n_late_rows",
+        "n_late_keys",
+        F.coalesce(~F.col("__present"), F.lit(True)).alias(
+            "is_new_partition"
+        ),
+    )
