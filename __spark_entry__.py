@@ -5624,6 +5624,56 @@ def _q_salt_advisor(spark, sf_dir):
     )
 
 
+def _q_python_datasource(spark, sf_dir):
+    """Custom Python DataSource (sources/pysource.py, the Spark-4
+    user-defined source API): a planned, partitioned scan whose rows
+    are a pure md5 function of the row id — 5000 rows over 8
+    InputPartitions, summarized per bucket%10 residue. The oracle
+    replays the ENTIRE source with generate_series + md5, so the gate
+    hash-matches actual read results, not shapes."""
+    from feat_spark.sources.pysource import register
+
+    register(spark)
+    df = (
+        spark.read.format("feat_synth")
+        .option("n", "5000")
+        .option("partitions", "8")
+        .option("width", "1000")
+        .load()
+    )
+    return df.groupBy((F.col("bucket") % 10).alias("residue")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("id").alias("id_sum"),
+        F.count_distinct("bucket").alias("n_buckets"),
+    )
+
+
+def _q_variant_extract(spark, sf_dir):
+    """Spark-4 VariantType extraction (semistructured.variant_features):
+    props parsed ONCE via try_parse_json (1-in-10 rows deliberately
+    truncated to exercise the malformed->NULL path, never an ANSI
+    abort), typed try_variant_get probes for a present int field and
+    an absent one. Oracle replays with DuckDB's JSON probes + a
+    json-validity twin."""
+    from feat_spark.operators.semistructured import variant_features
+
+    e = _events(spark, sf_dir)
+    mangled = F.when(
+        F.col("event_id") % 10 == 0,
+        F.expr("substring(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    d = e.select("event_id", mangled.alias("j"))
+    feats = variant_features(
+        "j", {"k": ("$.k", "int"), "absent": ("$.nope", "string")}
+    )
+    return d.select(
+        "event_id",
+        feats["k"].alias("k"),
+        feats["absent"].alias("absent"),
+        feats["is_valid_json"].alias("is_valid_json"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -5654,16 +5704,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-196, after the window froze):
-    # 146 brand-new gates built AFTER the r4 window was fixed
+    # LATE-ROUND-4 ADDITIONS (positions 51-198, after the window froze):
+    # 148 brand-new gates built AFTER the r4 window was fixed
     # (scd2_build..neighbor_majority from the mid-round sessions,
     # split_balance..ndcg, sequential_ids..growth_accounting,
     # theilsen_trend..clustering_coeff, then
-    # countmin_topk..salt_advisor from the last session); all
+    # countmin_topk..variant_extract from the last session); all
     # dtype-strict-selfcheck green at sf0.01 in their build session,
     # never driver-checked. ROUND-5 WINDOW
-    # PLAN, in order: (1) as many of the 146 late-r4 gates +
-    # semantic_dedup + knn_cosine_ivf (positions 51-198) as fit the
+    # PLAN, in order: (1) as many of the 148 late-r4 gates +
+    # semantic_dedup + knn_cosine_ivf (positions 51-200) as fit the
     # 50-slot window, oldest-built first (scd2_build..), the rest
     # queue for r6; (2) then the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
@@ -5873,6 +5923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwell_attribution": _q_dwell_attribution,
         "benford_audit": _q_benford_audit,
         "salt_advisor": _q_salt_advisor,
+        "python_datasource": _q_python_datasource,
+        "variant_extract": _q_variant_extract,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -11469,4 +11521,29 @@ def oracle_sql() -> dict[str, str]:
                  cast((n_rows + 49) // 50 as int) as salt_factor,
                  ((n_rows + 49) // 50) > 1 as needs_salt
           from g""",
+        "python_datasource": """
+          with src as (
+            select i as id,
+                   (('0x' || substr(md5(cast(i as varchar)), 1, 8))
+                     ::BIGINT) % 1000 as bucket
+            from (select unnest(generate_series(0, 4999)) as i))
+          select bucket % 10 as residue,
+                 cast(count(*) as bigint) as n,
+                 cast(sum(id) as bigint) as id_sum,
+                 cast(count(distinct bucket) as bigint) as n_buckets
+          from src group by 1""",
+        "variant_extract": """
+          with d as (
+            select event_id,
+                   case when event_id % 10 = 0
+                        then substr(props, 1, length(props) - 1)
+                        else props end as j
+            from events)
+          select event_id,
+                 case when json_valid(j) then
+                   cast(json_extract(j, '$.k') as int) end as k,
+                 case when json_valid(j) then
+                   json_extract_string(j, '$.nope') end as absent,
+                 json_valid(j) as is_valid_json
+          from d""",
     }

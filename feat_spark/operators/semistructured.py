@@ -113,3 +113,30 @@ def cast_audit(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def variant_features(
+    json_col,
+    fields: "dict[str, tuple[str, str]]",
+):
+    """Typed extraction through Spark 4's VariantType — parse once
+    with ``try_parse_json`` (malformed input becomes NULL, never an
+    ANSI abort mid-job), then ``try_variant_get`` each requested
+    ``(path, type)``: the open-schema ingestion path for payload
+    columns whose shape drifts faster than a struct schema can chase
+    (the engine's JSON-string device in :func:`json_features` reparses
+    per field; Variant parses ONCE into a binary-encoded value and
+    each extraction is a cheap binary probe — the Spark-4-native answer).
+
+    Returns a dict of named Columns: the requested fields plus
+    ``is_valid_json`` (did the row parse at all). Pure projection —
+    codegen, no shuffle, no UDF.
+    """
+    c = F.col(json_col) if isinstance(json_col, str) else json_col
+    v = F.try_parse_json(c)
+    out = {
+        name: F.try_variant_get(v, path, dtype)
+        for name, (path, dtype) in fields.items()
+    }
+    out["is_valid_json"] = v.isNotNull()
+    return out
