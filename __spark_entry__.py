@@ -5674,6 +5674,72 @@ def _q_variant_extract(spark, sf_dir):
     )
 
 
+def _q_seasonal_naive(spark, sf_dir):
+    """Seasonal-naive forecast baseline (resample.seasonal_naive_eval):
+    forecast(d) = actual(d-7) via a calendar self-equi-join (holes
+    mean no forecast, not a shifted one), scored with exact-integer
+    MAE/bias and a 1e-9-quantized sMAPE sum. The baseline every model
+    must beat. Oracle replays join, quantization, and closes."""
+    from feat_spark.operators.resample import seasonal_naive_eval
+
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "day"
+        )
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    return seasonal_naive_eval(daily, "day", "cents", period=7)
+
+
+def _q_gap_sensitivity(spark, sf_dir):
+    """Session-gap tuning readout (eventops.gap_sensitivity): session
+    counts at 15/30/60-minute candidate gaps from ONE lead pass —
+    n_sessions(g) = n_users + #(gaps > g) — instead of one sessionizer
+    shuffle per candidate. Oracle replays the lag and the conditional
+    counts."""
+    from feat_spark.operators.eventops import gap_sensitivity
+
+    return gap_sensitivity(
+        _events(spark, sf_dir), "user_id", gaps_s=(900, 1800, 3600)
+    )
+
+
+def _q_markov_accuracy(spark, sf_dir):
+    """Next-event predictability (eventops.markov_accuracy): a
+    first-order Markov argmax predictor trained on even-day
+    transitions, scored on odd-day transitions per source state —
+    the transition matrix's evaluation companion. Deterministic
+    (count desc, next asc) argmax; broadcast prediction join. Oracle
+    replays split, argmax, and accuracy."""
+    from feat_spark.operators.eventops import markov_accuracy
+
+    return markov_accuracy(_events(spark, sf_dir), "user_id", "event_type")
+
+
+def _q_dup_matrix(spark, sf_dir):
+    """Cross-source duplication matrix (dedup.dup_source_matrix):
+    documents plus a planted 'mirror' source (1-in-3 docs copied, and
+    1-in-9 copied twice so within-mirror cells exist) — exact-dup
+    PAIRS per source pair from hash-grain integer algebra (n_a*n_b
+    across, n(n-1)/2 within), never a record-level pair join. Oracle
+    replays plants, grains, and the cell algebra."""
+    from feat_spark.operators.dedup import dup_source_matrix
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    m1 = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        "text",
+        F.lit("mirror").alias("source"),
+    )
+    m2 = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        "text",
+        F.lit("mirror").alias("source"),
+    )
+    allr = d.unionByName(m1).unionByName(m2)
+    return dup_source_matrix(allr, "doc_id", "text", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -5704,16 +5770,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-198, after the window froze):
-    # 148 brand-new gates built AFTER the r4 window was fixed
+    # LATE-ROUND-4 ADDITIONS (positions 51-202, after the window froze):
+    # 152 brand-new gates built AFTER the r4 window was fixed
     # (scd2_build..neighbor_majority from the mid-round sessions,
     # split_balance..ndcg, sequential_ids..growth_accounting,
     # theilsen_trend..clustering_coeff, then
-    # countmin_topk..variant_extract from the last session); all
+    # countmin_topk..dup_matrix from the last session); all
     # dtype-strict-selfcheck green at sf0.01 in their build session,
     # never driver-checked. ROUND-5 WINDOW
-    # PLAN, in order: (1) as many of the 148 late-r4 gates +
-    # semantic_dedup + knn_cosine_ivf (positions 51-200) as fit the
+    # PLAN, in order: (1) as many of the 152 late-r4 gates +
+    # semantic_dedup + knn_cosine_ivf (positions 51-204) as fit the
     # 50-slot window, oldest-built first (scd2_build..), the rest
     # queue for r6; (2) then the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
@@ -5925,6 +5991,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salt_advisor": _q_salt_advisor,
         "python_datasource": _q_python_datasource,
         "variant_extract": _q_variant_extract,
+        "seasonal_naive": _q_seasonal_naive,
+        "gap_sensitivity": _q_gap_sensitivity,
+        "markov_accuracy": _q_markov_accuracy,
+        "dup_matrix": _q_dup_matrix,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -11546,4 +11616,110 @@ def oracle_sql() -> dict[str, str]:
                    json_extract_string(j, '$.nope') end as absent,
                  json_valid(j) as is_valid_json
           from d""",
+        "seasonal_naive": """
+          with daily as (
+            select epoch_us(ts) // 86400000000 as d,
+                   sum(cast(round(value * 100) as bigint)) as a
+            from events group by 1),
+          j as (
+            select b.a as a, p.a as f
+            from daily b join daily p on p.d + 7 = b.d),
+          r as (
+            select a, f, abs(f - a) as err,
+                   abs(a) + abs(f) as den
+            from j),
+          s as (
+            select count(*) as n, sum(err) as sae,
+                   sum(f - a) as sbias,
+                   sum(cast(round(
+                     case when den > 0 then
+                       cast(2 * err as double) / cast(den as double)
+                     else 0.0 end * 1e9) as bigint)) as ssm
+            from r)
+          select cast(n as bigint) as n_scored,
+                 case when n > 0 then
+                   round(cast(sae as double) / cast(n as double), 9)
+                 end as mae_cents,
+                 case when n > 0 then
+                   round(cast(sbias as double) / cast(n as double), 9)
+                 end as bias_cents,
+                 case when n > 0 then
+                   round(cast(ssm as double)
+                         / (cast(n as double) * 1e9), 9)
+                 end as smape
+          from s""",
+        "gap_sensitivity": """
+          with g as (
+            select user_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) over (
+                     partition by user_id
+                     order by ts asc, event_id asc) as gap
+            from events),
+          a as (
+            select count(distinct user_id) as ne,
+                   sum(case when gap > 900000000 then 1 else 0 end)
+                     as b900,
+                   sum(case when gap > 1800000000 then 1 else 0 end)
+                     as b1800,
+                   sum(case when gap > 3600000000 then 1 else 0 end)
+                     as b3600
+            from g)
+          select cast(gap_s as int) as gap_s,
+                 cast(ne as bigint) as n_entities,
+                 cast(b as bigint) as n_boundaries,
+                 cast(ne + b as bigint) as n_sessions
+          from (
+            select 900 as gap_s, ne, b900 as b from a
+            union all select 1800, ne, b1800 from a
+            union all select 3600, ne, b3600 from a)""",
+        "markov_accuracy": """
+          with t as (
+            select event_type as cur,
+                   lead(event_type) over (partition by user_id
+                     order by ts asc, event_id asc) as nxt,
+                   (epoch_us(ts) // 86400000000) % 2 = 0 as tr
+            from events),
+          tt as (select * from t where nxt is not null),
+          train as (
+            select cur, nxt, count(*) as c
+            from tt where tr group by 1, 2),
+          pred as (
+            select cur, nxt as predicted from (
+              select *, row_number() over (partition by cur
+                order by c desc, nxt asc) as rn
+              from train)
+            where rn = 1),
+          ev as (
+            select tt.cur, tt.nxt, p.predicted
+            from tt join pred p using (cur) where not tr)
+          select cur, predicted,
+                 cast(count(*) as bigint) as n_eval,
+                 cast(sum(case when nxt = predicted then 1 else 0 end)
+                      as bigint) as n_correct,
+                 round(cast(sum(case when nxt = predicted then 1
+                                else 0 end) as double)
+                       / cast(count(*) as double), 9) as accuracy
+          from ev group by 1, 2""",
+        "dup_matrix": """
+          with docs as (
+            select doc_id, text, source from documents
+            union all
+            select doc_id + 200000, text, 'mirror'
+            from documents where doc_id % 3 = 0
+            union all
+            select doc_id + 300000, text, 'mirror'
+            from documents where doc_id % 9 = 0),
+          g as (
+            select md5(text) as h, source as s, count(*) as n
+            from docs group by 1, 2),
+          cp as (
+            select x.s as source_a, y.s as source_b, x.n * y.n as p
+            from g x join g y on x.h = y.h and x.s < y.s),
+          wp as (
+            select s as source_a, s as source_b,
+                   n * (n - 1) // 2 as p
+            from g where n >= 2)
+          select source_a, source_b, cast(sum(p) as bigint) as n_pairs
+          from (select * from cp union all select * from wp)
+          group by 1, 2 having sum(p) > 0""",
     }

@@ -1232,3 +1232,53 @@ def blocking_quality(
             ),
         ).alias("reduction_ratio"),
     )
+
+
+def dup_source_matrix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+) -> DataFrame:
+    """Cross-source duplication matrix — exact-duplicate PAIRS broken
+    down by which source pair produced them: the provenance readout
+    behind every crawl-dedup decision ("mirror-B is 90% copies of
+    site-A; drop the mirror, keep the origin") that a flat dup count
+    can't answer. Within-source cells (a == b) are self-duplication;
+    off-diagonal cells are mirroring.
+
+    Same scale shape as ``exact_dedup``: one hash-keyed grain
+    reduction to (text-hash, source, n) — the self-join that forms
+    pairs runs over the SOURCE-grain cluster rows (bounded by sources
+    per cluster, never records), and the pair count per cell is pure
+    integer algebra: ``n_a * n_b`` across sources,
+    ``n * (n-1) / 2`` within. Canonical (source_a <= source_b)
+    ordering.
+
+    Output: ``(source_a, source_b, n_pairs)``, cells with pairs only.
+    """
+    g = df.groupBy(
+        F.md5(F.col(text_col)).alias("__h"),
+        F.col(source_col).alias("__s"),
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    x, y = g.alias("x"), g.alias("y")
+    cross = (
+        x.join(y, "__h")
+        .filter(F.col("x.__s") < F.col("y.__s"))
+        .select(
+            F.col("x.__s").alias("source_a"),
+            F.col("y.__s").alias("source_b"),
+            (F.col("x.__n") * F.col("y.__n")).alias("__p"),
+        )
+    )
+    within = g.filter(F.col("__n") >= 2).select(
+        F.col("__s").alias("source_a"),
+        F.col("__s").alias("source_b"),
+        (F.col("__n") * (F.col("__n") - 1) / 2).cast("long").alias("__p"),
+    )
+    return (
+        cross.unionByName(within)
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("__p").alias("n_pairs"))
+        .filter(F.col("n_pairs") > 0)
+    )

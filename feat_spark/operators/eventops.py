@@ -302,3 +302,131 @@ def dwell_attribution(
             ),
         ).alias("dwell_share"),
     )
+
+
+def gap_sensitivity(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    gaps_s: "Sequence[int]" = (900, 1800, 3600),
+) -> DataFrame:
+    """Session-gap sensitivity — how many sessions would each
+    candidate inactivity gap produce, from ONE pass: ``n_sessions(g)
+    = n_entities + #(inter-event gaps > g)`` (every entity starts one
+    session; every over-gap step starts another). The tuning readout
+    in front of ``sessionize(gap=...)`` — re-running the sessionizer
+    per candidate gap costs a shuffle each; this is one lead() and a
+    conditional agg for the whole grid.
+
+    Exact integer counts; a literal unpivot emits one row per
+    candidate gap.
+
+    Output: ``(gap_s, n_entities, n_boundaries, n_sessions)``.
+    """
+    w = Window.partitionBy(entity_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = us - F.lag(us, 1).over(w)
+    d = df.select(F.col(entity_col).alias("__e"), gap.alias("__gap"))
+    aggs = [F.count_distinct(F.col("__e")).alias("__ne")]
+    for g in gaps_s:
+        aggs.append(
+            F.sum(
+                (F.col("__gap") > int(g) * 1_000_000).cast("long")
+            ).alias(f"__b_{g}")
+        )
+    one = d.agg(*aggs)
+    rows = one.select(
+        "__ne",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(g)).alias("gap_s"),
+                        F.col(f"__b_{g}").alias("n_boundaries"),
+                    )
+                    for g in gaps_s
+                ]
+            )
+        ).alias("r"),
+    ).select("__ne", "r.gap_s", "r.n_boundaries")
+    return rows.select(
+        "gap_s",
+        F.col("__ne").alias("n_entities"),
+        "n_boundaries",
+        (F.col("__ne") + F.col("n_boundaries")).alias("n_sessions"),
+    )
+
+
+def markov_accuracy(
+    df: DataFrame,
+    entity_col: str,
+    type_col: str,
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    day_expr=None,
+) -> DataFrame:
+    """Next-event predictability — train a first-order Markov
+    predictor (argmax of the transition counts) on half the
+    transitions, score its accuracy on the other half, per source
+    state: the readout that says whether event sequences carry signal
+    at all (accuracy ≈ the majority-class rate means they don't) and
+    WHICH states are predictable. The evaluation-side companion of
+    the transition matrix.
+
+    One lead() builds (cur, next, is_train) transition rows (a
+    transition trains iff its SOURCE event's epoch day is even — a
+    deterministic hash-free split); the predictor is a per-state
+    argmax with (count desc, next asc) tie-breaking; eval rows join
+    the (states-sized, broadcast) prediction table. Exact counts, one
+    division.
+
+    Output: ``(cur, predicted, n_eval, n_correct, accuracy)``.
+    """
+    w = Window.partitionBy(entity_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    day = (
+        day_expr
+        if day_expr is not None
+        else F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) div 86400000000"
+        )
+    )
+    t = df.select(
+        F.col(type_col).alias("cur"),
+        F.lead(F.col(type_col), 1).over(w).alias("nxt"),
+        (day % 2 == 0).alias("__train"),
+    ).filter(F.col("nxt").isNotNull())
+    train = (
+        t.filter(F.col("__train"))
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wp = Window.partitionBy("cur").orderBy(
+        F.col("__c").desc(), F.col("nxt").asc()
+    )
+    pred = (
+        train.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") == 1)
+        .select("cur", F.col("nxt").alias("predicted"))
+    )
+    ev = t.filter(~F.col("__train")).join(F.broadcast(pred), "cur", "inner")
+    g = ev.groupBy("cur", "predicted").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum((F.col("nxt") == F.col("predicted")).cast("long")).alias(
+            "n_correct"
+        ),
+    )
+    return g.select(
+        "cur",
+        "predicted",
+        "n_eval",
+        "n_correct",
+        F.round(
+            F.col("n_correct").cast("double") / F.col("n_eval").cast("double"),
+            9,
+        ).alias("accuracy"),
+    )

@@ -260,3 +260,64 @@ def seasonal_outliers(
         .otherwise(F.lit(False))
         .alias("is_outlier"),
     )
+
+
+def seasonal_naive_eval(
+    df: DataFrame,
+    day_col: str,
+    value_cents_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Seasonal-naive forecast baseline + its error report —
+    ``forecast(d) = actual(d − period)``, scored with MAE, bias, and
+    sMAPE: the baseline every real forecasting model must beat before
+    it earns a deployment, and the standing data-health metric ("how
+    predictable is this series week-over-week"). Matching is a
+    calendar self-EQUI-join on ``day − period`` (not a lag over row
+    positions — holes in the series must mean "no forecast", not
+    "forecast from the wrong week").
+
+    Exactness: MAE and bias close from exact integer cent sums (one
+    division each). sMAPE's per-row ratio ``2|f−a|/(|a|+|f|)`` is an
+    IEEE division of exact integers, but SUMMING those doubles is
+    order-dependent — so each row's term quantizes to 1e-9 (the
+    eb_shrink_rates device) and sums as an exact long before the one
+    closing division. Zero-denominator rows (both actual and forecast
+    zero) contribute sMAPE 0 — the conventional definition.
+
+    Output: one row ``(n_scored, mae_cents, bias_cents, smape)``.
+    """
+    base = df.select(
+        F.col(day_col).cast("long").alias("__d"),
+        F.col(value_cents_col).cast("long").alias("__a"),
+    )
+    prev = base.select(
+        (F.col("__d") + period).alias("__d"), F.col("__a").alias("__f")
+    )
+    j = base.join(prev, "__d")
+    err = F.abs(F.col("__f") - F.col("__a"))
+    den = F.abs(F.col("__a")) + F.abs(F.col("__f"))
+    smape_row = F.when(den > 0, (2 * err).cast("double") / den.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    g = j.agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(err).alias("__sae"),
+        F.sum(F.col("__f") - F.col("__a")).alias("__sbias"),
+        F.sum(F.round(smape_row * F.lit(1e9)).cast("long")).alias("__ssm"),
+    )
+    n = F.col("n_scored").cast("double")
+    return g.select(
+        "n_scored",
+        F.when(
+            F.col("n_scored") > 0, F.round(F.col("__sae").cast("double") / n, 9)
+        ).alias("mae_cents"),
+        F.when(
+            F.col("n_scored") > 0,
+            F.round(F.col("__sbias").cast("double") / n, 9),
+        ).alias("bias_cents"),
+        F.when(
+            F.col("n_scored") > 0,
+            F.round(F.col("__ssm").cast("double") / (n * F.lit(1e9)), 9),
+        ).alias("smape"),
+    )
