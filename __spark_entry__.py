@@ -5740,6 +5740,56 @@ def _q_dup_matrix(spark, sf_dir):
     return dup_source_matrix(allr, "doc_id", "text", "source")
 
 
+def _q_asof_lastk(spark, sf_dir):
+    """Last-k history as-of join (eventops.asof_lastk): each event
+    carries the cents of its user's last THREE orders at event time —
+    the right side precomputes its own lag chain (no growing arrays),
+    then ONE ordinary as-of join carries it across; every lastN is
+    strictly older than the match itself. Oracle = rhs lag window +
+    DuckDB ASOF join."""
+    from feat_spark.operators.eventops import asof_lastk
+
+    left = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    rhs = _orders_rhs(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    j = asof_lastk(left, rhs, on="user_id", value_col="cents", k=3)
+    return j.select("event_id", "user_id", "last1", "last2", "last3")
+
+
+def _q_map_at_k(spark, sf_dir):
+    """Mean-average-precision@5 (keywords.map_at_k) of each user's
+    count-ranked event-type list against >=3-count relevance: every
+    precision@r scales by lcm(1..5)=60 into exact integers, one
+    closing division per query. The order-sensitive retrieval metric
+    beside ndcg and rbo. Oracle replays ranks, hits, and the scaled
+    fold."""
+    from feat_spark.operators.keywords import map_at_k
+
+    cnt = (
+        _events(spark, sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("c").desc(), F.col("event_type").asc()
+    )
+    ranked = cnt.select(
+        F.col("user_id").alias("query_id"),
+        F.col("event_type").alias("item"),
+        F.row_number().over(w).alias("rank"),
+    )
+    truth = cnt.filter(F.col("c") >= 3).select(
+        F.col("user_id").alias("query_id"),
+        F.col("event_type").alias("item"),
+    )
+    return map_at_k(ranked, truth, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -5770,16 +5820,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-202, after the window froze):
-    # 152 brand-new gates built AFTER the r4 window was fixed
+    # LATE-ROUND-4 ADDITIONS (positions 51-204, after the window froze):
+    # 154 brand-new gates built AFTER the r4 window was fixed
     # (scd2_build..neighbor_majority from the mid-round sessions,
     # split_balance..ndcg, sequential_ids..growth_accounting,
     # theilsen_trend..clustering_coeff, then
-    # countmin_topk..dup_matrix from the last session); all
+    # countmin_topk..map_at_k from the last session); all
     # dtype-strict-selfcheck green at sf0.01 in their build session,
     # never driver-checked. ROUND-5 WINDOW
-    # PLAN, in order: (1) as many of the 152 late-r4 gates +
-    # semantic_dedup + knn_cosine_ivf (positions 51-204) as fit the
+    # PLAN, in order: (1) as many of the 154 late-r4 gates +
+    # semantic_dedup + knn_cosine_ivf (positions 51-206) as fit the
     # 50-slot window, oldest-built first (scd2_build..), the rest
     # queue for r6; (2) then the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
@@ -5995,6 +6045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_sensitivity": _q_gap_sensitivity,
         "markov_accuracy": _q_markov_accuracy,
         "dup_matrix": _q_dup_matrix,
+        "asof_lastk": _q_asof_lastk,
+        "map_at_k": _q_map_at_k,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -11722,4 +11774,55 @@ def oracle_sql() -> dict[str, str]:
           select source_a, source_b, cast(sum(p) as bigint) as n_pairs
           from (select * from cp union all select * from wp)
           group by 1, 2 having sum(p) > 0""",
+        "asof_lastk": f"""
+          with rhs as ({_ORDERS_RHS_SQL}),
+          r2 as (
+            select user_id, ts,
+                   cast(cast(o_totalprice as decimal(18,2)) * 100
+                        as bigint) as last1,
+                   lag(cast(cast(o_totalprice as decimal(18,2)) * 100
+                            as bigint), 1) over (
+                     partition by user_id order by ts asc) as last2,
+                   lag(cast(cast(o_totalprice as decimal(18,2)) * 100
+                            as bigint), 2) over (
+                     partition by user_id order by ts asc) as last3
+            from rhs)
+          select e.event_id, e.user_id, r2.last1, r2.last2, r2.last3
+          from events e
+          asof left join r2
+            on e.user_id = r2.user_id and e.ts >= r2.ts""",
+        "map_at_k": """
+          with cnt as (
+            select user_id, event_type, count(*) as c
+            from events group by 1, 2),
+          ranked as (
+            select user_id as query_id, event_type as item,
+                   row_number() over (partition by user_id
+                     order by c desc, event_type asc) as rank
+            from cnt),
+          truth as (
+            select user_id as query_id, event_type as item
+            from cnt where c >= 3),
+          nrel as (
+            select query_id, count(*) as n_rel from truth group by 1),
+          hits as (
+            select r.query_id, r.rank
+            from ranked r join truth t using (query_id, item)
+            where r.rank <= 5),
+          terms as (
+            select query_id, rank,
+                   count(*) over (partition by query_id
+                     order by rank asc rows between unbounded
+                     preceding and current row) as cum
+            from hits),
+          per as (
+            select query_id, count(*) as n_hits,
+                   sum(cum * (60 // rank)) as s
+            from terms group by 1)
+          select n.query_id, cast(n.n_rel as bigint) as n_rel,
+                 cast(coalesce(p.n_hits, 0) as bigint) as n_hits,
+                 round(cast(coalesce(p.s, 0) as double)
+                       / cast(60 * least(5, n.n_rel) as double), 9)
+                   as ap
+          from nrel n left join per p using (query_id)""",
     }

@@ -430,3 +430,51 @@ def markov_accuracy(
             9,
         ).alias("accuracy"),
     )
+
+
+def asof_lastk(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    value_col: str,
+    k: int = 3,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_tiebreak: "str | None" = None,
+) -> DataFrame:
+    """Last-k history as-of join — each left row gets the k most
+    recent right-side values at its timestamp (``last1`` = the as-of
+    match, ``last2`` the one before it, ...): the feature family
+    behind "amounts of the last 3 orders at event time", which a
+    plain as-of join (k=1) can't express and a windowed collect_list
+    over the union frame would pay O(history²) state for.
+
+    The scale device: the RIGHT side precomputes its own lag chain
+    (one window over its OWN partition — k-1 lag columns, no growing
+    arrays), and then ONE ordinary as-of join (the union-window
+    machinery from ``operators/asof.py``, unchanged — hot-key
+    isolation and all) carries the whole chain across. Leakage-safe
+    by construction: every ``lastN`` is a value from strictly further
+    back than the as-of match itself.
+
+    Output: ``left`` + ``last1..lastK`` (NULL where history is
+    shorter).
+    """
+    from feat_spark.operators.asof import asof_join
+
+    order = [F.col(right_ts).asc()]
+    if right_tiebreak:
+        order.append(F.col(right_tiebreak).asc())
+    w = Window.partitionBy(on).orderBy(*order)
+    vals = [F.col(value_col).alias("last1")]
+    for i in range(1, k):
+        vals.append(F.lag(F.col(value_col), i).over(w).alias(f"last{i + 1}"))
+    r2 = right.select(on, right_ts, *vals)
+    return asof_join(
+        left,
+        r2,
+        on=on,
+        left_ts=left_ts,
+        right_ts=right_ts,
+        value_cols=[f"last{i + 1}" for i in range(k)],
+    )

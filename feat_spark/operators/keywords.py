@@ -631,3 +631,70 @@ def rbo_rankings(
         "overlap_at_depth",
         F.round(F.col("__s").cast("double") / F.lit(1860.0), 9).alias("rbo"),
     )
+
+
+def map_at_k(
+    ranked: DataFrame,
+    truth: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Average precision at k per query — the order-sensitive
+    retrieval metric beside :func:`ndcg_at_k` (graded gain) and
+    :func:`rbo_rankings` (ranking-vs-ranking): AP rewards putting the
+    relevant items EARLY, as the mean of precision@r over the ranks r
+    where a relevant item actually appeared, normalized by
+    ``min(k, n_relevant)``.
+
+    Exactness device — multiply through by lcm(1..k): every
+    precision@r is ``hits_so_far / r`` with r <= k, so scaling by
+    L = lcm(1..k) (60 for k=5) makes each term the exact integer
+    ``hits_so_far * (L / r)``; the per-query sum is an exact long and
+    AP closes with ONE division by ``L * min(k, n_rel)``. No float
+    folds anywhere. Hit ranks come from one equi-join (query, item)
+    and the running hit count from a per-query window over <= k rows.
+
+    Inputs: ``ranked(query_id, item, rank)`` (1-based, unique per
+    query), ``truth(query_id, item)``. Queries with no relevant items
+    are excluded (AP undefined); queries whose relevant items all
+    miss the top-k score 0.0.
+
+    Output: ``(query_id, n_rel, n_hits, ap)``.
+    """
+    import math
+
+    L = math.lcm(*range(1, k + 1))
+    t = truth.select("query_id", "item").distinct()
+    n_rel = t.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    hits = (
+        ranked.filter(F.col("rank") <= k)
+        .join(t, ["query_id", "item"])
+        .select("query_id", "rank")
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("rank").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    terms = hits.withColumn("__cum", F.count(F.lit(1)).over(w)).withColumn(
+        "__term",
+        F.col("__cum")
+        * F.element_at(
+            F.array(*[F.lit(L // r) for r in range(1, k + 1)]), F.col("rank").cast("int")
+        ),
+    )
+    per = terms.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.sum("__term").alias("__s"),
+    )
+    out = n_rel.join(per, "query_id", "left")
+    denom = F.lit(L) * F.least(F.lit(k), F.col("n_rel"))
+    return out.select(
+        "query_id",
+        "n_rel",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("__s"), F.lit(0)).cast("double")
+            / denom.cast("double"),
+            9,
+        ).alias("ap"),
+    )
