@@ -5790,6 +5790,81 @@ def _q_map_at_k(spark, sf_dir):
     return map_at_k(ranked, truth, k=5)
 
 
+def _q_km_expected_life(spark, sf_dir):
+    """Restricted mean survival time (labels.km_expected_life): the
+    area under the km_curve gate's survival curve up to 72h — the
+    censoring-honest "expected hours to purchase" feature; piece areas
+    summed by the sorted-fold device over the bounded spine. Oracle
+    extends the km oracle with the same fold."""
+    from feat_spark.operators.labels import (
+        km_curve,
+        km_expected_life,
+        time_to_event,
+    )
+
+    e = _events(spark, sf_dir)
+    tte = time_to_event(
+        e,
+        entity_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        target_filter=F.col("event_type") == "purchase",
+        horizon_sec=259200,
+    )
+    hours = tte.select(
+        (F.col("tte_sec") / 3600).cast("long").alias("t_hr"), "observed"
+    )
+    km = km_curve(hours, duration_col="t_hr", observed_col="observed")
+    return km_expected_life(km, horizon=72)
+
+
+def _q_harmonic_2hop(spark, sf_dir):
+    """Radius-2 harmonic centrality (graph.harmonic_2hop) on the
+    adamic_adar gate's 1-in-7 incidence slice: 2H = 2*n1 + n2 exact
+    integers from the hub-capped wedge join, distance-2 candidates
+    anti-joined and deduped, one division at readout. Oracle replays
+    wedges, the anti join, and the closed form."""
+    from feat_spark.operators.graph import harmonic_2hop
+
+    e = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select(
+            (F.col("l_orderkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+    )
+    return harmonic_2hop(e)
+
+
+def _q_pacing_curve(spark, sf_dir):
+    """Intraday pacing curve (profile.pacing_curve): hour-of-day spend
+    shares and the cumulative pacing CDF from exact cent sums — the
+    baseline budget pacers alert against. 24-row window. Oracle
+    replays both ratios."""
+    from feat_spark.operators.profile import pacing_curve
+
+    return pacing_curve(_events(spark, sf_dir))
+
+
+def _q_simpsons_check(spark, sf_dir):
+    """Simpson's-paradox detector (experiment.simpsons_check): pooled
+    vs per-event-type A/B rate comparison via cross-multiplied exact
+    integers (no rate division anywhere); flags when opposing strata
+    outnumber agreeing ones. The sign-flip audit beside mix_shift.
+    Oracle replays the cross-multiplications and the sign census."""
+    from feat_spark.operators.experiment import simpsons_check
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("arm"),
+        (F.col("value") >= 20).cast("long").alias("y"),
+    )
+    return simpsons_check(e, "event_type", "arm", "y")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -5820,16 +5895,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-204, after the window froze):
-    # 154 brand-new gates built AFTER the r4 window was fixed
+    # LATE-ROUND-4 ADDITIONS (positions 51-208, after the window froze):
+    # 158 brand-new gates built AFTER the r4 window was fixed
     # (scd2_build..neighbor_majority from the mid-round sessions,
     # split_balance..ndcg, sequential_ids..growth_accounting,
     # theilsen_trend..clustering_coeff, then
-    # countmin_topk..map_at_k from the last session); all
+    # countmin_topk..simpsons_check from the last session); all
     # dtype-strict-selfcheck green at sf0.01 in their build session,
     # never driver-checked. ROUND-5 WINDOW
-    # PLAN, in order: (1) as many of the 154 late-r4 gates +
-    # semantic_dedup + knn_cosine_ivf (positions 51-206) as fit the
+    # PLAN, in order: (1) as many of the 158 late-r4 gates +
+    # semantic_dedup + knn_cosine_ivf (positions 51-210) as fit the
     # 50-slot window, oldest-built first (scd2_build..), the rest
     # queue for r6; (2) then the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
@@ -6047,6 +6122,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_matrix": _q_dup_matrix,
         "asof_lastk": _q_asof_lastk,
         "map_at_k": _q_map_at_k,
+        "km_expected_life": _q_km_expected_life,
+        "harmonic_2hop": _q_harmonic_2hop,
+        "pacing_curve": _q_pacing_curve,
+        "simpsons_check": _q_simpsons_check,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -11825,4 +11904,155 @@ def oracle_sql() -> dict[str, str]:
                        / cast(60 * least(5, n.n_rel) as double), 9)
                    as ap
           from nrel n left join per p using (query_id)""",
+        "km_expected_life": """
+          with e as (
+            select event_id, user_id, event_type, epoch_us(ts) as ts_us
+            from events),
+          nx as (
+            select event_id, ts_us,
+                   min(case when event_type = 'purchase' then ts_us end)
+                     over (partition by user_id order by ts_us, event_id
+                           rows between 1 following
+                             and unbounded following) as nxt
+            from e),
+          tte as (
+            select case when nxt is not null
+                         and (nxt - ts_us) // 1000000 <= 259200
+                   then (nxt - ts_us) // 1000000 else 259200 end as tte_sec,
+                   (nxt is not null
+                    and (nxt - ts_us) // 1000000 <= 259200) as observed
+            from nx),
+          hours as (select tte_sec // 3600 as t, observed from tte),
+          agg as (
+            select t,
+                   sum(case when observed then 1 else 0 end) as d,
+                   sum(case when not observed then 1 else 0 end) as c
+            from hours group by 1),
+          spine as (
+            select *, coalesce(sum(d + c) over
+              (order by t rows between unbounded preceding
+                 and 1 preceding), 0) as before
+            from agg),
+          s as (
+            select t, (select count(*) from hours) - before as n_at_risk,
+                   d, c
+            from spine),
+          tm as (
+            select *,
+                   case when d < n_at_risk then cast(
+                     round(ln(1.0::DOUBLE - d / n_at_risk), 12)
+                     as decimal(27,12)) end as term,
+                   max(case when d >= n_at_risk then 1 else 0 end) over
+                     (order by t rows between unbounded preceding
+                        and current row) as dead
+            from s),
+          km as (
+            select t,
+                   case when dead = 0 then round(exp(cast(
+                          sum(term) over (order by t rows between
+                            unbounded preceding and current row)
+                          as double)), 6)
+                        else 0.0::DOUBLE end as survival
+            from tm),
+          pieces as (
+            select t as tt,
+                   survival * cast(least(coalesce(
+                     lead(t) over (order by t), 72), 72) - t as double)
+                     as area
+            from km where t < 72),
+          head as (
+            select cast(-1 as bigint) as tt,
+                   cast(greatest(least((select min(t) from km), 72), 0)
+                        as double) as area),
+          allp as (select * from pieces union all select * from head)
+          select cast(72 as int) as horizon,
+                 cast(count(*) as bigint) as n_pieces,
+                 round(list_reduce(
+                   list_prepend(0.0::DOUBLE, list(area order by tt)),
+                   (a, b) -> a + b), 6) as expected_life
+          from allp""",
+        "harmonic_2hop": """
+          with raw as (
+            select l_orderkey * 2 as s, l_partkey * 2 + 1 as d
+            from lineitem where l_orderkey % 7 = 0),
+          e as (
+            select distinct least(s, d) as a, greatest(s, d) as b
+            from raw where s <> d),
+          adj as (
+            select a as u, b as v from e
+            union all select b as u, a as v from e),
+          deg as (select u, count(*) as n1 from adj group by 1),
+          mid as (select u as m from deg where n1 <= 1000),
+          two as (
+            select distinct l.u as x, r.v as y
+            from adj l
+            join mid on l.v = mid.m
+            join adj r on mid.m = r.u
+            where l.u <> r.v),
+          d2 as (
+            select x, count(*) as n2 from two
+            where not exists (select 1 from adj
+                              where adj.u = two.x and adj.v = two.y)
+            group by 1)
+          select deg.u as node, cast(deg.n1 as bigint) as n1,
+                 cast(coalesce(d2.n2, 0) as bigint) as n2,
+                 round(cast(2 * deg.n1 + coalesce(d2.n2, 0) as double)
+                       / 2.0, 9) as harmonic
+          from deg left join d2 on deg.u = d2.x""",
+        "pacing_curve": """
+          with g as (
+            select extract(hour from ts) as hour,
+                   sum(cast(round(value * 100) as bigint)) as cents
+            from events group by 1),
+          t as (
+            select *, sum(cents) over (order by hour
+                        rows between unbounded preceding
+                          and current row) as cum,
+                   sum(cents) over () as tot
+            from g)
+          select cast(hour as int) as hour,
+                 cast(cents as bigint) as cents,
+                 round(cast(cents as double) / cast(tot as double), 9)
+                   as share,
+                 round(cast(cum as double) / cast(tot as double), 9)
+                   as cum_share
+          from t""",
+        "simpsons_check": """
+          with e as (
+            select event_type as s,
+                   case when user_id % 2 = 0 then 'a' else 'b' end
+                     as arm,
+                   case when value >= 20 then 1 else 0 end as y
+            from events),
+          per as (
+            select s,
+                   sum(case when arm = 'a' then y else 0 end) as xa,
+                   sum(case when arm = 'a' then 1 else 0 end) as na,
+                   sum(case when arm = 'b' then y else 0 end) as xb,
+                   sum(case when arm = 'b' then 1 else 0 end) as nb
+            from e group by 1),
+          pd as (select *, xa * nb - xb * na as d from per),
+          a as (
+            select count(*) as n_strata,
+                   sum(xa) as txa, sum(na) as tna,
+                   sum(xb) as txb, sum(nb) as tnb,
+                   sum(case when d > 0 then 1 else 0 end) as npos,
+                   sum(case when d < 0 then 1 else 0 end) as nneg
+            from pd),
+          k as (
+            select *, sign(cast(txa * tnb - txb * tna as double)) as ps
+            from a)
+          select cast(n_strata as bigint) as n_strata,
+                 cast(ps as int) as pooled_sign,
+                 cast(case when ps > 0 then npos when ps < 0 then nneg
+                      else 0 end as bigint) as n_agree,
+                 cast(case when ps > 0 then nneg when ps < 0 then npos
+                      else 0 end as bigint) as n_oppose,
+                 cast(n_strata - npos - nneg as bigint) as n_flat,
+                 (ps <> 0 and
+                  (case when ps > 0 then nneg when ps < 0 then npos
+                   else 0 end)
+                  > (case when ps > 0 then npos when ps < 0 then nneg
+                     else 0 end)) as simpsons_flag
+          from k""",
     }

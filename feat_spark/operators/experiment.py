@@ -1309,3 +1309,74 @@ def quantile_treatment_effect(
         "q_b",
         (F.col("q_b") - F.col("q_a")).alias("qte"),
     )
+
+
+def simpsons_check(
+    df: DataFrame,
+    stratum_col: str,
+    arm_col: str,
+    success_col: str,
+    arm_a: str = "a",
+    arm_b: str = "b",
+) -> DataFrame:
+    """Simpson's-paradox detector — does the POOLED A-vs-B rate
+    comparison point the same way as the per-stratum comparisons?
+    When the majority of strata move one way and the pooled number
+    moves the other, the pooled readout is a mix artifact (unequal
+    arm allocation across strata), and shipping a decision on it is
+    the textbook failure this audit exists to catch. Pairs with
+    :func:`feat_spark.operators.profile.mix_shift` (which QUANTIFIES
+    the mix contribution) — this one flags the sign flip.
+
+    Exactness: every rate comparison is the CROSS-MULTIPLIED integer
+    ``x_a·n_b − x_b·n_a`` (decimal(38,0) — no rate division anywhere,
+    so zero-denominator strata are simply sign-0). One stratum-grain
+    agg, one global agg; agreement counts by sign product.
+
+    Output: one row ``(n_strata, pooled_sign, n_agree, n_oppose,
+    n_flat, simpsons_flag)`` — flag true when opposing strata
+    outnumber agreeing ones while the pooled sign is nonzero.
+    """
+    y = F.col(success_col).cast("long")
+    isa = F.col(arm_col) == arm_a
+    isb = F.col(arm_col) == arm_b
+    per = df.filter(isa | isb).groupBy(
+        F.col(stratum_col).alias("__s")
+    ).agg(
+        F.sum(F.when(isa, y).otherwise(F.lit(0))).alias("__xa"),
+        F.sum(isa.cast("long")).alias("__na"),
+        F.sum(F.when(isb, y).otherwise(F.lit(0))).alias("__xb"),
+        F.sum(isb.cast("long")).alias("__nb"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    diff = d("__xa") * d("__nb") - d("__xb") * d("__na")
+    per = per.withColumn("__d", diff)
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("__xa").alias("__txa"),
+        F.sum("__na").alias("__tna"),
+        F.sum("__xb").alias("__txb"),
+        F.sum("__nb").alias("__tnb"),
+        F.sum((F.col("__d") > 0).cast("long")).alias("__n_pos"),
+        F.sum((F.col("__d") < 0).cast("long")).alias("__n_neg"),
+    )
+    pooled = (
+        d("__txa") * d("__tnb") - d("__txb") * d("__tna")
+    ).cast("double")
+    psign = F.signum(pooled).cast("int")
+    n_agree = F.when(psign > 0, F.col("__n_pos")).when(
+        psign < 0, F.col("__n_neg")
+    ).otherwise(F.lit(0))
+    n_oppose = F.when(psign > 0, F.col("__n_neg")).when(
+        psign < 0, F.col("__n_pos")
+    ).otherwise(F.lit(0))
+    return agg.select(
+        "n_strata",
+        psign.alias("pooled_sign"),
+        n_agree.cast("long").alias("n_agree"),
+        n_oppose.cast("long").alias("n_oppose"),
+        (F.col("n_strata") - F.col("__n_pos") - F.col("__n_neg"))
+        .cast("long")
+        .alias("n_flat"),
+        ((psign != 0) & (n_oppose > n_agree)).alias("simpsons_flag"),
+    )

@@ -296,3 +296,69 @@ def nelson_aalen(
         F.col("c").cast("long").alias("c"),
         cum.alias("cum_hazard"),
     )
+
+
+def km_expected_life(
+    km: DataFrame,
+    horizon: int,
+    t_col: str = "t",
+    survival_col: str = "survival",
+) -> DataFrame:
+    """Restricted mean survival time — the area under the
+    Kaplan-Meier curve up to ``horizon``: "expected active
+    time/retention within H", the single-number readout of
+    :func:`km_curve` that LTV and capacity models consume (a curve is
+    a chart; RMST is a feature). Censoring-honest by construction —
+    it integrates the estimator instead of averaging raw durations
+    (which censoring biases low).
+
+    Geometry: S = 1 on [0, t_1), then S(t_i) holds on
+    [t_i, min(t_{i+1}, H)); RMST = the sum of piece areas. The pieces
+    are 6dp survival doubles x integer gaps, so the sum accumulates
+    via the repo-wide sorted-fold device (array_sort + aggregate over
+    the BOUNDED spine — duration buckets, never rows), 6dp.
+
+    Output: one row ``(horizon, n_pieces, expected_life)`` in the
+    duration units of ``t_col``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(t_col).asc())
+    pieces = (
+        km.filter(F.col(t_col) < horizon)
+        .withColumn(
+            "__next",
+            F.least(
+                F.coalesce(F.lead(F.col(t_col), 1).over(w), F.lit(horizon)),
+                F.lit(horizon),
+            ),
+        )
+        .select(
+            F.col(t_col).alias("__t"),
+            (
+                F.col(survival_col)
+                * (F.col("__next") - F.col(t_col)).cast("double")
+            ).alias("__area"),
+        )
+    )
+    head = km.agg(
+        F.least(F.min(F.col(t_col)), F.lit(horizon)).alias("__t1")
+    ).select(
+        F.lit(-1).cast("long").alias("__t"),
+        F.greatest(F.col("__t1"), F.lit(0)).cast("double").alias("__area"),
+    )
+    allp = pieces.unionByName(head)
+    return allp.agg(
+        F.lit(int(horizon)).alias("horizon"),
+        F.count(F.lit(1)).alias("n_pieces"),
+        F.round(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__t"), F.col("__area")))
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["__area"],
+            ),
+            6,
+        ).alias("expected_life"),
+    )

@@ -1375,3 +1375,42 @@ def benford_audit(
         F.round(obs / F.col("__n").cast("double"), 9).alias("observed_p"),
         F.round((obs - e) * (obs - e) / e, 9).alias("chi2_term"),
     )
+
+
+def pacing_curve(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Intraday pacing curve — per hour of day, the spend share and
+    CUMULATIVE share of the daily total (pooled across days): the
+    curve budget pacers and alerting baselines consume ("by 14:00 we
+    normally have 61% of daily spend — today we have 40%"). The
+    hour-grain sibling of :func:`hourly_profile` (that one profiles
+    COUNTS per entity; this paces VALUE corpus-wide).
+
+    One partial agg to 24 rows, one ordered window over them. Exact
+    cent sums; shares are one division each, 9dp.
+
+    Output: ``(hour, cents, share, cum_share)``.
+    """
+    g = df.groupBy(
+        F.hour(F.col(ts_col).cast("timestamp")).alias("hour")
+    ).agg(
+        F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.partitionBy(F.lit(1))
+    t = g.withColumn("__cum", F.sum("cents").over(w)).withColumn(
+        "__tot", F.sum("cents").over(wa)
+    )
+    return t.select(
+        "hour",
+        "cents",
+        F.round(
+            F.col("cents").cast("double") / F.col("__tot").cast("double"), 9
+        ).alias("share"),
+        F.round(
+            F.col("__cum").cast("double") / F.col("__tot").cast("double"), 9
+        ).alias("cum_share"),
+    )
