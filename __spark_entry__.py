@@ -5865,6 +5865,26 @@ def _q_simpsons_check(spark, sf_dir):
     return simpsons_check(e, "event_type", "arm", "y")
 
 
+def _q_quantile_forecast(spark, sf_dir):
+    """Trailing-quantile forecast scorecard (resample
+    .quantile_forecast_eval): each day forecast as the tau-quantile of
+    the trailing 7 daily cent totals (bounded sorted-array rank
+    selection), scored with EXACT integer pinball loss in milli-tau
+    units plus coverage — the proper scoring rule for p10/p50/p90
+    forecasts. Oracle replays windows, ranks, and the loss."""
+    from feat_spark.operators.resample import quantile_forecast_eval
+
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "day"
+        )
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    return quantile_forecast_eval(
+        daily, "day", "cents", taus_milli=(100, 500, 900)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -5895,16 +5915,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-208, after the window froze):
-    # 158 brand-new gates built AFTER the r4 window was fixed
+    # LATE-ROUND-4 ADDITIONS (positions 51-209, after the window froze):
+    # 159 brand-new gates built AFTER the r4 window was fixed
     # (scd2_build..neighbor_majority from the mid-round sessions,
     # split_balance..ndcg, sequential_ids..growth_accounting,
     # theilsen_trend..clustering_coeff, then
-    # countmin_topk..simpsons_check from the last session); all
+    # countmin_topk..quantile_forecast from the last session); all
     # dtype-strict-selfcheck green at sf0.01 in their build session,
     # never driver-checked. ROUND-5 WINDOW
-    # PLAN, in order: (1) as many of the 158 late-r4 gates +
-    # semantic_dedup + knn_cosine_ivf (positions 51-210) as fit the
+    # PLAN, in order: (1) as many of the 159 late-r4 gates +
+    # semantic_dedup + knn_cosine_ivf (positions 51-211) as fit the
     # 50-slot window, oldest-built first (scd2_build..), the rest
     # queue for r6; (2) then the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
@@ -6126,6 +6146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_2hop": _q_harmonic_2hop,
         "pacing_curve": _q_pacing_curve,
         "simpsons_check": _q_simpsons_check,
+        "quantile_forecast": _q_quantile_forecast,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -12055,4 +12076,40 @@ def oracle_sql() -> dict[str, str]:
                   > (case when ps > 0 then npos when ps < 0 then nneg
                      else 0 end)) as simpsons_flag
           from k""",
+        "quantile_forecast": """
+          with daily as (
+            select epoch_us(ts) // 86400000000 as d,
+                   sum(cast(round(value * 100) as bigint)) as a
+            from events group by 1),
+          h as (
+            select d, a,
+                   list_sort(list(a) over (order by d
+                     rows between 7 preceding and 1 preceding))
+                     as hist
+            from daily),
+          p as (
+            select d, a, hist, t.tau_milli,
+                   len(hist) as n
+            from h cross join
+                 (select unnest([100, 500, 900]) as tau_milli) t
+            where len(hist) >= 1),
+          s as (
+            select tau_milli, a,
+                   hist[greatest(cast(ceil((tau_milli * n) / 1000.0)
+                                      as int), 1)] as f
+            from p),
+          l as (
+            select tau_milli,
+                   greatest(tau_milli * (a - f),
+                            (tau_milli - 1000) * (a - f)) as pin,
+                   case when a <= f then 1 else 0 end as cov
+            from s)
+          select cast(tau_milli as int) as tau_milli,
+                 cast(count(*) as bigint) as n_scored,
+                 round(cast(sum(pin) as double)
+                       / (1000.0 * cast(count(*) as double)), 9)
+                   as mean_pinball_cents,
+                 round(cast(sum(cov) as double)
+                       / cast(count(*) as double), 9) as coverage
+          from l group by 1""",
     }

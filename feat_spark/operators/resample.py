@@ -321,3 +321,80 @@ def seasonal_naive_eval(
             F.round(F.col("__ssm").cast("double") / (n * F.lit(1e9)), 9),
         ).alias("smape"),
     )
+
+
+def quantile_forecast_eval(
+    df: DataFrame,
+    day_col: str,
+    value_cents_col: str,
+    taus_milli: "Sequence[int]" = (100, 500, 900),
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-quantile forecast + pinball-loss scorecard — forecast
+    each day's value as the tau-quantile of the trailing
+    ``window_days`` actuals, then score with the pinball (quantile)
+    loss, the proper scoring rule for quantile forecasts (MAE can't
+    tell a good p90 from a bad one; pinball penalizes over- and
+    under-shoot asymmetrically by tau). Also reports COVERAGE (share
+    of actuals at or under the forecast — a calibrated p90 covers
+    ~90%). The quantile-forecasting sibling of
+    :func:`seasonal_naive_eval`.
+
+    Exactness: the trailing window is a BOUNDED rows-frame
+    collect_list (≤ ``window_days`` values — never a growing state),
+    sorted per row, rank-selected at ``ceil(tau·n)`` — exact cents
+    out. The pinball loss ``max(tau·(a−f), (tau−1)·(a−f))`` in
+    milli-tau units is an exact integer per row
+    (``tau_milli·d`` vs ``(tau_milli−1000)·d``), summed exactly and
+    closed with ONE division by ``1000·n``. Days with an empty
+    trailing window are unscored.
+
+    Output: ``(tau_milli, n_scored, mean_pinball_cents, coverage)``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("__d").asc()).rowsBetween(-window_days, -1)
+    base = df.select(
+        F.col(day_col).cast("long").alias("__d"),
+        F.col(value_cents_col).cast("long").alias("__a"),
+    ).withColumn("__hist", F.array_sort(F.collect_list("__a").over(w)))
+    probes = base.filter(F.size("__hist") >= 1).select(
+        "__d",
+        "__a",
+        "__hist",
+        F.explode(
+            F.array(*[F.lit(int(t)) for t in taus_milli])
+        ).alias("tau_milli"),
+    )
+    n = F.size("__hist")
+    rank = F.greatest(
+        F.ceil((F.col("tau_milli") * n) / 1000).cast("int"), F.lit(1)
+    )
+    f = F.element_at("__hist", rank)
+    d = F.col("__a") - f
+    pin = F.greatest(
+        F.col("tau_milli") * d, (F.col("tau_milli") - 1000) * d
+    )
+    scored = probes.select(
+        "tau_milli",
+        pin.alias("__pin"),
+        (F.col("__a") <= f).cast("long").alias("__cov"),
+    )
+    g = scored.groupBy("tau_milli").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum("__pin").alias("__sp"),
+        F.sum("__cov").alias("__sc"),
+    )
+    return g.select(
+        "tau_milli",
+        "n_scored",
+        F.round(
+            F.col("__sp").cast("double")
+            / (F.lit(1000.0) * F.col("n_scored").cast("double")),
+            9,
+        ).alias("mean_pinball_cents"),
+        F.round(
+            F.col("__sc").cast("double") / F.col("n_scored").cast("double"),
+            9,
+        ).alias("coverage"),
+    )

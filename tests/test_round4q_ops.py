@@ -110,3 +110,37 @@ def test_simpsons_consistent_data_does_not_flag(spark):
     r = simpsons_check(df, "s", "arm", "y").collect()[0]
     assert r["pooled_sign"] == 1 and r["n_agree"] == 2
     assert r["simpsons_flag"] is False
+
+
+# ------------------------------------------------- quantile_forecast_eval
+
+
+def test_quantile_forecast_rank_selection_and_pinball(spark):
+    from feat_spark.operators.resample import quantile_forecast_eval
+
+    # days 0..6 values 10..70; day 7 actual 40 scored against the full
+    # trailing window {10..70}: p50 rank ceil(0.5*7)=4 -> f=40 -> loss 0
+    rows = [(d, (d + 1) * 10) for d in range(7)] + [(7, 40)]
+    df = spark.createDataFrame(rows, ["day", "cents"])
+    out = {
+        (r["tau_milli"]): r
+        for r in quantile_forecast_eval(
+            df, "day", "cents", taus_milli=(500,), window_days=7
+        ).collect()
+    }
+    r = out[500]
+    assert r["n_scored"] == 7  # days 1..7 have non-empty history
+    # day 7's forecast is exactly 40 -> contributes zero loss; the
+    # early days under-forecast (history below actual)
+    assert r["mean_pinball_cents"] > 0
+
+
+def test_quantile_forecast_p90_covers_more_than_p10(spark):
+    from feat_spark.operators.resample import quantile_forecast_eval
+
+    rows = [(d, 100 + (d * 37) % 50) for d in range(40)]
+    df = spark.createDataFrame(rows, ["day", "cents"])
+    out = {r["tau_milli"]: r for r in quantile_forecast_eval(df, "day", "cents").collect()}
+    assert out[900]["coverage"] > out[500]["coverage"] > out[100]["coverage"]
+    # a p90 trailing forecast on a stationary series covers well over half
+    assert out[900]["coverage"] > 0.6
