@@ -5885,6 +5885,60 @@ def _q_quantile_forecast(spark, sf_dir):
     )
 
 
+def _q_embedding_health(spark, sf_dir):
+    """Embedding-column health audit (vectors.embedding_health) over
+    the corpus plus planted failures (5 NULL vectors, 5 zero vectors):
+    NULL/zero/dimension-drift counts and exact rank-selected norm2
+    percentiles; per-row norm2 is a sequential array fold both engines
+    replay bit-for-bit. Oracle replays plants, folds, and ranks."""
+    from feat_spark.operators.vectors import embedding_health
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    nulls = e.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+    )
+    zeros = e.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        F.array_repeat(F.lit(0.0).cast("float"), 64).alias("embedding"),
+    )
+    allr = e.unionByName(nulls).unionByName(zeros)
+    return embedding_health(allr, "embedding", "vec_id")
+
+
+def _q_class_balance(spark, sf_dir):
+    """Deterministic class rebalancing (sampling.class_balance_sample):
+    keep every purchase row, hash-thin the majority to the minority
+    count in expectation — md5(id) % n_major < n_minor, a pure scan
+    filter with a 1-row broadcast of exact class counts; reproducible
+    on any cluster. Oracle replays counts and the keep rule."""
+    from feat_spark.operators.sampling import class_balance_sample
+
+    e = _events(spark, sf_dir).select(
+        "event_id",
+        (F.col("event_type") == "purchase").cast("long").alias("label"),
+    )
+    out = class_balance_sample(e, "label", "event_id")
+    return out.select("event_id", "label")
+
+
+def _q_holiday_distance(spark, sf_dir):
+    """Signed days to the nearest holiday (encoding.holiday_distance):
+    argmin over (|d|, d) structs folded from a literal calendar — pure
+    codegen, ties resolve to the ahead side in both engines'
+    lexicographic struct order. Oracle replays via unnest + struct
+    min."""
+    from feat_spark.operators.encoding import holiday_distance
+
+    e = _events(spark, sf_dir)
+    return e.select(
+        "event_id",
+        holiday_distance(
+            e, "ts", ["2024-01-01", "2024-01-15", "2024-02-14"]
+        ).alias("days_to_holiday"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -5915,16 +5969,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-209, after the window froze):
-    # 159 brand-new gates built AFTER the r4 window was fixed
+    # LATE-ROUND-4 ADDITIONS (positions 51-212, after the window froze):
+    # 162 brand-new gates built AFTER the r4 window was fixed
     # (scd2_build..neighbor_majority from the mid-round sessions,
     # split_balance..ndcg, sequential_ids..growth_accounting,
     # theilsen_trend..clustering_coeff, then
-    # countmin_topk..quantile_forecast from the last session); all
+    # countmin_topk..holiday_distance from the last session); all
     # dtype-strict-selfcheck green at sf0.01 in their build session,
     # never driver-checked. ROUND-5 WINDOW
-    # PLAN, in order: (1) as many of the 159 late-r4 gates +
-    # semantic_dedup + knn_cosine_ivf (positions 51-211) as fit the
+    # PLAN, in order: (1) as many of the 162 late-r4 gates +
+    # semantic_dedup + knn_cosine_ivf (positions 51-214) as fit the
     # 50-slot window, oldest-built first (scd2_build..), the rest
     # queue for r6; (2) then the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
@@ -6147,6 +6201,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pacing_curve": _q_pacing_curve,
         "simpsons_check": _q_simpsons_check,
         "quantile_forecast": _q_quantile_forecast,
+        "embedding_health": _q_embedding_health,
+        "class_balance": _q_class_balance,
+        "holiday_distance": _q_holiday_distance,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -12112,4 +12169,86 @@ def oracle_sql() -> dict[str, str]:
                  round(cast(sum(cov) as double)
                        / cast(count(*) as double), 9) as coverage
           from l group by 1""",
+        "embedding_health": """
+          with base as (
+            select vec_id, embedding from embeddings
+            union all
+            select vec_id + 10000, NULL from embeddings where vec_id < 5
+            union all
+            select vec_id + 20000,
+                   list_transform(embedding, x -> 0.0::FLOAT)
+            from embeddings where vec_id < 5),
+          n2 as (
+            select vec_id,
+                   case when embedding is null then null else
+                     round(list_reduce(
+                       list_prepend(0.0::DOUBLE,
+                         list_transform(embedding,
+                           x -> x::DOUBLE * x::DOUBLE)),
+                       (a, b) -> a + b), 9) end as norm2,
+                   case when embedding is not null
+                        then len(embedding) end as dims,
+                   case when embedding is null then 1 else 0 end
+                     as isn
+            from base),
+          stats as (
+            select count(*) as n_rows, sum(isn) as n_null,
+                   sum(case when norm2 = 0.0 then 1 else 0 end)
+                     as n_zero,
+                   min(dims) as n_dims_min, max(dims) as n_dims_max
+            from n2),
+          rk as (
+            select norm2,
+                   row_number() over (order by norm2 asc,
+                                      vec_id asc) as r,
+                   count(*) over () as n
+            from n2 where norm2 is not null),
+          p as (
+            select
+              max(case when r = greatest((100 * n + 999) // 1000, 1)
+                  then norm2 end) as p10_norm2,
+              max(case when r = greatest((500 * n + 999) // 1000, 1)
+                  then norm2 end) as p50_norm2,
+              max(case when r = greatest((900 * n + 999) // 1000, 1)
+                  then norm2 end) as p90_norm2
+            from rk)
+          select cast(n_rows as bigint) as n_rows,
+                 cast(n_null as bigint) as n_null,
+                 cast(n_zero as bigint) as n_zero,
+                 cast(n_dims_min as int) as n_dims_min,
+                 cast(n_dims_max as int) as n_dims_max,
+                 p10_norm2, p50_norm2, p90_norm2
+          from stats cross join p""",
+        "class_balance": """
+          with e as (
+            select event_id,
+                   case when event_type = 'purchase' then 1 else 0 end
+                     as label
+            from events),
+          c as (select label, count(*) as n from e group by 1),
+          lab as (
+            select label as min_label, n as n_min from c
+            order by n asc, label asc limit 1),
+          mx as (select max(n) as n_max from c)
+          select e.event_id, cast(e.label as bigint) as label
+          from e cross join lab cross join mx
+          where e.label = lab.min_label
+             or (('0x' || substr(md5(cast(e.event_id as varchar)),
+                                 1, 8))::BIGINT) % mx.n_max
+                < lab.n_min""",
+        "holiday_distance": """
+          with base as (
+            select event_id,
+                   epoch_us(ts) // 86400000000 as day
+            from events),
+          u as (
+            select event_id, day,
+                   unnest([19723, 19737, 19767]) as h
+            from base),
+          m as (
+            select event_id,
+                   min({'a': abs(day - h), 'd': day - h}) as s
+            from u group by 1)
+          select event_id, cast(s['d'] as bigint) as days_to_holiday
+          from m""",
     }

@@ -1118,3 +1118,41 @@ def eb_shrink_rates(
         "prior_strength",
         F.round(shrunk, 9).alias("shrunk_rate"),
     )
+
+
+def holiday_distance(
+    df: DataFrame,
+    ts_col: str,
+    holidays: "Sequence[str]",
+) -> "Column":
+    """Signed days to the NEAREST holiday from a literal calendar —
+    the seasonality feature ``calendar_features``' cyclic encodings
+    can't express (demand bends around a holiday, not around "day 359
+    of the year"): negative = the holiday is ahead (anticipation
+    runup), positive = behind (hangover decay), 0 = the day itself.
+
+    Pure codegen column expression: the holiday list folds in as an
+    array literal of epoch days and the answer is ``array_min`` over
+    ``(|d|, d)`` structs — the argmin-by-struct trick, no join, no
+    UDF, no shuffle; even a few hundred literal dates is a trivial
+    expression. A tie (a day exactly between two holidays) orders
+    ``(k, -k) < (k, +k)``, so it resolves to the AHEAD (negative)
+    side, deterministically in any engine that compares structs
+    lexicographically (Spark and DuckDB both do).
+    """
+    import datetime as _dt
+
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div 86400000000"
+    )
+    epoch_days = [
+        (_dt.date.fromisoformat(h) - _dt.date(1970, 1, 1)).days
+        for h in holidays
+    ]
+    diffs = F.transform(
+        F.array(*[F.lit(int(d)) for d in epoch_days]),
+        lambda h: F.struct(
+            F.abs(day - h).alias("a"), (day - h).alias("d")
+        ),
+    )
+    return F.array_min(diffs)["d"]

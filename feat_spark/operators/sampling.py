@@ -348,3 +348,39 @@ def neyman_allocation(
         .otherwise(F.lit(0))
         .alias("alloc_n"),
     )
+
+
+def class_balance_sample(
+    df: DataFrame,
+    label_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic majority-class downsampling to a balanced binary
+    frame — keep every minority row, hash-thin the majority to the
+    minority's count IN EXPECTATION: the standard rebalancing step
+    before training on rare-event labels, with the repo's frozen-hash
+    discipline instead of a RNG (same input ⇒ same sample, any
+    cluster size, any partitioning — reproducible experiments).
+
+    The keep rule is pure integer arithmetic: a majority row survives
+    iff ``md5_long32(id) % n_major < n_minor`` — exact class counts
+    arrive via a 2-row broadcast, the data pass is a scan filter,
+    NOTHING shuffles. (Hash thinning is Bernoulli-exact in rate, not
+    count — the residual count jitter is O(sqrt(n)) and documented;
+    exact-count sampling would need a global sort by hash.)
+
+    Output: the surviving rows, original columns unchanged.
+    """
+    from feat_spark.functions.text import md5_long32
+
+    y = F.col(label_col).cast("long")
+    counts = df.groupBy(y.alias("__y")).agg(F.count(F.lit(1)).alias("__n"))
+    # identify the minority label value itself (2-row frame -> 1 row)
+    lab = counts.orderBy(F.col("__n").asc(), F.col("__y").asc()).limit(1).select(
+        F.col("__y").alias("__min_label"), F.col("__n").alias("__n_min")
+    )
+    maxn = counts.agg(F.max("__n").alias("__n_max"))
+    j = df.crossJoin(F.broadcast(lab)).crossJoin(F.broadcast(maxn))
+    h = F.pmod(md5_long32(F.col(id_col).cast("string")), F.col("__n_max"))
+    keep = (y == F.col("__min_label")) | (h < F.col("__n_min"))
+    return j.filter(keep).drop("__min_label", "__n_min", "__n_max")

@@ -159,3 +159,67 @@ def embedding_covariance(
             6,
         ).alias("cov"),
     )
+
+
+def embedding_health(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Embedding-column health audit — before any ANN/dedup/centroid
+    job trusts a vector column, the three failure modes worth a scan:
+    NULL vectors, ZERO vectors (a norm-0 vector poisons cosine math
+    with NaN), and dimensionality drift (a mixed-dim column breaks
+    every dot product downstream). Plus the squared-norm distribution
+    (p10/p50/p90 by exact rank selection) — collapsed or exploding
+    norms are the classic sign of a broken encoder export.
+
+    Determinism: per-row ``norm2`` is a SEQUENTIAL array fold
+    (``F.aggregate`` — fixed order, bit-stable in any engine that
+    folds left-to-right, which both Spark and DuckDB list_reduce do);
+    percentiles are rank selections over the norm order with the id
+    as tiebreak. One scan + one rank window.
+
+    Output: one row ``(n_rows, n_null, n_zero, n_dims_min,
+    n_dims_max, p10_norm2, p50_norm2, p90_norm2)``.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(vec_col)
+    norm2 = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        v.isNull().cast("long").alias("__isnull"),
+        F.when(v.isNotNull(), F.size(v)).alias("__dims"),
+        F.when(v.isNotNull(), F.round(norm2, 9)).alias("__n2"),
+    )
+    w = Window.orderBy(F.col("__n2").asc(), F.col("__id").asc())
+    wa = Window.partitionBy(F.lit(1))
+    ranked = base.filter(F.col("__n2").isNotNull()).withColumn(
+        "__rk", F.row_number().over(w)
+    ).withColumn("__n", F.count(F.lit(1)).over(wa))
+
+    def pick(p_milli):
+        tgt = F.greatest(
+            F.floor((F.lit(p_milli) * F.col("__n") + 999) / 1000).cast(
+                "long"
+            ),
+            F.lit(1),
+        )
+        return F.max(F.when(F.col("__rk") == tgt, F.col("__n2")))
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("__isnull").alias("n_null"),
+        F.sum((F.col("__n2") == 0.0).cast("long")).alias("n_zero"),
+        F.min("__dims").alias("n_dims_min"),
+        F.max("__dims").alias("n_dims_max"),
+    )
+    pcts = ranked.agg(
+        pick(100).alias("p10_norm2"),
+        pick(500).alias("p50_norm2"),
+        pick(900).alias("p90_norm2"),
+    )
+    return stats.crossJoin(F.broadcast(pcts))  # 1-row (cuped class)

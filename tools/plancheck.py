@@ -70,7 +70,14 @@ NL_EXEMPT = {"knn_cosine", "embedding_near_dup", "knn_cosine_ivf",
              "neyman_allocation",
              # same 1-row class: the one-row median and one-row MAD
              # frames crossed onto the bounded day series
-             "seasonal_outliers"}
+             "seasonal_outliers",
+             # same 1-row class: the one-row percentile frame crossed
+             # onto the one-row stats frame
+             "embedding_health",
+             # same 1-row class: the one-row minority-label and
+             # majority-count frames crossed onto the scan (the keep
+             # rule is a filter, not a join)
+             "class_balance"}
 
 #: max Exchange nodes allowed (shuffles; BroadcastExchange excluded).
 #: window/sessionize pipelines must reuse ONE exchange.
