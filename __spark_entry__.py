@@ -5939,6 +5939,62 @@ def _q_holiday_distance(spark, sf_dir):
     )
 
 
+def _q_encoding_audit(spark, sf_dir):
+    """Text-encoding corruption audit (text.encoding_counts) per
+    source, with planted corruption (1-in-10 docs get a replacement
+    char, 1-in-7 a Latin-1 double-encoding digraph): replacement /
+    control / mojibake match counts and the flagged-doc tally — the
+    crawl-hygiene gate before dedup hashes diverge on mojibake
+    variants. Patterns carry literal characters (RE2 has no \\uXXXX),
+    so both engines match identically; the oracle builds the same
+    characters with chr()."""
+    from feat_spark.functions.text import encoding_counts
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    t = F.when(F.col("doc_id") % 10 == 0, F.concat(t, F.lit("\uFFFD"))).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(t, F.lit("\u00C3\u00A9"))
+    ).otherwise(t)
+    base = d.select("doc_id", "source", t.alias("t"))
+    c = encoding_counts("t")
+    rows = base.select(
+        "source",
+        c["n_replacement"].alias("__r"),
+        c["n_control"].alias("__c"),
+        c["n_mojibake"].alias("__m"),
+    )
+    return rows.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__r").alias("n_replacement"),
+        F.sum("__c").alias("n_control"),
+        F.sum("__m").alias("n_mojibake"),
+        F.sum(
+            ((F.col("__r") + F.col("__c") + F.col("__m")) > 0).cast("long")
+        ).alias("n_flagged"),
+    )
+
+
+def _q_time_to_nth(spark, sf_dir):
+    """Time-to-THIRD-purchase labels (labels.time_to_nth_event): the
+    repeat-behavior label beyond first-occurrence time_to_event — the
+    target-only frame precomputes its lead chain over distinct
+    purchase times, one forward as-of join attaches the tail; beyond
+    horizon or fewer than 3 future purchases censors at the horizon.
+    Oracle = the lead chain + DuckDB forward ASOF."""
+    from feat_spark.operators.labels import time_to_nth_event
+
+    return time_to_nth_event(
+        _events(spark, sf_dir),
+        entity_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        target_filter=F.col("event_type") == "purchase",
+        n=3,
+        horizon_sec=259200,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -5969,16 +6025,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-212, after the window froze):
-    # 162 brand-new gates built AFTER the r4 window was fixed
+    # LATE-ROUND-4 ADDITIONS (positions 51-214, after the window froze):
+    # 164 brand-new gates built AFTER the r4 window was fixed
     # (scd2_build..neighbor_majority from the mid-round sessions,
     # split_balance..ndcg, sequential_ids..growth_accounting,
     # theilsen_trend..clustering_coeff, then
-    # countmin_topk..holiday_distance from the last session); all
+    # countmin_topk..time_to_nth from the last session); all
     # dtype-strict-selfcheck green at sf0.01 in their build session,
     # never driver-checked. ROUND-5 WINDOW
-    # PLAN, in order: (1) as many of the 162 late-r4 gates +
-    # semantic_dedup + knn_cosine_ivf (positions 51-214) as fit the
+    # PLAN, in order: (1) as many of the 164 late-r4 gates +
+    # semantic_dedup + knn_cosine_ivf (positions 51-216) as fit the
     # 50-slot window, oldest-built first (scd2_build..), the rest
     # queue for r6; (2) then the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
@@ -6204,6 +6260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_health": _q_embedding_health,
         "class_balance": _q_class_balance,
         "holiday_distance": _q_holiday_distance,
+        "encoding_audit": _q_encoding_audit,
+        "time_to_nth": _q_time_to_nth,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -12251,4 +12309,54 @@ def oracle_sql() -> dict[str, str]:
             from u group by 1)
           select event_id, cast(s['d'] as bigint) as days_to_holiday
           from m""",
+        "encoding_audit": """
+          with base as (
+            select doc_id, source,
+                   case when doc_id % 10 = 0 then text || chr(65533)
+                        else text end ||
+                   case when doc_id % 7 = 0 then chr(195) || chr(169)
+                        else '' end as t
+            from documents),
+          c as (
+            select source,
+                   len(regexp_extract_all(t, chr(65533))) as r,
+                   len(regexp_extract_all(t,
+                     '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]'))
+                     as ctl,
+                   len(regexp_extract_all(t,
+                     chr(195) || '[' || chr(128) || '-' || chr(191)
+                     || ']')) as m
+            from base)
+          select source, cast(count(*) as bigint) as n_docs,
+                 cast(sum(r) as bigint) as n_replacement,
+                 cast(sum(ctl) as bigint) as n_control,
+                 cast(sum(m) as bigint) as n_mojibake,
+                 cast(sum(case when r + ctl + m > 0 then 1 else 0 end)
+                      as bigint) as n_flagged
+          from c group by 1""",
+        "time_to_nth": """
+          with t as (
+            select distinct user_id as e, epoch_us(ts) as tts
+            from events where event_type = 'purchase'),
+          chain as (
+            select e, tts,
+                   lead(tts, 2) over (partition by e
+                     order by tts asc) as nth_ts
+            from t),
+          l as (
+            select event_id as id, user_id as e, epoch_us(ts) as us
+            from events),
+          j as (
+            select l.id, l.e, l.us, chain.nth_ts
+            from l
+            asof left join chain
+              on l.e = chain.e and l.us < chain.tts)
+          select id, e as entity,
+                 case when nth_ts is not null
+                       and (nth_ts - us) / 1000000 <= 259200
+                 then cast(floor((nth_ts - us) / 1000000) as bigint)
+                 else cast(259200 as bigint) end as tte_sec,
+                 (nth_ts is not null
+                  and (nth_ts - us) / 1000000 <= 259200) as observed
+          from j""",
     }

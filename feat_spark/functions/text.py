@@ -271,3 +271,38 @@ def url_query_param(col: Column | str, key: str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     v = F.regexp_extract(c, r"[?&]" + key + r"=([^&#]*)", 1)
     return F.when(v != "", v)
+
+
+#: encoding-corruption signals, all lookaround-free and RE2-safe:
+#: the UTF-8 replacement char (mojibake's tombstone), C0/C1 control
+#: bytes that never belong in text, and the classic Latin-1-decoded-
+#: as-UTF-8 double-encoding digraphs.
+# NOTE: replacement/mojibake patterns carry the LITERAL characters
+# (Python-level \u escapes), not regex-level \uXXXX classes — Java
+# regex accepts \uXXXX but RE2 (DuckDB) does not; literals work in
+# both. The control class uses \xNN, which both engines accept.
+REPLACEMENT_RE = "\uFFFD"
+CONTROL_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+MOJIBAKE_RE = "\u00C3[\u0080-\u00BF]"
+
+
+def encoding_counts(col: Column | str) -> dict[str, Column]:
+    """Per-row encoding-corruption match counts — replacement chars,
+    stray control bytes, and UTF-8/Latin-1 double-encoding digraphs:
+    the crawl-hygiene signal that catches a broken decode step before
+    the corpus trains anything (mojibake inflates vocabulary and
+    poisons dedup hashes — 'cafÃ©' and 'café' never merge). Pure
+    ``regexp_count``-style column expressions; the DuckDB twins use
+    ``len(regexp_extract_all(...))`` over the same patterns.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast(
+            "long"
+        )
+        for name, pat in (
+            ("n_replacement", REPLACEMENT_RE),
+            ("n_control", CONTROL_RE),
+            ("n_mojibake", MOJIBAKE_RE),
+        )
+    }

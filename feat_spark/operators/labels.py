@@ -362,3 +362,77 @@ def km_expected_life(
             6,
         ).alias("expected_life"),
     )
+
+
+def time_to_nth_event(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    id_col: str,
+    target_filter,
+    n: int = 3,
+    horizon_sec: int = 259200,
+) -> DataFrame:
+    """Censored time-to-NTH-target labels — "seconds until the user's
+    THIRD purchase after this event": the repeat-behavior label family
+    beyond :func:`time_to_event`'s first-occurrence (first conversion
+    measures acquisition; the nth measures habit). Same censoring
+    contract: targets beyond the horizon — or fewer than n of them —
+    observe as the horizon with ``observed = false``.
+
+    The :func:`feat_spark.operators.eventops.asof_lastk` device run
+    FORWARD: the target-only frame precomputes its own lead chain
+    (each target row knows the ts of the (n-1)th target AFTER itself
+    — one window over the small target partition), then ONE forward
+    as-of join attaches the chain's tail to every event. No growing
+    collect state, no n-way self-join.
+
+    Targets collapse to DISTINCT times per entity first (the nth
+    distinct target TIME — same-instant duplicates would make the
+    as-of tie ambiguous). Output: ``(id, entity, tte_sec,
+    observed)``.
+    """
+    from feat_spark.operators.asof import asof_join
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # DISTINCT target times: the label is "the nth distinct target
+    # TIME strictly after t" — same-instant duplicate targets would
+    # otherwise make the as-of tie ambiguous
+    targets = (
+        df.filter(target_filter)
+        .select(F.col(entity_col).alias("__e"), us.alias("__tts"))
+        .distinct()
+    )
+    w = Window.partitionBy("__e").orderBy(F.col("__tts").asc())
+    chain = targets.select(
+        "__e",
+        "__tts",
+        F.lead("__tts", n - 1).over(w).alias("__nth_ts"),
+    )
+    left = df.select(
+        F.col(id_col).alias("id"),
+        F.col(entity_col).alias("__e"),
+        us.alias("__us"),
+    )
+    j = asof_join(
+        left,
+        chain,
+        on="__e",
+        left_ts="__us",
+        right_ts="__tts",
+        value_cols=["__nth_ts"],
+        direction="forward",
+        allow_exact_matches=False,
+    )
+    tte = (F.col("__nth_ts") - F.col("__us")) / 1_000_000
+    observed = F.col("__nth_ts").isNotNull() & (
+        tte <= F.lit(int(horizon_sec))
+    )
+    return j.select(
+        "id",
+        F.col("__e").alias("entity"),
+        F.when(observed, F.floor(tte).cast("long"))
+        .otherwise(F.lit(int(horizon_sec)))
+        .alias("tte_sec"),
+        observed.alias("observed"),
+    )
