@@ -5995,6 +5995,50 @@ def _q_time_to_nth(spark, sf_dir):
     )
 
 
+def _q_mrr_at_k(spark, sf_dir):
+    """Reciprocal rank @5 (keywords.mrr_at_k) of the map_at_k gate's
+    rankings and relevance: RR scales by lcm(1..5)=60 into the exact
+    integer 60/first_hit_rank, one closing division; missed queries
+    carry 0.0 and success_at_k=false. Oracle replays the first-hit
+    min and the scaled table."""
+    from feat_spark.operators.keywords import mrr_at_k
+
+    cnt = (
+        _events(spark, sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("c").desc(), F.col("event_type").asc()
+    )
+    ranked = cnt.select(
+        F.col("user_id").alias("query_id"),
+        F.col("event_type").alias("item"),
+        F.row_number().over(w).alias("rank"),
+    )
+    truth = cnt.filter(F.col("c") >= 3).select(
+        F.col("user_id").alias("query_id"),
+        F.col("event_type").alias("item"),
+    )
+    return mrr_at_k(ranked, truth, k=5)
+
+
+def _q_cms_join_size(spark, sf_dir):
+    """Sketch-based join-size estimation (cms.countmin_join_size): the
+    AGMS/CM inner-product estimate of |events ⋈ orders| on the user
+    key from two d=4 x w=128 grids — min over seeds of the bucket
+    inner products, one-sided (collisions only add), with the exact
+    key-grain join size riding along. Portable md5 buckets: the
+    oracle replays BOTH grids and the inner products."""
+    from feat_spark.operators.cms import countmin_join_size
+
+    e = _events(spark, sf_dir)
+    o = _t(spark, sf_dir, "orders")
+    return countmin_join_size(
+        e, o, "user_id", "o_custkey", depth=4, width=128
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (the driver checks only the FIRST 50 entries):
     # least-recently-driver-checked first, and any query whose code or
@@ -6025,16 +6069,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this session) and the SAME new code path gets its driver row via
     # semantic_dedup_largek. They sit first after the cut and rotate
     # into the r5 window FIRST.
-    # LATE-ROUND-4 ADDITIONS (positions 51-214, after the window froze):
-    # 164 brand-new gates built AFTER the r4 window was fixed
+    # LATE-ROUND-4 ADDITIONS (positions 51-216, after the window froze):
+    # 166 brand-new gates built AFTER the r4 window was fixed
     # (scd2_build..neighbor_majority from the mid-round sessions,
     # split_balance..ndcg, sequential_ids..growth_accounting,
     # theilsen_trend..clustering_coeff, then
-    # countmin_topk..time_to_nth from the last session); all
+    # countmin_topk..cms_join_size from the last session); all
     # dtype-strict-selfcheck green at sf0.01 in their build session,
     # never driver-checked. ROUND-5 WINDOW
-    # PLAN, in order: (1) as many of the 164 late-r4 gates +
-    # semantic_dedup + knn_cosine_ivf (positions 51-216) as fit the
+    # PLAN, in order: (1) as many of the 166 late-r4 gates +
+    # semantic_dedup + knn_cosine_ivf (positions 51-218) as fit the
     # 50-slot window, oldest-built first (scd2_build..), the rest
     # queue for r6; (2) then the r2-green refill
     # (simhash_near_dups..asof_join_nearest, 3 driver-rounds stale by
@@ -6262,6 +6306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holiday_distance": _q_holiday_distance,
         "encoding_audit": _q_encoding_audit,
         "time_to_nth": _q_time_to_nth,
+        "mrr_at_k": _q_mrr_at_k,
+        "cms_join_size": _q_cms_join_size,
         "semantic_dedup": _q_semantic_dedup,
         "knn_cosine_ivf": _q_knn_ivf,
         # --- r2-green refill, rotates into the r5 window -------------
@@ -12359,4 +12405,62 @@ def oracle_sql() -> dict[str, str]:
                  (nth_ts is not null
                   and (nth_ts - us) / 1000000 <= 259200) as observed
           from j""",
+        "mrr_at_k": """
+          with cnt as (
+            select user_id, event_type, count(*) as c
+            from events group by 1, 2),
+          ranked as (
+            select user_id as query_id, event_type as item,
+                   row_number() over (partition by user_id
+                     order by c desc, event_type asc) as rank
+            from cnt),
+          truth as (
+            select user_id as query_id, event_type as item
+            from cnt where c >= 3),
+          q as (select distinct query_id from truth),
+          hit as (
+            select r.query_id, min(r.rank) as first_hit_rank
+            from ranked r join truth t using (query_id, item)
+            where r.rank <= 5 group by 1)
+          select q.query_id,
+                 cast(hit.first_hit_rank as int) as first_hit_rank,
+                 (hit.first_hit_rank is not null) as success_at_k,
+                 coalesce(round(1.0::DOUBLE
+                   / cast(hit.first_hit_rank as double), 9), 0.0::DOUBLE)
+                   as rr
+          from q left join hit using (query_id)""",
+        "cms_join_size": """
+          with ca as (
+            select cast(user_id as varchar) as k, count(*) as n
+            from events where user_id is not null group by 1),
+          cb as (
+            select cast(o_custkey as varchar) as k, count(*) as n
+            from orders where o_custkey is not null group by 1),
+          seeds as (select unnest([0, 1, 2, 3]) as seed),
+          gridA as (
+            select seed,
+                   (('0x' || substr(md5(seed || '#' || k), 1, 8))
+                     ::BIGINT) % 128 as bucket,
+                   sum(n) as n
+            from ca cross join seeds group by 1, 2),
+          gridB as (
+            select seed,
+                   (('0x' || substr(md5(seed || '#' || k), 1, 8))
+                     ::BIGINT) % 128 as bucket,
+                   sum(n) as n
+            from cb cross join seeds group by 1, 2),
+          ij as (
+            select a.seed, sum(a.n * b.n) as ip
+            from gridA a join gridB b using (seed, bucket)
+            group by 1),
+          est as (
+            select min(coalesce(ij.ip, 0)) as cms_estimate
+            from (select distinct seed from gridA) s
+            left join ij using (seed)),
+          ex as (
+            select coalesce(sum(ca.n * cb.n), 0) as exact_join_rows
+            from ca join cb using (k))
+          select cast(exact_join_rows as bigint) as exact_join_rows,
+                 cast(cms_estimate as bigint) as cms_estimate
+          from ex cross join est""",
     }

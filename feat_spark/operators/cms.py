@@ -128,3 +128,67 @@ def countmin_topk(
     return hit.groupBy("key", "exact_n").agg(
         F.min("n").alias("cms_est")
     )
+
+
+def countmin_join_size(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Equi-join SIZE estimation from two Count-Min grids — the
+    classic AGMS/CM inner-product estimator: ``|A ⋈ B|`` ≈
+    ``min over seeds of Σ_bucket gridA[n]·gridB[n]``. The
+    cardinality-estimation primitive behind join planning and the
+    ``join_cardinality_audit``'s exact report, at sketch cost: each
+    side reduces to a d×w grid (buildable incrementally, mergeable by
+    addition — per-partition sketches union BEFORE estimating), and
+    the estimate is a d·w-row join of two tiny relations. One-sided
+    like the point query: collisions only ADD mass, so
+    ``estimate >= exact`` always, with the usual ε·|A|·|B| slack.
+
+    The exact join size rides along for the audit
+    (``Σ n_a·n_b over shared keys`` — key-grain, never materializing
+    join rows). Portable md5 buckets: the oracle replays BOTH grids
+    and the inner products bit-for-bit.
+
+    Output: one row ``(exact_join_rows, cms_estimate)``.
+    """
+    ga = countmin_build(left, left_key, depth=depth, width=width)
+    gb = countmin_build(right, right_key, depth=depth, width=width)
+    ip = (
+        ga.join(
+            gb.select(
+                "seed", "bucket", F.col("n").alias("__nb")
+            ),
+            ["seed", "bucket"],
+        )
+        .groupBy("seed")
+        .agg(F.sum(F.col("n") * F.col("__nb")).alias("__ip"))
+    )
+    # a seed with NO overlapping buckets has inner product ZERO — the
+    # min must see it (reindex over the seed spine, absent -> 0)
+    est = (
+        ga.select("seed")
+        .distinct()
+        .join(ip, "seed", "left")
+        .agg(F.min(F.coalesce(F.col("__ip"), F.lit(0))).alias("cms_estimate"))
+    )
+    ca = (
+        left.filter(F.col(left_key).isNotNull())
+        .groupBy(F.col(left_key).cast("string").alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__na"))
+    )
+    cb = (
+        right.filter(F.col(right_key).isNotNull())
+        .groupBy(F.col(right_key).cast("string").alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__nb"))
+    )
+    exact = ca.join(cb, "__k").agg(
+        F.coalesce(F.sum(F.col("__na") * F.col("__nb")), F.lit(0)).alias(
+            "exact_join_rows"
+        )
+    )
+    return exact.crossJoin(F.broadcast(est))  # 1-row (cuped class)

@@ -698,3 +698,49 @@ def map_at_k(
             9,
         ).alias("ap"),
     )
+
+
+def mrr_at_k(
+    ranked: DataFrame,
+    truth: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Reciprocal rank at k per query — "how deep does the user dig
+    before the first relevant hit": RR = 1/rank of the FIRST relevant
+    item in the top-k (0 if none), plus the success@k flag. The
+    first-hit companion of :func:`map_at_k` (AP scores the whole
+    list; navigational queries only care about the first hit).
+
+    Exactness: RR is ONE IEEE division of small integers
+    (``1/rank``), deterministic in any engine. First hit = min rank
+    over the (query, item) equi-join — no window needed. The query
+    spine re-derives from ``truth`` through an aliased projection
+    (both sides descend from the same frame — the classic self-join
+    ambiguity otherwise mis-resolves columns).
+
+    Output: ``(query_id, first_hit_rank, success_at_k, rr)`` for
+    every query in ``truth`` (missed queries carry NULL rank, false,
+    0.0).
+    """
+    t = truth.select("query_id", "item").distinct()
+    queries_f = t.groupBy("query_id").agg(F.count(F.lit(1)).alias("__nrel"))
+    hit = (
+        ranked.filter(F.col("rank") <= k)
+        .join(t, ["query_id", "item"])
+        .groupBy("query_id")
+        .agg(F.min("rank").alias("first_hit_rank"))
+    )
+    out = queries_f.join(hit, "query_id", "left").select(
+        "query_id", "first_hit_rank"
+    )
+    return out.select(
+        "query_id",
+        "first_hit_rank",
+        F.col("first_hit_rank").isNotNull().alias("success_at_k"),
+        F.coalesce(
+            F.round(
+                F.lit(1.0) / F.col("first_hit_rank").cast("double"), 9
+            ),
+            F.lit(0.0),
+        ).alias("rr"),
+    )

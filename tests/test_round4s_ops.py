@@ -88,3 +88,47 @@ def test_time_to_nth_horizon_censors(spark):
         ).collect()
     }[1]
     assert r["observed"] is False and r["tte_sec"] == 86400
+
+
+# ----------------------------------------------------------------- mrr_at_k
+
+
+def test_mrr_first_hit_and_miss(spark):
+    from feat_spark.operators.keywords import mrr_at_k
+
+    ranked = spark.createDataFrame(
+        [("q", f"i{r}", r) for r in range(1, 6)],
+        ["query_id", "item", "rank"],
+    )
+    truth = spark.createDataFrame(
+        [("q", "i3"), ("q", "i5"), ("m", "zz")], ["query_id", "item"]
+    )
+    out = {r["query_id"]: r for r in mrr_at_k(ranked, truth).collect()}
+    assert out["q"]["first_hit_rank"] == 3
+    assert abs(out["q"]["rr"] - 1 / 3) < 1e-8  # 9dp rounding
+    assert out["q"]["success_at_k"] is True
+    assert out["m"]["rr"] == 0.0 and out["m"]["success_at_k"] is False
+
+
+# ----------------------------------------------------------- cms_join_size
+
+
+def test_cms_join_size_one_sided_and_exact_rides(spark):
+    from feat_spark.operators.cms import countmin_join_size
+
+    a = spark.createDataFrame([("x",)] * 3 + [("y",)] * 2 + [("z",)], ["k"])
+    b = spark.createDataFrame([("x",)] * 4 + [("y",)] * 1 + [("w",)] * 5, ["k"])
+    r = countmin_join_size(a, b, "k", "k", depth=3, width=64).collect()[0]
+    assert r["exact_join_rows"] == 3 * 4 + 2 * 1
+    assert r["cms_estimate"] >= r["exact_join_rows"]
+
+
+def test_cms_join_size_disjoint_keys(spark):
+    from feat_spark.operators.cms import countmin_join_size
+
+    a = spark.createDataFrame([("a",)] * 5, ["k"])
+    b = spark.createDataFrame([("b",)] * 5, ["k"])
+    r = countmin_join_size(a, b, "k", "k", depth=4, width=4096).collect()[0]
+    assert r["exact_join_rows"] == 0
+    # wide grid: with overwhelming probability no collision -> est 0
+    assert r["cms_estimate"] == 0

@@ -77,7 +77,10 @@ NL_EXEMPT = {"knn_cosine", "embedding_near_dup", "knn_cosine_ivf",
              # same 1-row class: the one-row minority-label and
              # majority-count frames crossed onto the scan (the keep
              # rule is a filter, not a join)
-             "class_balance"}
+             "class_balance",
+             # same 1-row class: the one-row sketch estimate crossed
+             # onto the one-row exact-join-size frame
+             "cms_join_size"}
 
 #: max Exchange nodes allowed (shuffles; BroadcastExchange excluded).
 #: window/sessionize pipelines must reuse ONE exchange.
