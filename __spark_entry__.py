@@ -2226,7 +2226,11 @@ def _q_random_projection(spark, sf_dir):
     from feat_spark.operators.similarity import random_project
 
     v = _t(spark, sf_dir, "embeddings")
-    return random_project(v, in_dim=64, out_dim=8).select("vec_id", "proj")
+    p = random_project(v, in_dim=64, out_dim=8)
+    # scalar-only gate projection: the driver's canonicalizer crashes
+    # sorting array cells (r4 harness error), so the array is unrolled
+    # to (vec_id, pos, val) rows — dtype-exact, no string rendering
+    return p.select("vec_id", F.posexplode("proj").alias("pos", "val"))
 
 
 def _q_snapshot_diff(spark, sf_dir):
@@ -2254,8 +2258,14 @@ def _q_snapshot_diff(spark, sf_dir):
         "event_id", F.col("event_id") + 10_000_000
     )
     new = mutated.unionByName(added)
-    return snapshot_diff(
+    d = snapshot_diff(
         old, new, key_cols=["event_id"], compare_cols=["event_type", "value"]
+    )
+    # scalar-only gate projection (driver _canon crashes on array cells,
+    # r4 harness error): the changed-column list flattens to a CSV string
+    # — it is ordered by compare_cols construction, so no rendering hazard
+    return d.select(
+        "event_id", "status", F.concat_ws(",", "changed_cols").alias("changed_cols")
     )
 
 
@@ -2305,7 +2315,11 @@ def _q_table_fingerprint(spark, sf_dir):
         F.col("value").cast("decimal(18,2)").alias("value_c"),
         "props",
     )
-    return table_fingerprint(e, group_by="event_type")
+    out = table_fingerprint(e, group_by="event_type")
+    # decimal(38,0) -> string for the driver: its pandas oracle path
+    # narrows wide decimals and diverges from Spark's Decimal objects
+    # (r4 hash-red; same class as r1/r2 partition_lineage)
+    return out.withColumn("fingerprint", F.col("fingerprint").cast("string"))
 
 
 def _q_behavior_entropy(spark, sf_dir):
@@ -7092,10 +7106,10 @@ def oracle_sql() -> dict[str, str]:
                  (epoch_us(ts) // 3600000000) % 24 as hour,
                  ((epoch_us(ts) // 86400000000 + 3) % 7 >= 5) as is_weekend,
                  round(sin(6.283185307179586
-                           * ((epoch_us(ts) // 3600000000) % 24) / 24), 6)
+                           * ((epoch_us(ts) // 3600000000) % 24) / 24), 6) + 0
                    as hour_sin,
                  round(cos(6.283185307179586
-                           * ((epoch_us(ts) // 3600000000) % 24) / 24), 6)
+                           * ((epoch_us(ts) // 3600000000) % 24) / 24), 6) + 0
                    as hour_cos
           from events""",
         "impute_group_mean": """
@@ -7868,17 +7882,18 @@ def oracle_sql() -> dict[str, str]:
           join dfr da on da.word = p.word_a
           join dfr db on db.word = p.word_b""",
         "random_projection": """
-          with v as (select vec_id, embedding::DOUBLE[] as v from embeddings)
-          select vec_id,
-                 list_transform(generate_series(1, 8), j ->
-                   round(list_dot_product(v,
-                     list_transform(generate_series(1, 64), i ->
-                       case when ('0x' || substr(md5('rp:' || (j-1)::varchar
-                                    || ':' || (i-1)::varchar), 1, 8))::BIGINT
-                                  % 2 = 1
-                            then 1.0::DOUBLE else -1.0::DOUBLE end)), 6))
-                   as proj
-          from v""",
+          with v as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+          signs as (
+            select j,
+                   list_transform(generate_series(1, 64), i ->
+                     case when ('0x' || substr(md5('rp:' || (j-1)::varchar
+                                  || ':' || (i-1)::varchar), 1, 8))::BIGINT
+                                % 2 = 1
+                          then 1.0::DOUBLE else -1.0::DOUBLE end) as s
+            from generate_series(1, 8) t(j))
+          select vec_id, cast(j - 1 as int) as pos,
+                 round(list_dot_product(v.v, signs.s), 6) + 0 as val
+          from v cross join signs""",
         "snapshot_diff": """
           with old_t as (select event_id, event_type, value from events),
           new_t as (
@@ -7913,7 +7928,11 @@ def oracle_sql() -> dict[str, str]:
                        x -> x is not null)
                    else []::VARCHAR[] end as changed_cols
             from j)
-          select event_id, status, changed_cols
+          select event_id, status,
+                 -- array_to_string([]) is NULL in DuckDB; Spark's
+                 -- concat_ws on an empty array is '' — coalesce to match
+                 coalesce(array_to_string(changed_cols, ','), '')
+                   as changed_cols
           from s where status is not null""",
         "rolling_active_users": """
           with d as (
@@ -7976,7 +7995,7 @@ def oracle_sql() -> dict[str, str]:
                       coalesce(props, chr(30)))), 1, 8))::BIGINT as h
             from events)
           select event_type, cast(count(*) as bigint) as n_rows,
-                 cast(sum(h) as decimal(38,0)) as fingerprint
+                 cast(sum(h) as decimal(38,0))::varchar as fingerprint
           from r group by 1""",
         "behavior_entropy": """
           with counts as (

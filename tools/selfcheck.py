@@ -18,7 +18,22 @@ through ``astype(float)``. The oracle result is now fetched as Arrow
 (``.arrow()``, not ``.df()``) so DuckDB's decimals survive to the
 comparison instead of being silently narrowed by pandas.
 
-Usage: python tools/selfcheck.py [sf_dir] [query ...]
+``--strict`` upgrades the gate to DRIVER PARITY — the three failure
+modes round 4 proved the tolerant compare cannot see:
+
+* float columns compare by BIT PATTERN (``-0.0`` != ``+0.0``; Spark's
+  ``ROUND`` goes through ``java.math.BigDecimal`` which has no negative
+  zero, DuckDB/libm preserves it — numerically equal, red under the
+  driver's typed value hash; r4 ``calendar_features``),
+* array/struct/map output columns FAIL outright (the driver's
+  canonicalizer sorts cell values and dies on ``numpy.ndarray`` —
+  r4 ``random_projection`` / ``snapshot_diff``),
+* decimal output columns wider than 18 digits FAIL outright (the
+  driver's oracle path narrows wide decimals through pandas and
+  diverges from Spark's Decimal objects — r4 ``table_fingerprint``,
+  r1/r2 ``partition_lineage``).
+
+Usage: python tools/selfcheck.py [--strict] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -40,6 +55,62 @@ from feat_spark.session import get_spark  # noqa: E402
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
+
+# driver-parity strictness (set by --strict in main())
+STRICT = False
+# all NaN bit patterns hash alike; only the NaN-vs-number split matters
+_CANON_NAN = np.float64("nan").view(np.uint64)
+# 18 digits is the widest decimal that survives the driver's pandas
+# narrowing losslessly (int64-representable digits); wider decimals
+# (HUGEINT sums, decimal(38,0) checksums) render differently between
+# the driver's Spark fetch and its DuckDB fetch
+_MAX_SAFE_DECIMAL_PRECISION = 18
+
+
+def strict_schema_problems(
+    name: str, spark_schema, oracle_schema: pa.Schema | None
+) -> list[str]:
+    """Registration-shape lint: the output-column shapes the driver
+    harness cannot canonicalize, independent of values."""
+    from pyspark.sql import types as T
+
+    problems = []
+    for f in spark_schema.fields:
+        if isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType)):
+            problems.append(
+                f"strict: spark col {f.name} is {f.dataType.simpleString()} — "
+                "driver _canon crashes on array/struct/map output columns; "
+                "project scalars (concat_ws/to_json or posexplode)"
+            )
+        if (
+            isinstance(f.dataType, T.DecimalType)
+            and f.dataType.precision > _MAX_SAFE_DECIMAL_PRECISION
+        ):
+            problems.append(
+                f"strict: spark col {f.name} is {f.dataType.simpleString()} — "
+                "driver narrows wide decimals through pandas; emit BIGINT "
+                "halves or a string"
+            )
+    if oracle_schema is not None:
+        for f in oracle_schema:
+            t = f.type
+            if (
+                pa.types.is_list(t)
+                or pa.types.is_large_list(t)
+                or pa.types.is_fixed_size_list(t)
+                or pa.types.is_struct(t)
+                or pa.types.is_map(t)
+            ):
+                problems.append(
+                    f"strict: oracle col {f.name} is {t} — driver _canon "
+                    "crashes on array/struct/map output columns"
+                )
+            if pa.types.is_decimal(t) and t.precision > _MAX_SAFE_DECIMAL_PRECISION:
+                problems.append(
+                    f"strict: oracle col {f.name} is {t} — driver narrows "
+                    "wide decimals through pandas"
+                )
+    return problems
 
 
 def _arrow_class(t: pa.DataType) -> str:
@@ -149,10 +220,22 @@ def compare(
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
             a = sv.astype(float).to_numpy()
             b = ov.astype(float).to_numpy()
-            ok = np.isclose(a, b, rtol=1e-9, atol=1e-12, equal_nan=True)
+            if STRICT:
+                # the driver hashes typed cells: -0.0 and +0.0 are
+                # DIFFERENT hashes even though == says equal
+                ab = a.view(np.uint64).copy()
+                bb = b.view(np.uint64).copy()
+                ab[np.isnan(a)] = _CANON_NAN
+                bb[np.isnan(b)] = _CANON_NAN
+                ok = ab == bb
+            else:
+                ok = np.isclose(a, b, rtol=1e-9, atol=1e-12, equal_nan=True)
             if not ok.all():
                 i = int(np.argmin(ok))
-                problems.append(f"float col {c}: {int((~ok).sum())} diffs, e.g. row {i}: {a[i]} vs {b[i]}")
+                problems.append(
+                    f"float col {c}: {int((~ok).sum())} diffs, e.g. row {i}: "
+                    f"{a[i]!r} (bits {a[i].view(np.uint64) if STRICT else ''}) vs {b[i]!r}"
+                )
         else:
             neq = ~((sv == ov) | (sv.isna() & ov.isna()))
             if neq.any():
@@ -164,8 +247,11 @@ def compare(
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    global STRICT
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    STRICT = len(argv) != len(sys.argv) - 1
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
@@ -188,6 +274,12 @@ def main() -> int:
             print(f"FAIL  {name}: spark raised {type(exc).__name__}: {exc}")
             continue
         if name not in oracles:
+            if STRICT:
+                shape_problems = strict_schema_problems(name, spark_df.schema, None)
+                if shape_problems:
+                    failed.append(name)
+                    print(f"FAIL  {name}: " + "; ".join(shape_problems))
+                    continue
             print(f"rows  {name}: {len(spark_pdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
@@ -200,6 +292,14 @@ def main() -> int:
             failed.append(name)
             print(f"FAIL  {name}: oracle raised {exc}")
             continue
+        if STRICT:
+            shape_problems = strict_schema_problems(
+                name, spark_df.schema, oracle_tbl.schema
+            )
+            if shape_problems:
+                failed.append(name)
+                print(f"FAIL  {name}: " + "; ".join(shape_problems))
+                continue
         problems = compare(name, spark_pdf, oracle_pdf, spark_classes, oracle_classes)
         if problems:
             failed.append(name)
