@@ -83,80 +83,76 @@ HEADLINE_QUERIES = (
 )
 
 BENCH_QUERIES = (
+    # headline dozen first (HEADLINE_QUERIES, timed every run)
     "asof_join",
     "asof_join_skew",
-    "asof_join_forward",
-    "asof_join_nearest",
     "lag_lead",
-    "cumulative",
-    "time_range_rolling",
     "sessionize",
-    "session_agg",
-    "tumbling_window",
-    "topk_per_group",
     "salted_agg_skew",
-    "feature_hash_extract",
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "segment_revenue_broadcast",
-    "text_stats",
-    "doc_fingerprint",
     "dedup_exact",
     "minhash_lsh_dedup",
-    "simhash",
-    "knn_cosine",
     "knn_cosine_ivf",
+    "semantic_dedup",
+    "pagerank",
+    "fuzzy_pairs",
+    "calendar_features",
+    "table_fingerprint",
+    "random_projection",
+    "snapshot_diff",
+    "scd2_build",
+    "tree_ancestry",
+    "containment_pairs",
+    "prefix_filter_pairs",
+    "bpe_pair_counts",
+    "source_kl",
+    "weighted_median",
+    "ks_test",
+    "mutual_information",
+    "semantic_decontamination",
+    "rare_category_collapse",
+    "woe_encode",
+    "session_ngrams",
+    "inverted_index",
+    "autocorr",
+    "triangle_count",
+    "quantize_embeddings",
+    "calibration_curve",
+    "chi2_assoc",
+    "rrf_fusion",
+    "upsert_latest",
+    "context_window",
+    "cross_correlation",
+    "phrase_search",
+    "seasonal_anomaly",
+    "skipgram_pairs",
+    "attribution",
+    "changepoint_scan",
+    "rfm_segments",
+    "group_auc",
+    "label_churn",
+    "compaction_plan",
+    "basket_rules",
+    "expectations",
+    "json_extract",
+    "split_leakage",
+    "business_days",
+    "rank_normalize",
+    "cohort_ltv",
+    "semantic_dedup_largek",
+    "knn_cosine",
     "knn_cosine_lsh",
     "knn_lsh_recall",
-    "decontamination",
-    "pack_sequences",
-    "lm_score",
-    "feature_matrix",
-    "target_encode",
-    "quantile_bin",
-    "semantic_dedup",
-    "semantic_dedup_largek",
-    "pagerank",
-    "decayed_sum",
-    "rolling_zscore",
-    "cap_per_group",
-    "winsorize",
-    "profile_columns",
-    "calendar_features",
-    "impute_group_mean",
-    "group_trend",
-    "transition_matrix",
-    "cohort_retention",
-    "active_days",
-    "skew_report",
-    "source_stats",
-    "classifier_scores",
-    "group_centroids",
-    "weighted_sample",
-    "psi_drift",
-    "time_to_event",
-    "rolling_active_users",
-    "remove_dup_spans",
-    "cooccurrence_pmi",
-    "snapshot_diff",
-    "table_fingerprint",
-    "behavior_entropy",
-    "temporal_split",
-    "interval_coverage",
-    "sequence_audit",
-    "cuped_adjust",
-    "robust_outliers",
-    "build_vocab",
-    "fk_coverage",
-    "fuzzy_pairs",
     "fuzzy_pairs_recall",
-    "vocab_coverage",
-    "variant_summary",
-    "srm_check",
-    "readability",
-    "histogram",
-    "km_curve",
+    "remove_dup_spans",
+    "rolling_active_users",
+    "behavior_entropy",
+    # ^ order: headline, then the r5 driver window's batch gates
+    # (streaming micro-batch gates are correctness-gated, not
+    # bench-timed: checkpoint I/O dominates their wall-clock and
+    # says nothing about plan quality), then carried expensive
+    # scale-path queries re-timed every 4 rounds by the quarter
+    # rotation
 )
 
 
