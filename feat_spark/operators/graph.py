@@ -12,10 +12,14 @@ determinism discipline as ``similarity.kmeans_centroids`` and
 * the rank frame's lineage is truncated per iteration — the
   iterative-plan rule (lineage re-analysis goes superlinear in
   iterations otherwise, measured on connected_components). Default is
-  ``localCheckpoint`` (fast, executor-local blocks); pass
+  LAZY ``localCheckpoint`` (plan truncated immediately, blocks
+  materialized inside the one consuming job — no per-iteration
+  barrier; only the final ranks materialize eagerly); pass
   ``reliable_checkpoint_dir=`` on a real cluster so a lost executor
   mid-iteration recovers from the checkpoint store instead of killing
-  the job — localCheckpoint blocks die with their executor.
+  the job — localCheckpoint blocks die with their executor, and the
+  reliable path stays eager per iteration because a lazy reliable
+  checkpoint recomputes its frame to write it.
 
 The loop-invariant frames (``edges ⋈ out_degree``, the node list) are
 ``persist()``-ed, NOT eagerly localCheckpoint-ed: they are scanned once
@@ -89,9 +93,19 @@ def pagerank(
     teleport = (1.0 - damping) / n
     if reliable_checkpoint_dir is not None:
         e2.sparkSession.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
+        # reliable checkpoints must stay EAGER: a lazy reliable
+        # checkpoint recomputes the frame a second time to write it
+        # (the classic rdd.checkpoint()-without-cache recompute)
         truncate = lambda df: df.checkpoint(eager=True)
     else:
-        truncate = lambda df: df.localCheckpoint(eager=True)
+        # LAZY local checkpoint: the logical plan is truncated
+        # immediately (keeping per-iteration Catalyst analysis flat —
+        # the reason truncation exists at all), but the blocks
+        # materialize inside the ONE job that consumes them instead of
+        # a blocking barrier per iteration. r4 measured the eager
+        # variant at 15.9 s on the bench graph with 3 barrier jobs;
+        # this shape runs the whole loop in a single job.
+        truncate = lambda df: df.localCheckpoint(eager=False)
     ranks = nodes.withColumn("r", F.lit(1.0 / n))
     for _ in range(iters):
         contrib = e2.join(ranks, e2["src"] == ranks["node"]).select(
@@ -110,11 +124,17 @@ def pagerank(
                 ).alias("r"),
             )
         )
-    # the final ranks frame is checkpoint-truncated — it no longer
-    # references the cached inputs, so they can be dropped eagerly
+    # ONE eager materialization of the final ranks (the only barrier in
+    # the default path): after it, the returned frame reads blocks and
+    # no longer references the cached inputs, so they can be dropped —
+    # unpersisting before materialization would silently recompute the
+    # deg-join once per iteration instead
+    out = ranks.select("node", F.col("r").alias("pagerank"))
+    if reliable_checkpoint_dir is None:
+        out = out.localCheckpoint(eager=True)
     e2.unpersist(blocking=False)
     nodes.unpersist(blocking=False)
-    return ranks.select("node", F.col("r").alias("pagerank"))
+    return out
 
 
 def tree_ancestry(
