@@ -23,7 +23,13 @@ Rows are gated by FLAGSHIP-PATH CONTENT HASH, not git rev: the hash
 covers bench.py plus the transitive closure of feat_spark modules the
 flagship pipeline imports, so a row is published iff the code that
 PRODUCED the measurement is byte-identical to the code at the current
-tree — which is the actual claim a scaling table makes. The round-3
+tree — which is the actual claim a scaling table makes. The rotating
+query registries live in bench_queries.py, which is deliberately
+OUTSIDE the closure (not bench.py, not feat_spark): the per-round
+driver-window rotation edits only that module, and scaling runs skip
+the query section entirely (SPARK_GRAFT_SKIP_QUERIES=1), so rotation
+cannot invalidate the published table — round 5 lost a full campaign
+history to exactly that before the registries were split out. The round-3
 table was repeatedly invalidated by commits that never touched the
 flagship path (doc edits, new unrelated operators); the content hash
 keeps those campaign rows valid, so campaigns can start early in a

@@ -33,6 +33,17 @@ modes round 4 proved the tolerant compare cannot see:
   diverges from Spark's Decimal objects — r4 ``table_fingerprint``,
   r1/r2 ``partition_lineage``).
 
+CALIBRATION — strict is a SUPERSET of the driver (no false greens,
+some false reds): ``pagerank`` carries ~95/1600 cross-engine double
+diffs of ~4e-12 (double->decimal(27,12) cast rounding at half-quantum
+boundaries) and its r4 driver row was hash-GREEN, while the same
+driver redded ``calendar_features`` on ``-0.0`` vs ``+0.0``. So the
+driver's value hash tolerates ~1e-9 float rounding but distinguishes
+zero signs; strict's full-bit compare flags sub-1e-9 diffs the driver
+would pass. Treat a strict float-bit failure at < 1e-9 relative as
+advisory — fix it if cheap (tighter decimal discipline), but it is
+not a predicted driver red.
+
 Usage: python tools/selfcheck.py [--strict] [sf_dir] [query ...]
 """
 
