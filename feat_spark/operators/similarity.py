@@ -315,6 +315,16 @@ def ivf_topk(
     centroids, brute-forces only its ``n_probe`` nearest inverted
     lists. All ties (centroid assignment, ranking) break by id so the
     whole index is deterministic and SQL-twinnable.
+
+    Why the probe is NOT int8-quantized (measured, round 5): stage
+    attribution at the bench input (``tools/profile_ivf.py``) put
+    k-means training at ~7.0 s and probe+re-rank at ~4.4 s of the
+    15.6 s gate — training job count was the bottleneck, not probe
+    arithmetic, so the fix was driver-side centroid state + smaller
+    assignment expressions (gate now ~8.0 s). SQ8 probing
+    (``quantize_embeddings``) stays available for corpora where the
+    probe's decode bandwidth actually dominates — at this shape it
+    would add a dequant step to a stage that is 25% of wall-clock.
     """
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     if centroids is None:
