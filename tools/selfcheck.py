@@ -44,7 +44,14 @@ would pass. Treat a strict float-bit failure at < 1e-9 relative as
 advisory — fix it if cheap (tighter decimal discipline), but it is
 not a predicted driver red.
 
-Usage: python tools/selfcheck.py [--strict] [sf_dir] [query ...]
+``--shapes`` runs ONLY the registration-shape lint (array/struct/map
+and wide-decimal output rejection) over the registry: Spark plan
+analysis plus a DuckDB bind per gate, no values fetched — fast enough
+to sweep all gates before every window freeze. The same sweep is
+enforced by ``tests/test_gate_shapes.py``, so ``pytest`` itself blocks
+the round-4 red classes at registration time.
+
+Usage: python tools/selfcheck.py [--strict|--shapes] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -257,10 +264,66 @@ def compare(
     return problems
 
 
+def _duck_shape_problems(name: str, columns, types) -> list[str]:
+    """Oracle-side twin of :func:`strict_schema_problems` that needs
+    only the BOUND relation (``con.sql(sql).types`` — DuckDB binds and
+    plans without executing), so the whole registry can be shape-linted
+    in seconds. Rendered type strings are the stable surface:
+    lists render as ``BIGINT[]``, structs/maps/unions by keyword,
+    decimals as ``DECIMAL(p,s)``."""
+    problems = []
+    for col, t in zip(columns, types):
+        s = str(t).upper()
+        if "[]" in s or s.startswith(("STRUCT(", "MAP(", "UNION(")):
+            problems.append(
+                f"strict: oracle col {col} is {s} — driver _canon crashes "
+                "on array/struct/map output columns"
+            )
+        elif s.startswith("DECIMAL("):
+            prec = int(s.split("(")[1].split(",")[0])
+            if prec > _MAX_SAFE_DECIMAL_PRECISION:
+                problems.append(
+                    f"strict: oracle col {col} is {s} — driver narrows "
+                    "wide decimals through pandas"
+                )
+    return problems
+
+
+def shape_sweep(spark, con, sf_dir: str, names=None) -> dict[str, list[str]]:
+    """Registration-time lint over the gate registry: build each
+    gate's DataFrame (plan analysis only — values are never fetched)
+    and BIND its oracle, then reject the output shapes the driver's
+    harness cannot canonicalize (array/struct/map columns, decimals
+    wider than 18 digits). This is the check that would have caught
+    all three of round 4's non-float red classes before the window
+    froze. Returns {gate: [problem, ...]} for offending gates only."""
+    qs, oracles = E.queries(), E.oracle_sql()
+    out: dict[str, list[str]] = {}
+    for name, fn in qs.items():
+        if names is not None and name not in names:
+            continue
+        try:
+            spark_schema = fn(spark, sf_dir).schema
+        except Exception as exc:  # noqa: BLE001
+            out[name] = [f"spark raised {type(exc).__name__}: {exc}"]
+            continue
+        problems = strict_schema_problems(name, spark_schema, None)
+        if name in oracles:
+            try:
+                rel = con.sql(oracles[name])
+                problems += _duck_shape_problems(name, rel.columns, rel.types)
+            except Exception as exc:  # noqa: BLE001
+                problems.append(f"oracle bind raised {exc}")
+        if problems:
+            out[name] = problems
+    return out
+
+
 def main() -> int:
     global STRICT
-    argv = [a for a in sys.argv[1:] if a != "--strict"]
-    STRICT = len(argv) != len(sys.argv) - 1
+    argv = [a for a in sys.argv[1:] if a not in ("--strict", "--shapes")]
+    STRICT = "--strict" in sys.argv[1:]
+    shapes_only = "--shapes" in sys.argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     spark = get_spark()
@@ -269,6 +332,13 @@ def main() -> int:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"create view {t} as select * from '{p}'")
+
+    if shapes_only:
+        bad = shape_sweep(spark, con, sf_dir, names=only or None)
+        for name, problems in bad.items():
+            print(f"FAIL  {name}: " + "; ".join(problems))
+        print(f"\n{len(bad)} failures" + (f": {sorted(bad)}" if bad else ""))
+        return 1 if bad else 0
 
     qs, oracles = E.queries(), E.oracle_sql()
     failed = []
