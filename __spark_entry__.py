@@ -9857,12 +9857,13 @@ def oracle_sql() -> dict[str, str]:
                      as sxx
             from l where g is not null group by 1),
           c as (
-            select user_id, n_gaps, sx / n_gaps as mean,
+            select user_id, n_gaps, sx, sx / n_gaps as mean,
                    greatest(sxx / n_gaps
                             - (sx / n_gaps) * (sx / n_gaps), 0.0)
                      as var
             from a)
-          select user_id, n_gaps, round(mean, 6) as mean_gap_us,
+          select user_id, n_gaps,
+                 (2 * sx + n_gaps) // (2 * n_gaps) as mean_gap_us,
                  case when n_gaps >= 2 and sqrt(var) + mean > 0
                       then round((sqrt(var) - mean)
                                  / (sqrt(var) + mean), 6)
@@ -10138,7 +10139,7 @@ def oracle_sql() -> dict[str, str]:
           select dim_i, dim_j, n,
                  round(sxy::DOUBLE / n::DOUBLE
                        - (sxi::DOUBLE / n::DOUBLE)
-                         * (sxj::DOUBLE / n::DOUBLE), 6) as cov
+                         * (sxj::DOUBLE / n::DOUBLE), 6) + 0 as cov
           from agg""",
         "interpolate_daily": """
           with raw as (
@@ -11010,7 +11011,7 @@ def oracle_sql() -> dict[str, str]:
                    round((cast(sy as double)
                           - (num1 / det) * cast(s1 as double)
                           - (num2 / det) * cast(s2 as double))
-                         / cast(n as double), 9) end as b0
+                         / cast(n as double), 4) end as b0
           from b""",
         "link_jaccard": """
           with raw as (

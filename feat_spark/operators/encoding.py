@@ -937,8 +937,12 @@ def ols2_fit(
     day indexes / counts — the caller quantizes), accumulated as
     decimal(38,0) so products can't overflow; each beta is ONE IEEE
     division of exact integers, 9dp; the intercept closes from the
-    betas in a fixed op order. Collinear groups (det = 0) and groups
-    with n < 3 return NULLs — the honest answer.
+    betas in a fixed op order and rounds at 4dp — b0 carries y's
+    units (cents), so its magnitude can reach ~1e7 where a 9dp
+    rounding quantum sits at one double ulp and cross-engine rounding
+    goes bit-unstable; 4dp keeps quantum >> ulp up to ~1e12 while the
+    dimensionless slopes stay at 9dp. Collinear groups (det = 0) and
+    groups with n < 3 return NULLs — the honest answer.
 
     One partial-aggregated groupBy carrying nine sums; no window, no
     join, no iteration — the 100 TB plan is a single exchange.
@@ -978,7 +982,7 @@ def ols2_fit(
         "n",
         F.when(ok, F.round(b1, 9)).alias("b1"),
         F.when(ok, F.round(b2, 9)).alias("b2"),
-        F.when(ok, F.round(b0, 9)).alias("b0"),
+        F.when(ok, F.round(b0, 4)).alias("b0"),
     )
 
 

@@ -819,7 +819,14 @@ def burstiness(
     fp dust. Entities with fewer than 2 gaps return NULL B (no
     dispersion exists).
 
-    Output: key cols + ``(n_gaps, mean_gap_us, b)``, 6dp.
+    ``mean_gap_us`` is reported as HALF-UP INTEGER microseconds via
+    pure int64 arithmetic ``(2*sx + n) div (2*n)`` — at gap-sum
+    magnitudes (~4e10 µs) a 6dp double round needs more precision
+    than a double carries (quantum < ulp), so cross-engine rounding
+    becomes bit-unstable; sub-µs decimals of a mean GAP are noise
+    anyway. ``b`` (dimensionless, |b| <= 1) stays a 6dp double.
+
+    Output: key cols + ``(n_gaps, mean_gap_us, b)``.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
@@ -844,7 +851,7 @@ def burstiness(
     return agg.select(
         *keys,
         "n_gaps",
-        F.round(mean, 6).alias("mean_gap_us"),
+        F.expr("(2 * __sx + n_gaps) div (2 * n_gaps)").alias("mean_gap_us"),
         F.when(
             (F.col("n_gaps") >= 2) & ((sd + mean) > 0),
             F.round((sd - mean) / (sd + mean), 6),

@@ -78,6 +78,57 @@ def test_matching_float_classes_still_use_tolerance():
     assert problems == []
 
 
+def test_strict_zero_sign_flip_fails():
+    """r4 calendar_features class: -0.0 vs +0.0 is a driver red — the
+    typed value hash distinguishes zero signs."""
+    import selfcheck
+
+    selfcheck.STRICT = True
+    try:
+        problems = compare(
+            "zero_sign", pd.DataFrame({"v": [0.0]}), pd.DataFrame({"v": [-0.0]}),
+            spark_classes={"v": "float"}, oracle_classes={"v": "float"},
+        )
+    finally:
+        selfcheck.STRICT = False
+    assert problems and "float col v" in problems[0]
+    assert not problems[0].startswith("advisory")
+
+
+def test_strict_sub_1e9_bit_diff_is_advisory():
+    """Measured calibration: pagerank was driver hash-GREEN with ~4e-12
+    relative diffs, so same-sign bit diffs under 1e-9 relative must be
+    advisory (warn), not failures."""
+    import numpy as np
+    import selfcheck
+
+    a = 0.007523040633
+    b = np.nextafter(a, 0.0)  # one ulp apart, same sign, ~1e-16 relative
+    selfcheck.STRICT = True
+    try:
+        problems = compare(
+            "ulp_diff", pd.DataFrame({"v": [a]}), pd.DataFrame({"v": [b]}),
+            spark_classes={"v": "float"}, oracle_classes={"v": "float"},
+        )
+    finally:
+        selfcheck.STRICT = False
+    assert len(problems) == 1 and problems[0].startswith("advisory float col v")
+
+
+def test_strict_large_float_diff_still_fails():
+    import selfcheck
+
+    selfcheck.STRICT = True
+    try:
+        problems = compare(
+            "real_diff", pd.DataFrame({"v": [1.0]}), pd.DataFrame({"v": [1.001]}),
+            spark_classes={"v": "float"}, oracle_classes={"v": "float"},
+        )
+    finally:
+        selfcheck.STRICT = False
+    assert problems and problems[0].startswith("float col v")
+
+
 def test_arrow_class_vocabulary_matches_spark_class():
     """Every class the oracle side can emit has a Spark-side twin so
     legitimately-matching schemas never false-positive."""
