@@ -21,7 +21,8 @@ determinism discipline as ``similarity.kmeans_centroids`` and
   reliable path stays eager per iteration because a lazy reliable
   checkpoint recomputes its frame to write it.
 
-The loop-invariant frames (``edges ⋈ out_degree``, the node list) are
+The loop-invariant frames (the edge list, the out-degree table, the
+node list) are
 ``persist()``-ed, NOT eagerly localCheckpoint-ed: they are scanned once
 per iteration, the cache keeps lineage constant-depth without
 compounding, and cached partitions lost with an executor recompute
@@ -35,9 +36,10 @@ redistributed (feed an undirected edge set — the default — and no
 node dangles). That is the variant an external engine can replay
 bit-for-bit, which is what the oracle gate checks.
 
-Scale shape: per iteration, one equi-join of edges->ranks (edges
-pre-partitioned by src would co-locate it), one partial-agg shuffle
-keyed by dst. Skewed hubs are exactly the salted-agg case —
+Scale shape: per iteration, one node-grain join (ranks ⋈ out_degree —
+both |V|-sized; this is also where the one double→decimal cast per
+node happens), one equi-join of edges->that (edges pre-partitioned by
+src would co-locate it), one partial-agg shuffle keyed by dst. Skewed hubs are exactly the salted-agg case —
 contributions are a commutative decimal sum, so
 ``operators/salted.py`` applies verbatim if a hub dominates.
 """
@@ -86,10 +88,11 @@ def pagerank(
         .persist()
     )
     n = nodes.count()  # materializes the persisted node list
-    # hoist the loop-invariant edges ⋈ out_degree join: computed once,
-    # cached, reused by every iteration (was a second join per round)
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
-    e2 = e.join(deg, "src").select("src", "dst", "__d").persist()
+    # loop invariants hoisted and cached: the out-degree table (node
+    # grain) and the raw edge list. deg is joined to the RANKS (small)
+    # side each iteration, never to the edges — see the cast note below.
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__d")).persist()
+    e2 = e.persist()
     teleport = (1.0 - damping) / n
     if reliable_checkpoint_dir is not None:
         e2.sparkSession.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
@@ -108,9 +111,19 @@ def pagerank(
         truncate = lambda df: df.localCheckpoint(eager=False)
     ranks = nodes.withColumn("r", F.lit(1.0 / n))
     for _ in range(iters):
-        contrib = e2.join(ranks, e2["src"] == ranks["node"]).select(
-            F.col("dst").alias("node"),
-            (F.col("r") / F.col("__d")).cast("decimal(27,12)").alias("__c"),
+        # Cast r/out_degree to decimal ONCE PER SOURCE NODE, not once
+        # per edge: the per-edge value is identical for every out-edge
+        # of a node, and Decimal.set(double) routes through
+        # BigDecimal.valueOf → Double.toString — measured (jstack under
+        # load) as the dominant CPU of the whole iteration when done at
+        # edge grain. Node-grain casting is |V|/|E| cheaper (73× on the
+        # bench graph) and bit-identical: the same decimal values are
+        # summed, and decimal addition is exact in any order.
+        vals = ranks.join(deg, ranks["node"] == deg["src"]).select(
+            "src", (F.col("r") / F.col("__d")).cast("decimal(27,12)").alias("__v")
+        )
+        contrib = e2.join(vals, "src").select(
+            F.col("dst").alias("node"), F.col("__v").alias("__c")
         )
         sums = contrib.groupBy("node").agg(F.sum("__c").alias("__c"))
         ranks = truncate(
@@ -133,6 +146,7 @@ def pagerank(
     if reliable_checkpoint_dir is None:
         out = out.localCheckpoint(eager=True)
     e2.unpersist(blocking=False)
+    deg.unpersist(blocking=False)
     nodes.unpersist(blocking=False)
     return out
 
