@@ -239,6 +239,20 @@ hypervisor: outside load can only SLOW a run). The per-level estimator
 is therefore best-over-all-recorded-runs (BENCH/runs.jsonl keeps every
 measurement; nothing is discarded).
 
+A second one-sided noise source, root-caused from thread dumps: the
+shipped collector is single-generation ZGC (JDK 17 ignores the
+-XX:+ZGenerational flag via Spark's -XX:+IgnoreUnrecognizedVMOptions),
+and on this box it sporadically inserts a 20-60 s whole-job stall —
+jstack during a stall shows every executor thread idle and the query
+thread parked on a driver event that only resolves around the next
+concurrent GC cycle; the same workload under -XX:+UseG1GC shows no
+stalls over dozens of reps. The stall is rare per run (~10-30% on
+multi-second queries), strictly additive, and never changes results,
+so best-over-runs absorbs it for the flagship table below; individual
+per-query timings in BENCH_r{{N}}.json (min-of-2) can occasionally
+still catch it — read outlier per-query regressions against this
+note before concluding anything about the plan.
+
 {rev_note}
 
 | cores (N) | turns/sec (best) | all recorded runs |
