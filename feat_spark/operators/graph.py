@@ -79,20 +79,26 @@ def pagerank(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     e = e.distinct()
-    # nodes = src UNION dst: in directed mode a sink that never emits
-    # still receives mass and must get a rank row
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
-    n = nodes.count()  # materializes the persisted node list
     # loop invariants hoisted and cached: the out-degree table (node
     # grain) and the raw edge list. deg is joined to the RANKS (small)
     # side each iteration, never to the edges — see the cast note below.
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__d")).persist()
     e2 = e.persist()
+    if undirected:
+        # after mirroring, every node appears as a src, so deg's key
+        # set IS the node set — reuse it instead of paying a second
+        # distinct shuffle over src UNION dst
+        nodes = deg.select(F.col("src").alias("node"))
+    else:
+        # directed mode: a sink that never emits still receives mass
+        # and must get a rank row, so union both endpoints
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
+    n = nodes.count()  # materializes nodes (and deg beneath it)
     teleport = (1.0 - damping) / n
     if reliable_checkpoint_dir is not None:
         e2.sparkSession.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
