@@ -36,10 +36,15 @@ redistributed (feed an undirected edge set — the default — and no
 node dangles). That is the variant an external engine can replay
 bit-for-bit, which is what the oracle gate checks.
 
-Scale shape: per iteration, one node-grain join (ranks ⋈ out_degree —
-both |V|-sized; this is also where the one double→decimal cast per
-node happens), one equi-join of edges->that (edges pre-partitioned by
-src would co-locate it), one partial-agg shuffle keyed by dst. Skewed hubs are exactly the salted-agg case —
+Scale shape: the edge list is cached pre-partitioned on ``src``, so
+per iteration only |V|-sized frames move — one exchange of the
+node-grain contribution values onto the co-located edges, one
+partial-agg shuffle keyed by dst, and (undirected default) one
+node-grain join back onto the degree table; the |E|-sized side never
+re-shuffles. In undirected mode the degree rides in the rank frame
+and the contribution sum covers every node, so the per-iteration
+ranks⋈degree join and the node-spine left join of the directed path
+both disappear. Skewed hubs are exactly the salted-agg case —
 contributions are a commutative decimal sum, so
 ``operators/salted.py`` applies verbatim if a hub dominates.
 """
@@ -79,11 +84,15 @@ def pagerank(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     e = e.distinct()
-    # loop invariants hoisted and cached: the out-degree table (node
-    # grain) and the raw edge list. deg is joined to the RANKS (small)
-    # side each iteration, never to the edges — see the cast note below.
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__d")).persist()
-    e2 = e.persist()
+    # loop invariants hoisted and cached. The edge list is cached
+    # PRE-PARTITIONED on the per-iteration join key: the contribution
+    # join then reuses this one distribution every round instead of
+    # re-shuffling |E| per iteration, and the degree agg rides the same
+    # exchange (groupBy over a src-partitioned cache adds none). deg is
+    # joined to the RANKS (small) side each iteration, never to the
+    # edges — see the cast note below.
+    e2 = e.repartition("src").persist()
+    deg = e2.groupBy("src").agg(F.count(F.lit(1)).alias("__d")).persist()
     if undirected:
         # after mirroring, every node appears as a src, so deg's key
         # set IS the node set — reuse it instead of paying a second
@@ -115,34 +124,71 @@ def pagerank(
         # variant at 15.9 s on the bench graph with 3 barrier jobs;
         # this shape runs the whole loop in a single job.
         truncate = lambda df: df.localCheckpoint(eager=False)
-    ranks = nodes.withColumn("r", F.lit(1.0 / n))
-    for _ in range(iters):
-        # Cast r/out_degree to decimal ONCE PER SOURCE NODE, not once
-        # per edge: the per-edge value is identical for every out-edge
-        # of a node, and Decimal.set(double) routes through
-        # BigDecimal.valueOf → Double.toString — measured (jstack under
-        # load) as the dominant CPU of the whole iteration when done at
-        # edge grain. Node-grain casting is |V|/|E| cheaper (73× on the
-        # bench graph) and bit-identical: the same decimal values are
-        # summed, and decimal addition is exact in any order.
-        vals = ranks.join(deg, ranks["node"] == deg["src"]).select(
-            "src", (F.col("r") / F.col("__d")).cast("decimal(27,12)").alias("__v")
+    # Cast r/out_degree to decimal ONCE PER SOURCE NODE, not once
+    # per edge: the per-edge value is identical for every out-edge
+    # of a node, and Decimal.set(double) routes through
+    # BigDecimal.valueOf → Double.toString — measured (jstack under
+    # load) as the dominant CPU of the whole iteration when done at
+    # edge grain. Node-grain casting is |V|/|E| cheaper (73× on the
+    # bench graph) and bit-identical: the same decimal values are
+    # summed, and decimal addition is exact in any order.
+    if undirected:
+        # Mirror-symmetry buys two more node-grain shuffles per
+        # iteration: every node has an out-edge (deg's key set IS the
+        # node set) so the degree can RIDE IN the rank frame instead of
+        # a per-iteration ranks⋈deg join, and every node has an in-edge
+        # so the contribution sum already covers the full node spine —
+        # the left join against `nodes` is redundant. Values are
+        # bit-identical (same divisions, same decimal sums, __c never
+        # NULL so dropping the coalesce changes nothing).
+        ranks = deg.select(
+            F.col("src").alias("node"), F.lit(1.0 / n).alias("r"), "__d"
         )
-        contrib = e2.join(vals, "src").select(
-            F.col("dst").alias("node"), F.col("__v").alias("__c")
-        )
-        sums = contrib.groupBy("node").agg(F.sum("__c").alias("__c"))
-        ranks = truncate(
-            nodes.join(sums, "node", "left").select(
-                "node",
-                F.round(
-                    F.lit(teleport)
-                    + F.lit(damping)
-                    * F.coalesce(F.col("__c").cast("double"), F.lit(0.0)),
-                    12,
-                ).alias("r"),
+        for _ in range(iters):
+            vals = ranks.select(
+                F.col("node").alias("src"),
+                (F.col("r") / F.col("__d")).cast("decimal(27,12)").alias("__v"),
             )
-        )
+            contrib = e2.join(vals, "src").select(
+                F.col("dst").alias("node"), F.col("__v").alias("__c")
+            )
+            sums = contrib.groupBy("node").agg(F.sum("__c").alias("__c"))
+            ranks = truncate(
+                sums.join(deg, sums["node"] == deg["src"]).select(
+                    "node",
+                    F.round(
+                        F.lit(teleport)
+                        + F.lit(damping) * F.col("__c").cast("double"),
+                        12,
+                    ).alias("r"),
+                    "__d",
+                )
+            )
+    else:
+        # Directed graphs keep the spine join: sinks receive mass but
+        # never emit (no deg row), and isolated receivers would drop
+        # out of an inner join.
+        ranks = nodes.withColumn("r", F.lit(1.0 / n))
+        for _ in range(iters):
+            vals = ranks.join(deg, ranks["node"] == deg["src"]).select(
+                "src",
+                (F.col("r") / F.col("__d")).cast("decimal(27,12)").alias("__v"),
+            )
+            contrib = e2.join(vals, "src").select(
+                F.col("dst").alias("node"), F.col("__v").alias("__c")
+            )
+            sums = contrib.groupBy("node").agg(F.sum("__c").alias("__c"))
+            ranks = truncate(
+                nodes.join(sums, "node", "left").select(
+                    "node",
+                    F.round(
+                        F.lit(teleport)
+                        + F.lit(damping)
+                        * F.coalesce(F.col("__c").cast("double"), F.lit(0.0)),
+                        12,
+                    ).alias("r"),
+                )
+            )
     # ONE eager materialization of the final ranks (the only barrier in
     # the default path): after it, the returned frame reads blocks and
     # no longer references the cached inputs, so they can be dropped —
