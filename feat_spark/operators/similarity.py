@@ -586,18 +586,48 @@ def semantic_dedup(
     ).select(
         F.col(id_col), F.col(vec_col), F.col("cluster_id")
     )
+    # The pair scan is where the time goes, so two plan devices — both
+    # value-preserving, so the oracle replay stays bit-for-bit:
+    #   1. Norms are hoisted to ROW grain before the join. cosine() as
+    #      an inline expression re-aggregates BOTH operand norms for
+    #      every pair; sqrt(sum(v_i^2)) over the same array is the same
+    #      double wherever it is computed, and dot/(an*bn) is the
+    #      identical arithmetic order, so hoisting cuts ~2/3 of the
+    #      per-pair higher-order-function work without moving a bit.
+    #      The projections sit below the cluster-key exchange, so the
+    #      norm is materialized once per shuffled row, not re-inlined
+    #      into the join condition.
+    #   2. The dup test is EXISTS, not an enumeration: a LEFT SEMI join
+    #      with the full predicate as the join condition lets the probe
+    #      stop at the FIRST lower-id clustermate over the threshold
+    #      (duplicates in dense clusters short-circuit early) and
+    #      makes the old distinct() redundant — same id set, one fewer
+    #      aggregate.
     a = assigned.select(
-        F.col(id_col).alias("__aid"), "cluster_id", F.col(vec_col).alias("__av")
+        F.col(id_col).alias("__aid"),
+        F.col("cluster_id").alias("__ac"),
+        F.col(vec_col).alias("__av"),
+        _norm(F.col(vec_col)).alias("__an"),
     )
     b = assigned.select(
-        F.col(id_col).alias("__bid"), "cluster_id", F.col(vec_col).alias("__bv")
+        F.col(id_col).alias("__bid"),
+        F.col("cluster_id").alias("__bc"),
+        F.col(vec_col).alias("__bv"),
+        _norm(F.col(vec_col)).alias("__bn"),
     )
     dup_ids = (
-        a.join(b, "cluster_id")
-        .filter(F.col("__aid") < F.col("__bid"))
-        .filter(cosine(F.col("__av"), F.col("__bv")) > threshold)
+        b.join(
+            a,
+            (F.col("__bc") == F.col("__ac"))
+            & (F.col("__aid") < F.col("__bid"))
+            & (
+                _dot(F.col("__av"), F.col("__bv"))
+                / (F.col("__an") * F.col("__bn"))
+                > threshold
+            ),
+            "left_semi",
+        )
         .select(F.col("__bid").alias(id_col))
-        .distinct()
         .withColumn("__dup", F.lit(True))
     )
     return (
