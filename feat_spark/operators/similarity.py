@@ -63,13 +63,25 @@ def cosine_topk(
     (same id) excluded. Ties break by neighbor_id ascending so results
     are deterministic across engines.
     """
+    # norms hoisted to row grain on both sides: per pair only the dot
+    # remains, and dot/(qn*cn) is the identical arithmetic order to
+    # cosine(), so every cos_sim bit is unchanged (oracle-safe)
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "cos_sim",
+            _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -155,11 +167,16 @@ def lsh_bucketed_topk(
     while cost grows linearly — the standard LSH recall knob, and fully
     deterministic (the oracle replays every table). Measured by the
     ``knn_lsh_recall`` driver query against the exact result."""
+    # norms hoisted to row grain (bit-identical — see cosine_topk)
     cbase = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
     )
     qbase = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
     )
     masks = [m for m in range(1 << planes) if bin(m).count("1") <= probe_hamming]
     cand = None
@@ -173,7 +190,7 @@ def lsh_bucketed_topk(
             F.explode(F.array(*[F.col("__b0").bitwiseXOR(F.lit(m)) for m in masks])),
         ).drop("__b0")
         pairs = c.join(F.broadcast(q), ["bucket"]).select(
-            "query_id", "neighbor_id", "__qv", "__cv"
+            "query_id", "neighbor_id", "__qv", "__cv", "__qn", "__cn"
         )
         cand = pairs if cand is None else cand.unionByName(pairs)
     if tables > 1:
@@ -183,7 +200,10 @@ def lsh_bucketed_topk(
         cand = cand.dropDuplicates(["query_id", "neighbor_id"])
     scored = (
         cand.filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "cos_sim",
+            _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -346,28 +366,41 @@ def ivf_topk(
     # the broadcast-join argmax whose map-side partial max still ships
     # only n rows. Identical selection: max(cos, -cid) == first row of
     # (cos desc, cid asc).
+    # corpus norms hoisted to row grain (bit-identical — see
+    # cosine_topk): the candidate scan pays only the dot per pair
     assigned = assign_clusters(
         c, centroids, id_col="neighbor_id", vec_col="__cv", out_col="__cid"
-    ).select("neighbor_id", "__cv", "__cid")
+    ).select(
+        "neighbor_id", "__cv", "__cid", _norm(F.col("__cv")).alias("__cn")
+    )
 
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
     )
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("__ccos").desc(), F.col("__cid").asc()
     )
     probes = (
         q.join(F.broadcast(centroids), F.lit(True))
-        .withColumn("__ccos", cosine(F.col("__qv"), F.col("__cent")))
+        .withColumn(
+            "__ccos",
+            _dot(F.col("__qv"), F.col("__cent"))
+            / (F.col("__qn") * _norm(F.col("__cent"))),
+        )
         .withColumn("__rn", F.row_number().over(probe_w))
         .filter(F.col("__rn") <= n_probe)
-        .select("query_id", "__qv", "__cid")
+        .select("query_id", "__qv", "__qn", "__cid")
     )
 
     scored = (
         assigned.join(F.broadcast(probes), ["__cid"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "cos_sim",
+            _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -400,7 +433,12 @@ def embedding_near_dup_pairs(
     per-bucket. Near-identical vectors land in the same bucket with
     prob ~ (1 - theta/pi)^planes, which is high at dedup thresholds.
     """
-    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    # norms hoisted to row grain (bit-identical — see cosine_topk)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        _norm(F.col(vec_col)).alias("__n"),
+    )
     if exact:
         a, b = base.alias("a"), base.alias("b")
         joined = a.join(b, F.col("a.__id") < F.col("b.__id"))
@@ -412,7 +450,9 @@ def embedding_near_dup_pairs(
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
-    sim = cosine(F.col("a.__v"), F.col("b.__v"))
+    sim = _dot(F.col("a.__v"), F.col("b.__v")) / (
+        F.col("a.__n") * F.col("b.__n")
+    )
     return (
         joined.select(
             F.col("a.__id").alias("id_a"),
@@ -797,14 +837,23 @@ def semantic_decontaminate(
     benchmark one surfaces as ``<name>_bench``.
     """
     bench_out = bench_id if bench_id != corpus_id else f"{bench_id}_bench"
-    c = corpus.select(F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cv"))
+    # norms hoisted to row grain (bit-identical — see cosine_topk)
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    )
     b = benchmark.select(
-        F.col(bench_id).alias("__bid"), F.col(vec_col).alias("__bv")
+        F.col(bench_id).alias("__bid"),
+        F.col(vec_col).alias("__bv"),
+        _norm(F.col(vec_col)).alias("__bn"),
     )
     scored = c.join(F.broadcast(b)).select(
         "__cid",
         "__bid",
-        cosine(F.col("__cv"), F.col("__bv")).alias("__cos"),
+        (
+            _dot(F.col("__cv"), F.col("__bv")) / (F.col("__cn") * F.col("__bn"))
+        ).alias("__cos"),
     )
     best = (
         scored.groupBy("__cid")
