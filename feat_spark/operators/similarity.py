@@ -341,7 +341,8 @@ def ivf_topk(
     k-means training at ~7.0 s and probe+re-rank at ~4.4 s of the
     15.6 s gate — training job count was the bottleneck, not probe
     arithmetic, so the fix was driver-side centroid state + smaller
-    assignment expressions (gate now ~8.0 s). SQ8 probing
+    assignment expressions, then row-grain norm hoisting in the
+    candidate scan (gate now ~5.9 s at the bench input). SQ8 probing
     (``quantize_embeddings``) stays available for corpora where the
     probe's decode bandwidth actually dominates — at this shape it
     would add a dequant step to a stage that is 25% of wall-clock.
