@@ -2480,8 +2480,14 @@ def _q_fuzzy_pairs(spark, sf_dir):
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
     toks = F.split(F.col("p_name"), " ")
     blk = F.concat_ws(":", toks[0], F.substring(toks[1], 1, 1))
+    # broadcast=True: part is dimension-sized (200k rows / ~10 MB at
+    # sf1) while the composite block key has only ~48 distinct values —
+    # a shuffle join caps at 48-way parallelism; the broadcast probe
+    # filters the O(block²) candidate stream inline (r6 optimization,
+    # results bit-identical: the join predicate is unchanged)
     return fuzzy_pairs(
-        p, id_col="p_partkey", str_col="p_name", max_dist=2, block=blk
+        p, id_col="p_partkey", str_col="p_name", max_dist=2, block=blk,
+        broadcast=True,
     )
 
 
@@ -2535,7 +2541,10 @@ def _q_fuzzy_pairs_recall(spark, sf_dir):
     toks = F.split(F.col("s"), " ")
     b1 = F.concat_ws(":", toks[0], F.substring(toks[1], 1, 1))
     b2 = F.concat_ws(":", toks[0], F.length("s").cast("string"))
-    pairs = fuzzy_pairs(corpus, id_col="id", str_col="s", max_dist=2, blocks=[b1, b2])
+    pairs = fuzzy_pairs(
+        corpus, id_col="id", str_col="s", max_dist=2, blocks=[b1, b2],
+        broadcast=True,  # same dimension-sized corpus as fuzzy_pairs
+    )
     # planted pair = (orig, orig + 1e7): part keys are << 1e7, typo ids
     # all > 1e7, and within-side id gaps are < 1e7, so the delta test
     # identifies exactly the planted pairs
@@ -4214,7 +4223,8 @@ def _q_entity_resolution(spark, sf_dir):
     toks = F.split(F.col("p_name"), " ")
     blk = F.concat_ws(":", toks[0], F.substring(toks[1], 1, 1))
     pairs = fuzzy_pairs(
-        p, id_col="p_partkey", str_col="p_name", max_dist=2, block=blk
+        p, id_col="p_partkey", str_col="p_name", max_dist=2, block=blk,
+        broadcast=True,  # same dimension-sized corpus as fuzzy_pairs
     )
     comps = connected_components(pairs)
     docs = p.select(

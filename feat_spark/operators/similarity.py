@@ -383,12 +383,21 @@ def ivf_topk(
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("__ccos").desc(), F.col("__cid").asc()
     )
+    # centroid norm hoisted onto the k-row broadcast frame (k folds
+    # total instead of n_queries*k): same fold order and the same
+    # (__qn * centroid_norm) multiplication order, so every __ccos bit
+    # is unchanged
     probes = (
-        q.join(F.broadcast(centroids), F.lit(True))
+        q.join(
+            F.broadcast(
+                centroids.withColumn("__centn", _norm(F.col("__cent")))
+            ),
+            F.lit(True),
+        )
         .withColumn(
             "__ccos",
             _dot(F.col("__qv"), F.col("__cent"))
-            / (F.col("__qn") * _norm(F.col("__cent"))),
+            / (F.col("__qn") * F.col("__centn")),
         )
         .withColumn("__rn", F.row_number().over(probe_w))
         .filter(F.col("__rn") <= n_probe)
@@ -621,12 +630,16 @@ def semantic_dedup(
         centroids = kmeans_centroids(
             df, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
         )
+    # persist: `assigned` fans out THREE ways (both sides of the pair
+    # scan + the final left join); without it the assignment — at
+    # large k a broadcast-join argmax aggregation — re-executes per
+    # consumer (r6: ADVICE item, guide §5 reuse rule)
     assigned = assign_clusters(
         df.select(F.col(id_col), F.col(vec_col)),
         centroids, id_col, vec_col, strategy=assign_strategy,
     ).select(
         F.col(id_col), F.col(vec_col), F.col("cluster_id")
-    )
+    ).persist()
     # The pair scan is where the time goes, so two plan devices — both
     # value-preserving, so the oracle replay stays bit-for-bit:
     #   1. Norms are hoisted to ROW grain before the join. cosine() as
