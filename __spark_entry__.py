@@ -59,17 +59,26 @@ def _events(spark, sf_dir) -> DataFrame:
 def _orders_rhs(spark, sf_dir) -> DataFrame:
     """Right side for the as-of join: orders deduped to one row per
     (custkey, orderdate) — keep max orderkey — so the match is unique
-    and both engines agree on ties."""
+    and both engines agree on ties.
+
+    r6: the dedup is a ``max(struct(o_orderkey, o_totalprice))``
+    aggregate instead of a row_number window — same row selected
+    (o_orderkey is the primary key, so the lexicographic struct max IS
+    the max-orderkey row), but the agg is map-side combinable: the
+    full-sort window pass over orders becomes a partial aggregate
+    riding the same single exchange (guide §2.3 "aggregate before you
+    shuffle")."""
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
     return (
-        o.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        o.groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max(F.struct("o_orderkey", "o_totalprice")).alias("__top")
+        )
         .select(
             F.col("o_custkey").alias("user_id"),
             F.col("o_orderdate").alias("ts"),
-            "o_orderkey",
-            "o_totalprice",
+            F.col("__top.o_orderkey").alias("o_orderkey"),
+            F.col("__top.o_totalprice").alias("o_totalprice"),
         )
     )
 
@@ -1999,8 +2008,11 @@ def _q_semantic_dedup(spark, sf_dir):
         e.filter(F.col("vec_id") < 2000),
         n_centroids=16, iters=2, id_col="vec_id", vec_col="embedding",
     )
+    # broadcast_pairs: 16 clusters cap the shuffled pair scan at 16
+    # tasks; the corpus is dimension-sized (r6, results bit-identical)
     return S.semantic_dedup(
-        e, centroids=cents, threshold=0.35, id_col="vec_id", vec_col="embedding"
+        e, centroids=cents, threshold=0.35, id_col="vec_id",
+        vec_col="embedding", broadcast_pairs=True,
     )
 
 
@@ -2028,6 +2040,7 @@ def _q_semantic_dedup_largek(spark, sf_dir):
     return S.semantic_dedup(
         e, centroids=cents, threshold=0.35, id_col="vec_id",
         vec_col="embedding", assign_strategy="join",
+        broadcast_pairs=True,  # bounded corpus, same as semantic_dedup
     )
 
 

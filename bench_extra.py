@@ -41,16 +41,20 @@ def main() -> None:
     qs = E.queries()
     out: dict[str, list[float]] = {}
     for name in args:
-        df = qs[name](spark, sf_dir)
         if explain_only:
             print(f"===== {name} =====")
-            df.explain("formatted")
+            qs[name](spark, sf_dir).explain("formatted")
             continue
         times = []
         for i in range(reps):
             spark.sparkContext.setJobDescription(f"{name} rep{i}")
+            # construct INSIDE the timed region, exactly like bench.py:
+            # pagerank / k-means queries do real work (jobs, collects,
+            # checkpoints) at construction time
             t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
             times.append(round(time.perf_counter() - t0, 3))
             print(f"{name} rep{i}: {times[-1]}s", flush=True)
         out[name] = times

@@ -559,11 +559,16 @@ def cross_correlation(
     adjacent-row shifts otherwise, which is almost never what the
     analyst means).
 
-    Shape: one window partitioning shared by every shift's lead/lag
-    (Catalyst reuses the single sort) and ONE partial-agg pass keyed
-    (group, shift) after a union over |shifts| projections of the same
-    scan — no self-join of the series, no per-group iteration. Exact
-    decimal sums -> fixed-order double combine, the
+    Shape: ALL shifts' lead/lag columns come out of ONE window pass
+    (one shuffle + one sort), packed as an array of (shift, y) structs
+    and exploded to the (group, shift, x, y) grain, then ONE
+    partial-agg pass keyed (group, shift) — no self-join of the
+    series, no per-group iteration. (r6: the previous shape unioned
+    |shifts| separate projections of the same input, and because each
+    union branch is an independent subtree, the whole upstream plan —
+    for the bench query, a spine join — executed once PER SHIFT; the
+    explode emits the identical row multiset from a single execution.)
+    Exact decimal sums -> fixed-order double combine, the
     :func:`group_linear_fit` device; integer-valued inputs replay
     bit-for-bit in a SQL engine.
 
@@ -571,24 +576,38 @@ def cross_correlation(
     (constant-side or < 2 pairs) groups return NULL xcorr.
     """
     w = Window.partitionBy(group_col).orderBy(order_col)
-    parts = []
-    for s in shifts:
-        ys = (
-            F.lead(F.col(y_col).cast("double"), s).over(w)
-            if s >= 0
-            else F.lag(F.col(y_col).cast("double"), -s).over(w)
-        )
-        parts.append(
-            df.select(
-                F.col(group_col),
-                F.lit(int(s)).cast("int").alias("shift"),
-                F.col(x_col).cast("double").alias("__x"),
-                ys.alias("__y"),
+    led = df.select(
+        F.col(group_col),
+        F.col(x_col).cast("double").alias("__x"),
+        *[
+            (
+                F.lead(F.col(y_col).cast("double"), s).over(w)
+                if s >= 0
+                else F.lag(F.col(y_col).cast("double"), -s).over(w)
+            ).alias(f"__y_{i}")
+            for i, s in enumerate(shifts)
+        ],
+    )
+    u = led.select(
+        F.col(group_col),
+        "__x",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(s)).cast("int").alias("shift"),
+                        F.col(f"__y_{i}").alias("__y"),
+                    )
+                    for i, s in enumerate(shifts)
+                ]
             )
-        )
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
+        ).alias("__sy"),
+    ).select(
+        F.col(group_col),
+        F.col("__sy.shift").alias("shift"),
+        "__x",
+        F.col("__sy.__y").alias("__y"),
+    )
     d = u.filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
     xd = F.col("__x").cast("decimal(18,6)")
     yd = F.col("__y").cast("decimal(18,6)")

@@ -83,7 +83,6 @@ def pagerank(
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    e = e.distinct()
     # loop invariants hoisted and cached. The edge list is cached
     # PRE-PARTITIONED on the per-iteration join key: the contribution
     # join then reuses this one distribution every round instead of
@@ -91,7 +90,12 @@ def pagerank(
     # exchange (groupBy over a src-partitioned cache adds none). deg is
     # joined to the RANKS (small) side each iteration, never to the
     # edges — see the cast note below.
-    e2 = e.repartition("src").persist()
+    # Dedup AFTER the src repartition, not before (r6): hash
+    # partitioning on src satisfies the (src,dst) clustered
+    # distribution dropDuplicates needs, so the dedup aggregate rides
+    # the SAME exchange — one full-|E| shuffle in construction instead
+    # of the old distinct-then-repartition two. Same edge set out.
+    e2 = e.repartition("src").dropDuplicates(["src", "dst"]).persist()
     deg = e2.groupBy("src").agg(F.count(F.lit(1)).alias("__d")).persist()
     if undirected:
         # after mirroring, every node appears as a src, so deg's key

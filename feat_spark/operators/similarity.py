@@ -533,29 +533,50 @@ def assign_clusters(
         # k dot-folds + 1 norm-fold per row instead of 3k folds — the
         # expression tree (and its codegen) shrinks ~3x, which is the
         # entire cost of a map-only assignment over a bounded corpus.
+        #
+        # The whole k-candidate argmax is authored as ONE SQL string
+        # parsed by a single F.expr call (r6): the per-centroid DSL
+        # loop (zip_with/aggregate lambdas, struct, greatest) crossed
+        # the py4j bridge hundreds of times per centroid, and that
+        # driver-side chatter — not Spark jobs — was measured at
+        # 1.3–2.9 s per assignment at k=16, paid once per k-means
+        # iteration. The parsed tree is the same expression (same
+        # lambdas, same literals via exact string round-trip, same
+        # struct comparison), so every cos bit and tie-break is
+        # unchanged.
         import math
 
-        vn = df.withColumn("__vn", _norm(F.col(vec_col)))
-        best = None
+        def _d(x: float) -> str:
+            # repr() is the shortest decimal that round-trips to the
+            # same double; string->double cast parses to nearest =
+            # identical bits, and the cast constant-folds at plan time
+            return f"cast('{x!r}' as double)"
+
+        vcol = f"`{vec_col}`"
+        cands = []
         for r in rows:
-            # ONE py4j call per centroid (array literal from a Python
-            # list), not one per element — plan CONSTRUCTION at k=100,
-            # dim=64 is 6400 driver round-trips otherwise, which
-            # dominates wall-clock for map-only assignment jobs
-            cent = F.lit([float(x) for x in r["__cent"]])
+            arr = "array(" + ",".join(_d(float(x)) for x in r["__cent"]) + ")"
             acc = 0.0
             for x in r["__cent"]:
                 xd = float(x)
                 acc += xd * xd
             cn = math.sqrt(acc)
-            cand = F.struct(
-                (_dot(F.col(vec_col), cent) / (F.col("__vn") * F.lit(cn))).alias(
-                    "c"
-                ),
-                F.lit(-int(r["__cid"])).cast("long").alias("n"),
+            dot = (
+                f"aggregate(zip_with({vcol}, {arr},"
+                " (x, y) -> cast(x as double) * cast(y as double)),"
+                " cast(0.0 as double), (acc, v) -> acc + v)"
             )
-            best = cand if best is None else F.greatest(best, cand)
-        return vn.withColumn(out_col, (-best["n"]).cast("long")).drop("__vn")
+            cands.append(
+                f"named_struct('c', {dot} / (__vn * {_d(cn)}),"
+                f" 'n', {-int(r['__cid'])}L)"
+            )
+        best = (
+            f"greatest({','.join(cands)})" if len(cands) > 1 else cands[0]
+        )
+        vn = df.withColumn("__vn", _norm(F.col(vec_col)))
+        return vn.withColumn(
+            out_col, F.expr(f"cast(-(({best}).n) as bigint)")
+        ).drop("__vn")
     if strategy != "join":
         raise ValueError(f"assign_clusters: unknown strategy {strategy!r}")
     if not centroids.head(1):
@@ -604,6 +625,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign_strategy: str = "auto",
+    broadcast_pairs: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus with the deterministic
@@ -625,6 +647,17 @@ def semantic_dedup(
     scale so clusters stay ~1e4 rows; here 16 fits the test corpus).
     Training reads only the frame passed to ``kmeans_centroids``
     (callers pass a bounded sample at scale).
+
+    ``broadcast_pairs=True`` runs the within-cluster EXISTS scan as a
+    broadcast left-semi join (build = the assigned corpus) with the
+    probe side re-spread to the session's shuffle width: the right
+    plan when the corpus is bounded but the quantizer is SMALL — a
+    16-value cluster key caps the shuffled semi-join at 16 tasks, one
+    per cluster, so the quadratic per-cluster scan runs at 1/cores of
+    the hardware and the densest cluster is the straggler (guide
+    §2.5: skew a hash join cannot split). Leave False at the paper's
+    web-scale regime, where the corpus cannot be broadcast and the
+    ~1e5-value cluster key spreads the shuffle fine on its own.
     """
     if centroids is None:
         centroids = kmeans_centroids(
@@ -669,6 +702,12 @@ def semantic_dedup(
         F.col(vec_col).alias("__bv"),
         _norm(F.col(vec_col)).alias("__bn"),
     )
+    if broadcast_pairs:
+        nparts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        b = b.repartition(nparts)
+        a = F.broadcast(a)
     dup_ids = (
         b.join(
             a,
