@@ -2008,11 +2008,14 @@ def _q_semantic_dedup(spark, sf_dir):
         e.filter(F.col("vec_id") < 2000),
         n_centroids=16, iters=2, id_col="vec_id", vec_col="embedding",
     )
-    # broadcast_pairs: 16 clusters cap the shuffled pair scan at 16
-    # tasks; the corpus is dimension-sized (r6, results bit-identical)
+    # pair_strategy="grouped": 16 clusters cap any join-shaped pair
+    # scan at 16 tasks, and the interpreted per-pair dot costs ~µs;
+    # the per-cluster numpy pass replays the identical IEEE sequence
+    # at ns/element (r6 — results verified bit-identical, see
+    # similarity.semantic_dedup and tests/test_similarity_grouped.py)
     return S.semantic_dedup(
         e, centroids=cents, threshold=0.35, id_col="vec_id",
-        vec_col="embedding", broadcast_pairs=True,
+        vec_col="embedding", pair_strategy="grouped",
     )
 
 
@@ -2040,7 +2043,7 @@ def _q_semantic_dedup_largek(spark, sf_dir):
     return S.semantic_dedup(
         e, centroids=cents, threshold=0.35, id_col="vec_id",
         vec_col="embedding", assign_strategy="join",
-        broadcast_pairs=True,  # bounded corpus, same as semantic_dedup
+        pair_strategy="grouped",  # same rationale as semantic_dedup
     )
 
 

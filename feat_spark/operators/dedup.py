@@ -890,13 +890,17 @@ def fuzzy_pairs(
         raise ValueError("fuzzy_pairs: pass block= or blocks=, not both")
     cand: DataFrame | None = None
     for b in blocks:
+        # __len / __sig computed once per ROW: the join condition
+        # consumes them per PAIR, and length() re-scans the string per
+        # call (O(len) for UTF8 char counting) — at block² pair counts
+        # that is billions of avoidable char scans
         d = df.select(
             F.col(id_col).alias("__id"),
             F.col(str_col).alias("__s"),
             b.alias("__b"),
         ).filter(F.col("__s").isNotNull()).withColumn(
             "__sig", _charset_sig("__s")
-        )
+        ).withColumn("__len", F.length("__s"))
         if broadcast:
             # probe side re-spread first: a broadcast-joined scan of a
             # small dimension file may have only 1-2 input splits, and
@@ -922,8 +926,7 @@ def fuzzy_pairs(
             (F.col("a.__b") == F.col("c.__b"))
             & (F.col("a.__id") < F.col("c.__id"))
             & (
-                F.abs(F.length(F.col("a.__s")) - F.length(F.col("c.__s")))
-                <= max_dist
+                F.abs(F.col("a.__len") - F.col("c.__len")) <= max_dist
             )
             & (
                 F.bit_count(

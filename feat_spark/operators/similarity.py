@@ -278,9 +278,17 @@ def kmeans_centroids(
         cent_df = spark.createDataFrame(
             [(cid, cents[cid]) for cid in order], schema
         )
+        # training always takes the JOIN strategy (r6): the sample is
+        # bounded by contract, so the join path's one n-row exchange
+        # is trivial — while the literal path folds k*dim NEW literals
+        # into every iteration's plan, whose whole-stage codegen
+        # recompiles per iteration (no cache hit: the constants
+        # change). The join plan is shape-identical across iterations
+        # (only the broadcast local relation differs), and selection
+        # is value-identical by the documented contract above.
         assigned = assign_clusters(
             base, cent_df, id_col="__id", vec_col="__v", out_col="__cid",
-            strategy="literal" if n_centroids <= LITERAL_MAX_K else "join",
+            strategy="join",
         ).select("__v", "__cid")
         means = (
             assigned.select("__cid", F.posexplode("__v").alias("__pos", "__x"))
@@ -616,6 +624,67 @@ def assign_clusters(
     )
 
 
+def _semantic_dedup_grouped(
+    assigned: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """The ``pair_strategy="grouped"`` body of :func:`semantic_dedup`:
+    per-cluster numpy pass replicating the JVM pair scan's exact IEEE
+    op sequence (see the caller's docstring). Rows cross Arrow once;
+    the column-chunked loop bounds memory at O(n·chunk) per cluster."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            assigned.schema[id_col],
+            assigned.schema["cluster_id"],
+            T.StructField("semantic_dup", T.BooleanType(), False),
+        ]
+    )
+    thr = float(threshold)
+    vcol = vec_col
+    icol = id_col
+
+    def flag(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(icol, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vcol]])
+        d = V.shape[1]
+        # norm: sqrt(0.0 + sum_i v_i*v_i), left-to-right over dims —
+        # the exact fold of `_norm` (widen-to-double is exact; numpy
+        # add/mul are strict IEEE binary64, no FMA)
+        acc = np.zeros(n)
+        for i in range(d):
+            acc = acc + V[:, i] * V[:, i]
+        norms = np.sqrt(acc)
+        dup = np.zeros(n, dtype=bool)
+        chunk = 2048
+        for j0 in range(1, n, chunk):  # column 0 has no lower-id mate
+            j1 = min(j0 + chunk, n)
+            W = V[j0:j1]
+            # dot: 0.0 + sum_i a_i*b_i in dim order — `_dot`'s fold
+            dots = np.zeros((n, j1 - j0))
+            for i in range(d):
+                dots = dots + V[:, i : i + 1] * W[:, i][None, :]
+            cos = dots / (norms[:, None] * norms[j0:j1][None, :])
+            rows = np.arange(n)[:, None]
+            cols = np.arange(j0, j1)[None, :]
+            # ids are sorted ascending and unique, so index < index
+            # IS id < id; strict > threshold matches the JVM predicate
+            dup[j0:j1] = ((cos > thr) & (rows < cols)).any(axis=0)
+        return pd.DataFrame(
+            {
+                icol: pdf[icol],
+                "cluster_id": pdf["cluster_id"],
+                "semantic_dup": dup,
+            }
+        )
+
+    return assigned.groupBy("cluster_id").applyInPandas(flag, schema=out_schema)
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: DataFrame | None = None,
@@ -626,6 +695,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     assign_strategy: str = "auto",
     broadcast_pairs: bool = False,
+    pair_strategy: str = "join",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus with the deterministic
@@ -658,6 +728,25 @@ def semantic_dedup(
     §2.5: skew a hash join cannot split). Leave False at the paper's
     web-scale regime, where the corpus cannot be broadcast and the
     ~1e5-value cluster key spreads the shuffle fine on its own.
+
+    ``pair_strategy="grouped"`` replaces the pair JOIN entirely with a
+    cogrouped-cluster pandas pass (``applyInPandas`` keyed on
+    ``cluster_id``): each cluster's (id, vector) block crosses the
+    Arrow boundary ONCE (rows, never pairs — guide §4.2/§8: move the
+    lightweight proxy, decide in native code), and the n²/2 cosine
+    tests run as 64 column-chunked numpy vector ops whose per-element
+    IEEE sequence — widen to double, multiply, add left-to-right over
+    dims starting from 0.0, sqrt, an*bn, divide, strict > — is the
+    EXACT sequence of the JVM expression, so every flagged id is
+    bit-identical (verified by the oracle gate and a dedicated test).
+    Per-cluster memory is O(n·dim + n·chunk) — bounded by the same
+    SemDeDup cluster-size contract (the paper's regime keeps clusters
+    ~1e4 rows) that bounds the join paths' quadratic work. This is
+    the fastest shape at ANY scale where clusters fit a task (the
+    interpreted higher-order-function dot costs ~µs/pair; numpy runs
+    the same arithmetic at ns/element), and the default for it stays
+    off only because the JVM join paths are the zero-Python plans the
+    rest of the engine's plan-audit story is built on.
     """
     if centroids is None:
         centroids = kmeans_centroids(
@@ -673,6 +762,8 @@ def semantic_dedup(
     ).select(
         F.col(id_col), F.col(vec_col), F.col("cluster_id")
     ).persist()
+    if pair_strategy == "grouped":
+        return _semantic_dedup_grouped(assigned, threshold, id_col, vec_col)
     # The pair scan is where the time goes, so two plan devices — both
     # value-preserving, so the oracle replay stays bit-for-bit:
     #   1. Norms are hoisted to ROW grain before the join. cosine() as
