@@ -916,11 +916,8 @@ def fuzzy_pairs(
         # IMPLIED by dist <= d (each edit changes length by at most 1
         # and the char set by at most 2), so they sit in the join
         # condition as semantics-preserving prunes evaluated during
-        # the hash probe, before any pair row materializes. The
-        # thresholded-DP test itself is the LAST conjunct: authored
-        # here (instead of as a post-join filter Catalyst would push
-        # back in FRONT of the cheap prunes), the short-circuit AND
-        # runs the O(d*len) DP only on pairs the O(1) prunes pass.
+        # the hash probe, before any pair row materializes. The DP
+        # itself deliberately does NOT: see the barrier note below.
         pairs = a.join(
             c,
             (F.col("a.__b") == F.col("c.__b"))
@@ -933,9 +930,6 @@ def fuzzy_pairs(
                     F.col("a.__sig").bitwiseXOR(F.col("c.__sig"))
                 )
                 <= 2 * max_dist
-            )
-            & (
-                F.levenshtein(F.col("a.__s"), F.col("c.__s"), max_dist) >= 0
             ),
         ).select(
             F.col("a.__id").alias("id_a"),
@@ -949,18 +943,35 @@ def fuzzy_pairs(
         # along), so the dedup is deterministic — and it runs BEFORE
         # the DP, so multi-block candidates pay Levenshtein once
         cand = cand.dropDuplicates(["id_a", "id_b"])
-    # thresholded levenshtein stops the DP at d+1 (O(d*min_len) per
+    # Thresholded levenshtein stops the DP at d+1 (O(d*min_len) per
     # pair instead of O(n*m)), returning -1 for pairs past the cutoff.
-    # No post-filter: every candidate already passed the in-join DP
-    # test (a filter here would be pushed back into the join AHEAD of
-    # the cheap prunes), so this projection re-runs the DP only on the
-    # few surviving pairs to emit the distance value.
-    return cand.select(
-        "id_a",
-        "id_b",
-        F.levenshtein(F.col("__sa"), F.col("__sb"), max_dist)
-        .cast("int")
-        .alias("dist"),
+    # The DP must run EXACTLY ONCE per candidate: it is both the
+    # predicate and the output value, and Catalyst happily duplicates
+    # it (a plain filter on the projected `dist` gets rewritten
+    # through the projection and pushed into the join condition, so
+    # every row pays the DP twice — measured ~40% of the whole gate
+    # at sf1.0, where two thirds of the candidate stream are TRUE
+    # matches). The `+ monotonically_increasing_id()*0` term is a
+    # value-neutral nondeterministic optimizer barrier: it adds
+    # exactly 0 to every dist, but marks the projected expression
+    # nondeterministic, and Catalyst neither constant-folds a
+    # nondeterministic child nor pushes predicates through a
+    # projection containing one — so the filter consumes the
+    # already-computed `dist` attribute. (A separate barrier COLUMN
+    # does not survive: column pruning removes it and the pushdown
+    # returns.) Results carry no RNG: the id is multiplied by zero.
+    barrier = (F.monotonically_increasing_id() * F.lit(0)).cast("int")
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            (
+                F.levenshtein(F.col("__sa"), F.col("__sb"), max_dist)
+                .cast("int")
+                + barrier
+            ).alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
     )
 
 
@@ -1126,16 +1137,26 @@ def containment_pairs(
     n = F.col("__n")
     o = F.ceil(F.lit(float(threshold)) * n - F.lit(1e-9))
     prefix_len = F.least(n, n - o + 1 + F.lit(slack))
+    # Explicit-width repartition on BOTH collision-join inputs: their
+    # shuffle payload is a few MB of ints, so AQE coalesces the
+    # exchange to ~1 partition — but the join OUTPUT explodes ~30x
+    # (sum over prefix tokens of df) and the (id_a,id_b) partial
+    # aggregate runs in that same stage; measured single-task at
+    # sf1.0 (333 s, one RUNNABLE executor thread in the hash-agg
+    # append loop) vs ~25 s at full width. An explicit partition
+    # count is exempt from AQE coalescing; width from session conf so
+    # cluster configs scale it (guide §2.5: partition for the
+    # post-explosion size, not the input size).
     apfx = docs.select(
         F.col("__id").alias("id_a"),
         (prefix_len - (n - o)).cast("int").alias("__h"),
         F.explode(F.slice(F.col("__rs"), 1, prefix_len.cast("int"))).alias(
             "__r"
         ),
-    )
+    ).repartition(nparts, "__r")
     bsh = docs.select(
         F.col("__id").alias("id_b"), F.explode(F.col("__rs")).alias("__r")
-    )
+    ).repartition(nparts, "__r")
     cand = (
         apfx.join(bsh, "__r")
         .filter(F.col("id_a") != F.col("id_b"))
