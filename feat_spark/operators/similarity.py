@@ -752,18 +752,19 @@ def semantic_dedup(
         centroids = kmeans_centroids(
             df, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
         )
-    # persist: `assigned` fans out THREE ways (both sides of the pair
-    # scan + the final left join); without it the assignment — at
-    # large k a broadcast-join argmax aggregation — re-executes per
-    # consumer (r6: ADVICE item, guide §5 reuse rule)
     assigned = assign_clusters(
         df.select(F.col(id_col), F.col(vec_col)),
         centroids, id_col, vec_col, strategy=assign_strategy,
-    ).select(
-        F.col(id_col), F.col(vec_col), F.col("cluster_id")
-    ).persist()
+    ).select(F.col(id_col), F.col(vec_col), F.col("cluster_id"))
     if pair_strategy == "grouped":
+        # single consumer — no persist: the grouped pass reads the
+        # assignment exactly once
         return _semantic_dedup_grouped(assigned, threshold, id_col, vec_col)
+    # persist: `assigned` fans out THREE ways on the join paths (both
+    # sides of the pair scan + the final left join); without it the
+    # assignment — at large k a broadcast-join argmax aggregation —
+    # re-executes per consumer (r6: ADVICE item, guide §5 reuse rule)
+    assigned = assigned.persist()
     # The pair scan is where the time goes, so two plan devices — both
     # value-preserving, so the oracle replay stays bit-for-bit:
     #   1. Norms are hoisted to ROW grain before the join. cosine() as
