@@ -660,7 +660,13 @@ def _q_pagerank(spark, sf_dir):
     unrolls all three iterations as CTEs and matches bit-for-bit."""
     from feat_spark.operators.graph import pagerank
 
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # broadcast the 2-column orders side (r6): the lineitem fact side
+    # then never shuffles for the edge build — the old sort-merge paid
+    # two exchanges+sorts before the graph loop even started. Same
+    # edge set, bit-identical ranks.
+    o = F.broadcast(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    )
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
         F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),

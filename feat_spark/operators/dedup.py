@@ -1071,8 +1071,8 @@ def containment_pairs(
     Integer intersection and size counts divide once at the end —
     bit-stable cross-engine.
     """
-    sh = _shingle_rows(df, id_col, text_col, n)
     if candidates is not None:
+        sh = _shingle_rows(df, id_col, text_col, n)
         sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
         cand = candidates.select("id_a", "id_b").distinct()
         shb = sh.select(F.col("__id").alias("__idb"), F.col("__sh").alias("__sh_b"))
